@@ -1,0 +1,59 @@
+"""Query registry: name → (Spark callable, DuckDB oracle SQL).
+
+The driver contract (`__spark_entry__.py`) re-exports `queries()` and
+`oracle_sql()` from here. Oracle-less entries (genuinely non-SQL-expressible
+ops) set sql=None and get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from seo_audit_etl_actor_spark.queries import reference_ops as r
+from seo_audit_etl_actor_spark.queries import relational as rel
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    sql: str | None  # DuckDB oracle; None → rows-only check
+
+
+QUERIES: list[QuerySpec] = [
+    # --- reference parity (SURVEY §2.2-§2.4) ---
+    QuerySpec("keyword_position_buckets", r.q_keyword_position_buckets, r.SQL_KEYWORD_POSITION_BUCKETS),
+    QuerySpec("numeric_coercion", r.q_numeric_coercion, r.SQL_NUMERIC_COERCION),
+    QuerySpec("status_code_bands", r.q_status_code_bands, r.SQL_STATUS_CODE_BANDS),
+    QuerySpec("pages_total_coalesce", r.q_pages_total_coalesce, r.SQL_PAGES_TOTAL_COALESCE),
+    QuerySpec("avg_domain_rating", r.q_avg_domain_rating, r.SQL_AVG_DOMAIN_RATING),
+    QuerySpec("ratio_high_value", r.q_ratio_high_value, r.SQL_RATIO_HIGH_VALUE),
+    QuerySpec("p75_nearest_rank", r.q_p75_nearest_rank, r.SQL_P75_NEAREST_RANK),
+    QuerySpec("first_and_collect", r.q_first_and_collect, r.SQL_FIRST_AND_COLLECT),
+    QuerySpec("accumulate_union", r.q_accumulate_union, r.SQL_ACCUMULATE_UNION),
+    QuerySpec("liveness_ratio", r.q_liveness_ratio, r.SQL_LIVENESS_RATIO),
+    QuerySpec("cwv_pass_rate", r.q_cwv_pass_rate, r.SQL_CWV_PASS_RATE),
+    QuerySpec("coverage_weighted_score", r.q_coverage_weighted_score, r.SQL_COVERAGE_WEIGHTED_SCORE),
+    # --- engine relational surface (SURVEY §2.11) ---
+    QuerySpec("revenue_by_nation", rel.q_revenue_by_nation, rel.SQL_REVENUE_BY_NATION),
+    QuerySpec("topk_parts_per_brand", rel.q_topk_parts_per_brand, rel.SQL_TOPK_PARTS_PER_BRAND),
+    QuerySpec("rollup_region_nation", rel.q_rollup_region_nation, rel.SQL_ROLLUP_REGION_NATION),
+    QuerySpec("running_order_totals", rel.q_running_order_totals, rel.SQL_RUNNING_ORDER_TOTALS),
+    QuerySpec("set_ops_customers", rel.q_set_ops_customers, rel.SQL_SET_OPS_CUSTOMERS),
+    QuerySpec("monthly_order_stats", rel.q_monthly_order_stats, rel.SQL_MONTHLY_ORDER_STATS),
+    QuerySpec("hourly_event_windows", rel.q_hourly_event_windows, rel.SQL_HOURLY_EVENT_WINDOWS),
+    QuerySpec("asof_join_enrichment", rel.q_asof_join_enrichment, rel.SQL_ASOF_JOIN_ENRICHMENT),
+]
+
+
+def queries() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in QUERIES}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.sql for q in QUERIES if q.sql is not None}

@@ -1,0 +1,288 @@
+"""Engine-surface relational queries beyond the reference (SURVEY §2.11):
+joins, windows, top-k, rollup, set ops, date/time — the reference has none
+of these (SURVEY §2.5-§2.8) but the engine exposes them as first-class.
+
+Scale notes inline: dimension joins are explicitly broadcast; every window
+has a total-order tiebreaker; money aggregates run decimal-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seo_audit_etl_actor_spark.session import load_table
+
+DEC = "decimal(18,2)"
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join with broadcast dimensions (SURVEY §2.5).
+
+    lineitem ⋈ orders shuffles on orderkey (the only big-big join);
+    customer/nation/region are broadcast so the probe side never reshuffles
+    — at 100 TB the fact scan streams through map-side hash joins.
+    Revenue is decimal-exact: price × (1-disc) in DECIMAL, summed, then
+    cast double.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1.0).cast(DEC) - F.col("l_discount").cast(DEC))).alias("rev")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price (SURVEY §2.6/§2.7).
+
+    row_number with (price DESC, partkey ASC) — the partkey tiebreaker makes
+    the cut deterministic. Spark plans a single shuffle on p_brand with
+    partial top-k pushed down via WindowGroupLimit.
+    """
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rank_in_brand", F.row_number().over(w))
+        .where(F.col("rank_in_brand") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rank_in_brand")
+        .orderBy("p_brand", "rank_in_brand")
+    )
+
+
+SQL_TOPK_PARTS_PER_BRAND = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rank_in_brand
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rank_in_brand
+  FROM part
+)
+WHERE rank_in_brand <= 3
+ORDER BY p_brand, rank_in_brand
+"""
+
+
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup over (region, nation) with customer counts and
+    decimal-exact balance sums (SURVEY §2.11 grouping sets)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_balance"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+SQL_ROLLUP_REGION_NATION = """
+SELECT r_name, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+def q_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running totals + lag (SURVEY §2.6 window surface).
+
+    One shuffle on o_custkey serves both window functions; (o_orderdate,
+    o_orderkey) is a total order so the frame is deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(run).cast("double").alias("running_total"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.row_number().over(w).alias("order_seq"),
+    ).orderBy("o_custkey", "order_seq")
+
+
+SQL_RUNNING_ORDER_TOTALS = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+FROM orders
+ORDER BY o_custkey, order_seq
+"""
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over key sets (SURVEY §2.8): customers with finished
+    ('F') orders INTERSECT / EXCEPT those with open ('O') orders.
+
+    Spark's intersect/exceptAll are hash-based distinct set ops — one
+    shuffle each on the key; counts are combined via cheap single-row
+    cross joins.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    f_cust = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f_cust.intersect(o_cust).agg(F.count(F.lit(1)).alias("n_both"))
+    only_f = f_cust.distinct().exceptAll(o_cust.distinct()).agg(
+        F.count(F.lit(1)).alias("n_only_finished")
+    )
+    union_all = f_cust.union(o_cust).distinct().agg(F.count(F.lit(1)).alias("n_either"))
+    return both.crossJoin(only_f).crossJoin(union_all)
+
+
+SQL_SET_OPS_CUSTOMERS = """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_both,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_only_finished,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus IN ('F','O'))) AS n_either
+"""
+
+
+def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar aggregation (SURVEY §2.11 date/time surface): month-truncated
+    order counts and decimal-exact revenue. The reference treats dates as
+    opaque strings (.actor/actor.json:27-32); the engine gives them types."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_MONTHLY_ORDER_STATS = """
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+ORDER BY month
+"""
+
+
+def q_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the event stream, run as batch
+    (SURVEY §2.9 — same expressions a readStream would use; the streaming
+    variant lives in streaming/events.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win["start"].alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_HOURLY_EVENT_WINDOWS = """
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def q_asof_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.5 engine surface): each 'purchase' event
+    enriched with the value of the same user's most recent prior-or-equal
+    'view' event.
+
+    Union-window technique — tag both streams, union, then
+    last(value, ignorenulls) over (user_id ORDER BY ts, is_right) with an
+    unbounded-preceding frame. One shuffle on user_id, no range join
+    explosion; scales to arbitrarily many right-side rows per key (state is
+    one value per row, vs. a range-join's quadratic candidate pairs).
+    DuckDB oracle uses its native ASOF LEFT JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value"), F.lit(0).alias("is_left")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("is_left"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+    merged = views.withColumn("event_id", F.lit(None).cast("long")).withColumn(
+        "value", F.lit(None).cast("double")
+    ).unionByName(purchases)
+    # At equal ts the right-side (view) row sorts first (is_left 0 < 1), so a
+    # purchase sees a view with ts <= its own ts — ASOF `>=` semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_view_value", F.last("view_value", ignorenulls=True).over(w))
+        .where(F.col("is_left") == 1)
+        .select("event_id", "user_id", "ts", "value", "last_view_value")
+        .orderBy("event_id")
+    )
+
+
+SQL_ASOF_JOIN_ENRICHMENT = """
+SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value, v.value AS last_view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""

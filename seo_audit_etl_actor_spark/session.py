@@ -1,0 +1,91 @@
+"""SparkSession bring-up and table loading.
+
+Tuned for the test harness (local[N], single JVM) but with settings chosen
+for cluster scale: AQE on (runtime shuffle-partition coalescing, dynamic
+broadcast-join conversion, skew-join splitting), Arrow enabled for the few
+Pandas-UDF extension paths, and a shuffle-partition default that the harness
+overrides via env.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "seo-audit-etl-actor-spark") -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Scale notes: every knob here survives a 1000-executor cluster — AQE owns
+    runtime re-planning (partition coalescing, broadcast conversion, skew
+    splitting), so the same logical plans serve local[32] and 100 TB.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return builder.master(f"local[{cpus}]").getOrCreate()
+
+
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan for one synthetic table.
+
+    Declarative read → Catalyst gets predicate pushdown + column pruning for
+    free on every downstream query (`PushedFilters`/`ReadSchema` in explain).
+    The inferred schema is cached per (dir, table) so repeated reads skip
+    the footer-inference job (a fixed per-query cost that would otherwise
+    dominate small-SF benchmarks; at cluster scale it also avoids a
+    listing+footer pass per query).
+
+    `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader refuses; we read nanos as long (legacy conf, dynamic)
+    and convert to a microsecond timestamp — the same truncation DuckDB
+    applies when casting TIMESTAMP_NS → TIMESTAMP.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (sf_dir, name)
+    if key in _SCHEMA_CACHE:
+        df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
