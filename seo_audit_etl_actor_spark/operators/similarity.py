@@ -1,0 +1,130 @@
+"""Embedding similarity search (engine extension surface; BASELINE.json
+north star — absent from the reference).
+
+Brute-force cosine top-k is the correctness baseline; the
+random-hyperplane-LSH bucketed variant is the 100 TB path (candidate set
+shrinks from n to n/2^n_planes per bucket; the bucket key is uniform so the
+self-join shuffle is skew-free).
+
+All arithmetic is double-precision, sequential left-to-right folds — the
+exact order the DuckDB oracle uses, so results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from seo_audit_etl_actor_spark.operators.text import md5_long
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (left-to-right, double) — deterministic
+    and oracle-matchable, unlike a parallel reduction."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against one stored vector.
+
+    The single-row query side is broadcast (explicit hint), so the scan side
+    streams map-only — no shuffle until the final TakeOrderedAndProject,
+    which is Spark's distributed top-k (per-partition heads, then merge).
+    """
+    q = embeddings.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplane(dim: int, plane_idx: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j is derived from
+    md5('hp|plane|j') mapped to [-1, 1). Engine-portable and fixed across
+    runs — no RNG state to ship to executors."""
+    return F.array(
+        *[
+            (md5_long(F.lit(f"hp|{plane_idx}|{j}")) % 2001 - 1000) / 1000.0
+            for j in range(dim)
+        ]
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(vec · plane_i)."""
+    bits = [
+        F.when(dot(vec, hyperplane(dim, i)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("int")
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN top-k: only vectors whose bucket is within
+    `max_hamming` bits of the query's bucket are scored.
+
+    At 100 TB the bucket column is precomputed/persisted once per corpus
+    (write-time cost), making each query a partition-pruned scan of
+    ~n/2^(n_planes-max_hamming) candidates. Recall vs brute force is
+    validated in tests (recall@10 on the synthetic corpus).
+    """
+    with_bucket = embeddings.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
+    q = with_bucket.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
+    )
+    cand = (
+        with_bucket.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_vec_id)
+        .where(
+            F.bit_count(
+                F.col("__bucket").bitwiseXOR(F.col("__qbucket")).cast("long")
+            )
+            <= max_hamming
+        )
+    )
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    return (
+        cand.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

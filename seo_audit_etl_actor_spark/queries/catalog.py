@@ -12,6 +12,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from seo_audit_etl_actor_spark.queries import llm_ext as ext
 from seo_audit_etl_actor_spark.queries import reference_ops as r
 from seo_audit_etl_actor_spark.queries import relational as rel
 
@@ -48,6 +49,18 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("monthly_order_stats", rel.q_monthly_order_stats, rel.SQL_MONTHLY_ORDER_STATS),
     QuerySpec("hourly_event_windows", rel.q_hourly_event_windows, rel.SQL_HOURLY_EVENT_WINDOWS),
     QuerySpec("asof_join_enrichment", rel.q_asof_join_enrichment, rel.SQL_ASOF_JOIN_ENRICHMENT),
+    # --- LLM-data-pipeline extensions (SURVEY §2.11; north star) ---
+    QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
+    QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),
+    QuerySpec("doc_quality_by_source", ext.q_doc_quality_by_source, ext.SQL_DOC_QUALITY_BY_SOURCE),
+    QuerySpec("exact_dedup_stats", ext.q_exact_dedup_stats, ext.SQL_EXACT_DEDUP_STATS),
+    QuerySpec("minhash_near_dup", ext.q_minhash_near_dup, ext.SQL_MINHASH_NEAR_DUP),
+    QuerySpec("simhash_fingerprints", ext.q_simhash_fingerprints, ext.SQL_SIMHASH_FINGERPRINTS),
+    QuerySpec("simhash_near_dup", ext.q_simhash_near_dup, ext.SQL_SIMHASH_NEAR_DUP),
+    QuerySpec("ngram_jaccard_sample", ext.q_ngram_jaccard_sample, ext.SQL_NGRAM_JACCARD_SAMPLE),
+    QuerySpec("cosine_topk_bruteforce", ext.q_cosine_topk_bruteforce, ext.SQL_COSINE_TOPK),
+    QuerySpec("cosine_topk_lsh", ext.q_cosine_topk_lsh, None),
+    QuerySpec("approx_distinct_users", ext.q_approx_distinct_users, None),
 ]
 
 

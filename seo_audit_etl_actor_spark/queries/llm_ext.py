@@ -1,0 +1,389 @@
+"""LLM-data-pipeline extension queries (dedup, similarity, text analysis)
+with generated DuckDB oracle SQL.
+
+The oracle SQL for MinHash/SimHash/cosine is machine-generated (band lists,
+per-bit vote expressions, explicit dot-product chains) so both engines
+execute byte-identical hash math (md5-derived) and identically-ordered
+floating-point folds — results hash-match exactly, no tolerance needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seo_audit_etl_actor_spark.operators import dedup, similarity
+from seo_audit_etl_actor_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    lang_id,
+    quality_score_q4,
+    token_count,
+)
+from seo_audit_etl_actor_spark.session import load_table
+
+# ------------------------------------------------------------- SQL helpers
+
+_TOKS = r"""CASE WHEN length(trim({c})) = 0 THEN CAST([] AS VARCHAR[])
+            ELSE string_split_regex(trim({c}), '\s+') END"""
+_NORM = (
+    "lower(trim(regexp_replace(regexp_replace({c}, ' ', ' ', 'g'),"
+    " '\\s+', ' ', 'g')))"
+)
+
+
+def _sql_md5_long(expr: str, salt: str = "") -> str:
+    salted = f"{expr} || '{salt}'" if salt else expr
+    return f"CAST(('0x' || substring(md5({salted}), 1, 15)) AS BIGINT)"
+
+
+def _sql_marker_hits(toks_expr: str, markers: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter({toks_expr}, t -> list_contains({arr}, t)))"
+
+
+# ------------------------------------------------------------- text stats
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: docs, whitespace-token totals, avg chars.
+    Token counting is the BPE-precursor whitespace tokenizer; counts are
+    integers so every aggregate is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+            (F.sum("n_chars").cast("long") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({_TOKS.format(c='text')})) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ------------------------------------------------------------- language ID
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-word argmax) vs the labeled lang —
+    confusion-matrix counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("actual_lang"), lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_lang", "pred_lang")
+    )
+
+
+def _sql_lang_pred(text_expr: str) -> str:
+    toks = _TOKS.format(c=text_expr)
+    scores = {lang: _sql_marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    best = "GREATEST(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score} = {best} THEN '{lang}'" for lang, score in scores.items()
+    )
+    return f"CASE WHEN {best} > 0 THEN (CASE {whens} END) ELSE 'und' END"
+
+
+SQL_LANG_ID_CONFUSION = f"""
+SELECT lang AS actual_lang, {_sql_lang_pred('text')} AS pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY actual_lang, pred_lang
+"""
+
+
+# ------------------------------------------------------------- quality
+def q_doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/alpha/stopword composite, quantized to 1e-4
+    integers) aggregated per source — integer sums keep the averages exact
+    across any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score_q4(F.col("text"))
+    return (
+        docs.select(F.col("source"), q.alias("q4"))
+        .groupBy("source")
+        .agg(
+            (F.sum("q4").cast("long") / F.count(F.lit(1))).alias("avg_quality_q4"),
+            F.min("q4").alias("min_quality_q4"),
+            F.max("q4").alias("max_quality_q4"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_quality_q4(text_expr: str) -> str:
+    norm = _NORM.format(c=text_expr)
+    toks = _TOKS.format(c=norm)
+    hits = _sql_marker_hits(toks, STOPWORDS)
+    return f"""CAST(FLOOR((
+      LEAST(length({norm}) / 500.0, 1.0)
+      + (CASE WHEN length({norm}) > 0
+              THEN length(regexp_replace({norm}, '[^a-z ]', '', 'g')) / length({norm})
+              ELSE 0.0 END)
+      + LEAST((CASE WHEN len({toks}) > 0 THEN {hits} / len({toks}) ELSE 0.0 END) * 5.0, 1.0)
+    ) / 3.0 * 10000) AS BIGINT)"""
+
+
+SQL_DOC_QUALITY_BY_SOURCE = f"""
+SELECT source,
+       CAST(SUM(q4) AS BIGINT) / COUNT(*) AS avg_quality_q4,
+       MIN(q4) AS min_quality_q4,
+       MAX(q4) AS max_quality_q4,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT source, {_sql_quality_q4('text')} AS q4 FROM documents)
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ------------------------------------------------------------- exact dedup
+def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary per source via md5-of-normalized-text
+    fingerprints (hash-groupBy — uniform key, skew-free at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_stats(docs)
+
+
+SQL_EXACT_DEDUP_STATS = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_rows
+FROM (SELECT source, md5({_NORM.format(c='text')}) AS fp FROM documents)
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ------------------------------------------------------------- MinHash LSH
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(8 bands×2) near-dup pairs, exact-Jaccard-verified at
+    ≥0.5 on 3-word shingle sets (dedup.minhash_near_dup_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(docs, threshold=0.5)
+
+
+def _sql_minhash_near_dup(n_hashes: int = dedup.N_HASHES, n_bands: int = dedup.N_BANDS) -> str:
+    k = dedup.SHINGLE_K
+    toks = _TOKS.format(c="text")
+    grams = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> {_sql_md5_long('s', f'#{i}')})) AS mh{i}"
+        for i in range(n_hashes)
+    )
+    r = n_hashes // n_bands
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - {k - 2}), i -> {grams})) AS shingles
+  FROM toks WHERE len(t) >= {k}
+),
+sigs AS (
+  SELECT doc_id, shingles,
+    {sig_exprs}
+  FROM sh WHERE len(shingles) > 0
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_intersect(sa.shingles, sb.shingles))
+         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+SQL_MINHASH_NEAR_DUP = _sql_minhash_near_dup()
+
+
+# ------------------------------------------------------------- SimHash
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 48-bit SimHash fingerprints (tf-weighted bit votes over
+    md5-hashed tokens) — the whole per-doc state is one BIGINT."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(docs).orderBy("doc_id")
+
+
+def _sql_simhash(bits: int = dedup.SIMHASH_BITS) -> str:
+    toks = _TOKS.format(c="text")
+    votes = ",\n    ".join(
+        f"SUM((((h >> {i}) & 1) * 2) - 1) AS v{i}" for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+th AS (
+  SELECT doc_id, unnest(list_transform(t, s -> {_sql_md5_long('s')})) AS h
+  FROM toks WHERE len(t) > 0
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+FROM votes
+ORDER BY doc_id
+"""
+
+
+SQL_SIMHASH_FINGERPRINTS = _sql_simhash()
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4-band pigeonhole candidates, verified at
+    hamming ≤ 3 over the 48-bit fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs)
+
+
+def _sql_simhash_near_dup(
+    bits: int = dedup.SIMHASH_BITS, n_bands: int = 4, max_hamming: int = 3
+) -> str:
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, (simhash >> {b * width}) & {mask} AS band_key FROM fps"
+        for b in range(n_bands)
+    )
+    base = _sql_simhash(bits).strip().removesuffix("ORDER BY doc_id\n").rstrip()
+    # reuse the fingerprint SQL as a CTE body
+    return f"""
+WITH fps AS (
+  {base}
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS fp_a, b.simhash AS fp_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_SIMHASH_NEAR_DUP = _sql_simhash_near_dup()
+
+
+# ------------------------------------------------------------- n-gram Jaccard
+def q_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard over the deterministic id-sample —
+    verification baseline for the LSH pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_sample_pairs(docs)
+
+
+def _sql_ngram_jaccard(modulus: int = 25, min_j: float = 0.05) -> str:
+    k = dedup.SHINGLE_K
+    toks = _TOKS.format(c="text")
+    grams = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents WHERE doc_id % {modulus} = 0
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - {k - 2}), i -> {grams})) AS sh
+  FROM toks WHERE len(t) >= {k}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= {min_j}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_NGRAM_JACCARD_SAMPLE = _sql_ngram_jaccard()
+
+
+# ------------------------------------------------------------- similarity
+EMB_DIM = 64
+_QUERY_VEC_ID = 0
+
+
+def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (sequential double
+    fold — bit-identical to the oracle's explicit sum chain)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _QUERY_VEC_ID, k=10)
+
+
+def _sql_cosine_topk(dim: int = EMB_DIM, qid: int = _QUERY_VEC_ID, k: int = 10) -> str:
+    def chain(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+        )
+
+    return f"""
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {qid})
+SELECT vec_id,
+       ({chain('embedding', 'e')})
+       / (sqrt({chain('embedding', 'embedding')}) * sqrt({chain('e', 'e')})) AS cosine_sim
+FROM embeddings, q
+WHERE vec_id != {qid}
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+SQL_COSINE_TOPK = _sql_cosine_topk()
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant: random-hyperplane LSH bucket pruning then exact cosine —
+    the 100 TB scale path. No SQL oracle (bucket pruning is the operator
+    under test); recall vs brute force is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(emb, _QUERY_VEC_ID, k=10, dim=EMB_DIM)
+
+
+# ------------------------------------------------------------- approx distinct
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (A2's 100 TB variant — SURVEY §2.3 A2).
+    No oracle: DuckDB's approx algorithm differs; tests assert ≤2% error
+    vs exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )
