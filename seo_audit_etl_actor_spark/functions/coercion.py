@@ -34,6 +34,21 @@ def to_num(c: Column | str) -> Column:
     return F.nullif(stripped, F.lit("")).cast("double")
 
 
+def to_num_js(c: Column | str) -> Column:
+    """Bug-for-bug JS ``toNum`` (reference src/etl.js:75-79): after the
+    strip, JS ``Number('') === 0`` — so a cell with NO numeric characters
+    (empty, "abc", a missing field) coerces to 0, not NaN. Only genuinely
+    malformed numerics ('1.2.3', '--1', '.') become NaN → null here.
+
+    Used by the SEO pipeline stanzas for reference parity; ``to_num`` above
+    (empty → null) is the engine-preferred variant used by the analytics
+    catalog.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    stripped = F.regexp_replace(F.coalesce(c.cast("string"), F.lit("")), _NUMERIC_STRIP, "")
+    return F.when(stripped == "", F.lit(0.0)).otherwise(stripped.cast("double"))
+
+
 def clamp01(c: Column) -> Column:
     """Clamp to [0, 1] (reference src/scoring.js:31-32)."""
     return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))

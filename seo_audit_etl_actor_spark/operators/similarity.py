@@ -15,9 +15,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from seo_audit_etl_actor_spark.operators.text import md5_long
-
-
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -66,24 +63,37 @@ def cosine_topk(
     )
 
 
-def hyperplane(dim: int, plane_idx: int) -> Column:
+def hyperplane_values(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j is derived from
-    md5('hp|plane|j') mapped to [-1, 1). Engine-portable and fixed across
-    runs — no RNG state to ship to executors."""
-    return F.array(
-        *[
-            (md5_long(F.lit(f"hp|{plane_idx}|{j}")) % 2001 - 1000) / 1000.0
-            for j in range(dim)
-        ]
-    )
+    md5('hp|plane|j') mapped to [-1, 1). Computed driver-side with hashlib
+    (identical to any engine's md5) and emitted as float literals — the plan
+    carries 64 constants per plane, not 64 hash expressions per row."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"hp|{plane_idx}|{j}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+def hyperplane(dim: int, plane_idx: int) -> Column:
+    return F.array(*[F.lit(v) for v in hyperplane_values(dim, plane_idx)])
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id: bit i = sign(vec · plane_i)."""
-    bits = [
-        F.when(dot(vec, hyperplane(dim, i)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(n_planes)
-    ]
+    """Random-hyperplane LSH bucket id: bit i = sign(vec · plane_i).
+
+    The dot products are unrolled multiply-add chains over literal plane
+    weights — whole-stage-codegen arithmetic, no interpreted lambda per
+    element (the bucket is sign-based so fold order is irrelevant here)."""
+    bits = []
+    for i in range(n_planes):
+        weights = hyperplane_values(dim, i)
+        d = F.lit(0.0)
+        for j, w in enumerate(weights):
+            d = d + F.element_at(vec, j + 1).cast("double") * F.lit(w)
+        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
     out = F.lit(0)
     for b in bits:
         out = out + b

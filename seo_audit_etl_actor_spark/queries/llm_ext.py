@@ -20,7 +20,7 @@ from seo_audit_etl_actor_spark.operators.text import (
     quality_score_q4,
     token_count,
 )
-from seo_audit_etl_actor_spark.session import load_table
+from seo_audit_etl_actor_spark.session import ensure_parallelism, load_table
 
 # ------------------------------------------------------------- SQL helpers
 
@@ -47,7 +47,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus stats: docs, whitespace-token totals, avg chars.
     Token counting is the BPE-precursor whitespace tokenizer; counts are
     integers so every aggregate is exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return (
         docs.groupBy("lang")
         .agg(
@@ -74,7 +74,7 @@ ORDER BY lang
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (marker-word argmax) vs the labeled lang —
     confusion-matrix counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.col("lang").alias("actual_lang"), lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("actual_lang", "pred_lang")
@@ -107,7 +107,7 @@ def q_doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (length/alpha/stopword composite, quantized to 1e-4
     integers) aggregated per source — integer sums keep the averages exact
     across any partitioning."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     q = quality_score_q4(F.col("text"))
     return (
         docs.select(F.col("source"), q.alias("q4"))
@@ -151,7 +151,7 @@ ORDER BY source
 def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup summary per source via md5-of-normalized-text
     fingerprints (hash-groupBy — uniform key, skew-free at scale)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return dedup.exact_dedup_stats(docs)
 
 
@@ -170,7 +170,7 @@ ORDER BY source
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(8 bands×2) near-dup pairs, exact-Jaccard-verified at
     ≥0.5 on 3-word shingle sets (dedup.minhash_near_dup_pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return dedup.minhash_near_dup_pairs(docs, threshold=0.5)
 
 
@@ -179,8 +179,8 @@ def _sql_minhash_near_dup(n_hashes: int = dedup.N_HASHES, n_bands: int = dedup.N
     toks = _TOKS.format(c="text")
     grams = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
     sig_exprs = ",\n    ".join(
-        f"list_min(list_transform(shingles, s -> {_sql_md5_long('s', f'#{i}')})) AS mh{i}"
-        for i in range(n_hashes)
+        f"list_min(list_transform(h32, h -> ({a} * h + {b}) % {dedup.MOD32})) AS mh{i}"
+        for i, (a, b) in enumerate(dedup._affine_constants(n_hashes))
     )
     r = n_hashes // n_bands
     band_selects = "\n  UNION ALL ".join(
@@ -199,10 +199,15 @@ sh AS (
          list_distinct(list_transform(range(1, len(t) - {k - 2}), i -> {grams})) AS shingles
   FROM toks WHERE len(t) >= {k}
 ),
+hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {_sql_md5_long('s')} & {dedup.MASK32}) AS h32
+  FROM sh WHERE len(shingles) > 0
+),
 sigs AS (
   SELECT doc_id, shingles,
     {sig_exprs}
-  FROM sh WHERE len(shingles) > 0
+  FROM hashed
 ),
 bands AS (
   {band_selects}
@@ -231,7 +236,7 @@ SQL_MINHASH_NEAR_DUP = _sql_minhash_near_dup()
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 48-bit SimHash fingerprints (tf-weighted bit votes over
     md5-hashed tokens) — the whole per-doc state is one BIGINT."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return dedup.simhash_fingerprints(docs).orderBy("doc_id")
 
 
@@ -266,7 +271,7 @@ SQL_SIMHASH_FINGERPRINTS = _sql_simhash()
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 4-band pigeonhole candidates, verified at
     hamming ≤ 3 over the 48-bit fingerprints."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return dedup.simhash_near_dup_pairs(docs)
 
 
@@ -308,7 +313,7 @@ SQL_SIMHASH_NEAR_DUP = _sql_simhash_near_dup()
 def q_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs 3-gram Jaccard over the deterministic id-sample —
     verification baseline for the LSH pipelines."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_sample_pairs(docs)
 
 
@@ -345,7 +350,7 @@ _QUERY_VEC_ID = 0
 def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of vec_id=0 (sequential double
     fold — bit-identical to the oracle's explicit sum chain)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     return similarity.cosine_topk(emb, _QUERY_VEC_ID, k=10)
 
 
@@ -374,7 +379,7 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant: random-hyperplane LSH bucket pruning then exact cosine —
     the 100 TB scale path. No SQL oracle (bucket pruning is the operator
     under test); recall vs brute force is asserted in tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     return similarity.cosine_topk_lsh(emb, _QUERY_VEC_ID, k=10, dim=EMB_DIM)
 
 

@@ -89,3 +89,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a small scan across the cluster before heavy per-row compute.
+
+    A tiny parquet file arrives as ONE input split, so compute-dense
+    operators (shingling, hashing, dot products) would serialize on a single
+    core no matter how many executors exist. Repartition only when the scan
+    has fewer partitions than the session's parallelism: at real scale the
+    input already has thousands of splits and this is a plan-time no-op —
+    no shuffle is added where parallelism already exists.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -1,0 +1,134 @@
+"""Streaming event analytics: the `events` table as an unbounded source.
+
+Design notes for scale:
+- the tumbling-window aggregation is the SAME expression tree as the batch
+  query (queries/relational.py q_hourly_event_windows) — `readStream` swaps
+  the source, Catalyst keeps the plan; state is bounded by the watermark
+  (late rows beyond 2 hours are dropped, closed windows are evicted);
+- session windows use the native `session_window` gap operator — state per
+  active (user, session), closed by watermark, no custom code;
+- the per-user running aggregate shows the applyInPandasWithState path for
+  semantics Spark lacks natively: Arrow-batched, one state row per user,
+  GroupStateTimeout-managed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over parquet drops (schema must be declared —
+    streaming reads cannot infer)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+
+
+def hourly_event_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows with watermarked state eviction — the
+    streaming twin of the batch q_hourly_event_windows."""
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win["start"].alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def user_sessions(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization via the native session_window operator:
+    state is one open session per user, closed (and emitted) when the
+    watermark passes the gap."""
+    sw = F.session_window(F.col("ts"), gap)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+RUNNING_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): cumulative per-user
+    event count + value across micro-batches — semantics a windowed agg
+    can't express (state never closes). One Arrow batch per user-group per
+    micro-batch; state is two scalars per user."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_completion(
+    query_df: DataFrame, out_rows: list, checkpoint: str, output_mode: str = "update"
+) -> None:
+    """Drain a bounded stream with availableNow into `out_rows` via
+    foreachBatch (test/bench harness helper)."""
+
+    def sink(batch_df: DataFrame, _epoch: int) -> None:
+        out_rows.extend(batch_df.collect())
+
+    q = (
+        query_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,75 @@
+"""Plan-shape regression tests (SURVEY §4): assert the physical properties
+the 100 TB design depends on — filter pushdown + column pruning at the
+scan, broadcast joins for dimensions, codegen coverage, and zero Python
+UDFs in reference-parity queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seo_audit_etl_actor_spark.plans import audit
+from seo_audit_etl_actor_spark.queries import QUERIES
+from seo_audit_etl_actor_spark.session import load_table
+
+SPECS = {q.name: q for q in QUERIES}
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    pushed = audit.pushed_filters(df)
+    assert any("o_orderstatus" in f for f in pushed), pushed
+
+
+def test_column_pruning_two_column_projection(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = audit.read_schema_columns(df)
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = SPECS["revenue_by_nation"].fn(spark, sf_dir)
+    assert audit.has_broadcast_join(df)
+
+
+def test_flagship_is_single_pass_no_python(spark, sf_dir):
+    df = SPECS["keyword_position_buckets"].fn(spark, sf_dir)
+    assert not audit.uses_python_udf(df)
+    # AQE defers codegen planning until execution; disable it to make the
+    # codegen coverage statically visible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df2 = SPECS["keyword_position_buckets"].fn(spark, sf_dir)
+        assert audit.num_codegen_subtrees(df2) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "keyword_position_buckets",
+        "numeric_coercion",
+        "status_code_bands",
+        "p75_nearest_rank",
+        "first_and_collect",
+        "coverage_weighted_score",
+        "revenue_by_nation",
+        "topk_parts_per_brand",
+        "asof_join_enrichment",
+        "text_stats",
+        "exact_dedup_stats",
+        "minhash_near_dup",
+        "simhash_near_dup",
+        "cosine_topk_bruteforce",
+    ],
+)
+def test_no_python_udf_anywhere(spark, sf_dir, name):
+    """Engine policy (SURVEY §2.10): native expressions only — a Python
+    eval node appearing in any of these plans is a regression."""
+    assert not audit.uses_python_udf(SPECS[name].fn(spark, sf_dir))
+
+
+def test_cosine_topk_plans_distributed_topk(spark, sf_dir):
+    p = audit.plan_string(SPECS["cosine_topk_bruteforce"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p

@@ -1,0 +1,89 @@
+"""Streaming surface tests: each streaming query drains a bounded file
+stream (availableNow) and must agree with the equivalent batch computation
+over the same rows — the streaming analog of the oracle-differential
+strategy (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seo_audit_etl_actor_spark.session import load_table
+from seo_audit_etl_actor_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """Re-materialize events as micros-timestamp parquet drops (the raw
+    testdata is TIMESTAMP(NANOS), which streaming schema enforcement
+    rejects); two files ≈ two micro-batches."""
+    out = tmp_path_factory.mktemp("event_stream")
+    load_table(spark, sf_dir, "events").repartition(2).write.mode("overwrite").parquet(str(out))
+    return str(out)
+
+
+def _batch(spark, event_dir):
+    return spark.read.schema(se.EVENTS_SCHEMA).parquet(event_dir)
+
+
+def test_hourly_windows_match_batch(spark, event_dir, tmp_path):
+    stream = se.read_event_stream(spark, event_dir)
+    got: list = []
+    se.run_to_completion(
+        se.hourly_event_windows(stream), got, str(tmp_path / "ck1"), output_mode="complete"
+    )
+    batch = (
+        _batch(spark, event_dir)
+        .groupBy(F.window("ts", "1 hour")["start"].alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    )
+    key = lambda r: (r["hour"], r["event_type"])
+    got_map = {key(r): (r["n_events"], r["total_value"]) for r in got}
+    want_map = {key(r): (r["n_events"], r["total_value"]) for r in batch}
+    assert got_map == want_map
+
+
+def test_sessionization_matches_batch(spark, event_dir, tmp_path):
+    stream = se.read_event_stream(spark, event_dir)
+    got: list = []
+    se.run_to_completion(
+        se.user_sessions(stream), got, str(tmp_path / "ck2"), output_mode="complete"
+    )
+    batch = (
+        _batch(spark, event_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert len(got) == len(batch)
+    assert sum(r["n_events"] for r in got) == _batch(spark, event_dir).count()
+
+
+def test_running_user_totals_state(spark, event_dir, tmp_path):
+    stream = se.read_event_stream(spark, event_dir)
+    got: list = []
+    se.run_to_completion(
+        se.running_user_totals(stream), got, str(tmp_path / "ck3"), output_mode="update"
+    )
+    # last emission per user must equal the batch cumulative totals
+    final: dict[int, tuple] = {}
+    for r in got:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = (
+        _batch(spark, event_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("tv"),
+        )
+        .collect()
+    )
+    assert len(final) == len(batch)
+    for r in batch:
+        n, tv = final[r["user_id"]]
+        assert n == r["n"]
+        assert tv == pytest.approx(r["tv"], rel=1e-9)
