@@ -31,7 +31,9 @@ def to_num(c: Column | str) -> Column:
     """
     c = F.col(c) if isinstance(c, str) else c
     stripped = F.regexp_replace(c.cast("string"), _NUMERIC_STRIP, "")
-    return F.nullif(stripped, F.lit("")).cast("double")
+    # try_cast, not cast: ANSI mode (Spark 4 default) makes a plain cast
+    # THROW on malformed numerics; null-on-failure is the required semantic
+    return F.nullif(stripped, F.lit("")).try_cast("double")
 
 
 def to_num_js(c: Column | str) -> Column:
@@ -46,7 +48,8 @@ def to_num_js(c: Column | str) -> Column:
     """
     c = F.col(c) if isinstance(c, str) else c
     stripped = F.regexp_replace(F.coalesce(c.cast("string"), F.lit("")), _NUMERIC_STRIP, "")
-    return F.when(stripped == "", F.lit(0.0)).otherwise(stripped.cast("double"))
+    # try_cast: ANSI-safe null on malformed ('1.2.3', '--1'), matching NaN
+    return F.when(stripped == "", F.lit(0.0)).otherwise(stripped.try_cast("double"))
 
 
 def clamp01(c: Column) -> Column:

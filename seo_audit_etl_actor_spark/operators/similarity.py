@@ -100,18 +100,107 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return out.cast("int")
 
 
+def assign_ivf_cells(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids: cell c's
+    centroid is the stored vector with vec_id == c (a fixed, reproducible
+    codebook — the k-means training step is an offline refinement, not a
+    correctness requirement). Each vector is assigned to its max-cosine
+    centroid.
+
+    At 100 TB the assignment is one broadcast join (centroids are tiny) +
+    a map-side argmax; the cell column is then a partition/cluster key, so
+    a query scans only `nprobe` cells — classic IVF partition pruning.
+    """
+    centroids = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.where(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vnorm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x))
+    # stage 1: materialize one similarity column per centroid — argmax over
+    # column REFERENCES, never nested expression copies (a chained
+    # when(sim > best) over inline expressions duplicates subtrees
+    # exponentially in the centroid count)
+    sim_cols = []
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(x) for x in cvec])
+        cnorm = sum(x * x for x in cvec) ** 0.5
+        dot_c = F.aggregate(
+            F.zip_with(v, carr, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+        sim_cols.append((dot_c / (vnorm * F.lit(cnorm))).alias(f"__sim_{cid}"))
+    staged = embeddings.select("*", *sim_cols)
+    best = F.greatest(*[F.col(f"__sim_{cid}") for cid, _ in centroids])
+    cell = F.lit(-1)
+    for cid, _ in reversed(centroids):  # earlier centroid wins ties
+        cell = F.when(F.col(f"__sim_{cid}") == best, F.lit(cid)).otherwise(cell)
+    return staged.withColumn("__cell", cell).drop(
+        *[f"__sim_{cid}" for cid, _ in centroids]
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: score only vectors in the `nprobe` cells whose
+    centroids are most similar to the query — the partition-pruned scale
+    path (vs. LSH's hash-bucket pruning). Recall vs. brute force is
+    asserted in tests."""
+    with_cell = assign_ivf_cells(embeddings, n_cells, id_col, vec_col)
+    q_row = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()
+    qvec = [float(x) for x in q_row[0]]
+    cents = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in embeddings.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
+    }
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den if den else -2.0
+
+    probe = sorted(cents, key=lambda c: cos(qvec, cents[c]), reverse=True)[:nprobe]
+    q = embeddings.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    return (
+        with_cell.where(F.col("__cell").isin(probe))
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,
     k: int = 10,
     dim: int = 64,
     n_planes: int = 8,
-    max_hamming: int = 1,
+    max_hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """LSH-bucketed ANN top-k: only vectors whose bucket is within
-    `max_hamming` bits of the query's bucket are scored.
+    `max_hamming` bits of the query's bucket are scored (defaults scan
+    ~14% of the corpus for ~0.7 recall@10 on the synthetic embeddings;
+    hamming 3 → 36% scan, ~0.8).
 
     At 100 TB the bucket column is precomputed/persisted once per corpus
     (write-time cost), making each query a partition-pruned scan of

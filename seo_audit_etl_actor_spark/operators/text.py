@@ -85,6 +85,30 @@ def lang_id(text: Column) -> Column:
     return F.when(best_score > 0, pred).otherwise(F.lit("und"))
 
 
+ROLL_BASE = 131
+ROLL_MOD = 2147483647  # 2^31 - 1: acc*B + x stays < 2^39, no 64-bit overflow
+
+
+def rolling_hash_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the token-hash sequence, h = fold(acc·B + tᵢ mod M).
+
+    Unlike the md5-of-whole-text fingerprint this is computable over any
+    tokenized representation and composable per-chunk (hash of a
+    concatenation derives from chunk hashes + lengths), which is what makes
+    it usable for streaming/shard-parallel fingerprinting at 100 TB. A
+    left-to-right fold (not commutative) — both engines run the identical
+    sequential reduction.
+    """
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: md5_long(t) % F.lit(ROLL_MOD))
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLL_BASE + h) % ROLL_MOD,
+    )
+
+
 def quality_score_q4(text: Column) -> Column:
     """Document quality score quantized to 1e-4 (integer 0..10000).
 

@@ -49,6 +49,10 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("monthly_order_stats", rel.q_monthly_order_stats, rel.SQL_MONTHLY_ORDER_STATS),
     QuerySpec("hourly_event_windows", rel.q_hourly_event_windows, rel.SQL_HOURLY_EVENT_WINDOWS),
     QuerySpec("asof_join_enrichment", rel.q_asof_join_enrichment, rel.SQL_ASOF_JOIN_ENRICHMENT),
+    QuerySpec("semi_anti_customers", rel.q_semi_anti_customers, rel.SQL_SEMI_ANTI_CUSTOMERS),
+    QuerySpec("cube_order_stats", rel.q_cube_order_stats, rel.SQL_CUBE_ORDER_STATS),
+    QuerySpec("user_event_deltas", rel.q_user_event_deltas, rel.SQL_USER_EVENT_DELTAS),
+    QuerySpec("price_band_theta_join", rel.q_price_band_theta_join, rel.SQL_PRICE_BAND_THETA_JOIN),
     # --- LLM-data-pipeline extensions (SURVEY §2.11; north star) ---
     QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
     QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),
@@ -60,7 +64,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("ngram_jaccard_sample", ext.q_ngram_jaccard_sample, ext.SQL_NGRAM_JACCARD_SAMPLE),
     QuerySpec("cosine_topk_bruteforce", ext.q_cosine_topk_bruteforce, ext.SQL_COSINE_TOPK),
     QuerySpec("cosine_topk_lsh", ext.q_cosine_topk_lsh, None),
+    QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, None),
     QuerySpec("approx_distinct_users", ext.q_approx_distinct_users, None),
+    QuerySpec("doc_fingerprints", ext.q_doc_fingerprints, ext.SQL_DOC_FINGERPRINTS),
+    QuerySpec("token_histogram", ext.q_token_histogram, ext.SQL_TOKEN_HISTOGRAM),
+    QuerySpec("dedup_keep_first", ext.q_dedup_keep_first, ext.SQL_DEDUP_KEEP_FIRST),
 ]
 
 

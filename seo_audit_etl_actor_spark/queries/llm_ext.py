@@ -15,10 +15,13 @@ from pyspark.sql import functions as F
 from seo_audit_etl_actor_spark.operators import dedup, similarity
 from seo_audit_etl_actor_spark.operators.text import (
     LANG_MARKERS,
+    ROLL_BASE,
+    ROLL_MOD,
     STOPWORDS,
     lang_id,
     quality_score_q4,
     token_count,
+    tokens,
 )
 from seo_audit_etl_actor_spark.session import ensure_parallelism, load_table
 
@@ -342,6 +345,94 @@ ORDER BY id_a, id_b
 SQL_NGRAM_JACCARD_SAMPLE = _sql_ngram_jaccard()
 
 
+# ------------------------------------------------------------- fingerprints
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (order-sensitive polynomial hash
+    over token hashes) — distinct-fingerprint count per source, plus the
+    min fingerprint as a spot-checkable value."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    from seo_audit_etl_actor_spark.operators.text import rolling_hash_fingerprint
+
+    fp = rolling_hash_fingerprint(F.col("text"))
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("fp").alias("n_unique_fp"),
+            F.min("fp").alias("min_fp"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_FINGERPRINTS = f"""
+WITH toks AS (
+  SELECT source, {_TOKS.format(c='text')} AS t FROM documents
+),
+fp AS (
+  SELECT source,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(t, s -> {_sql_md5_long('s')} % {ROLL_MOD})),
+           (acc, h) -> (acc * {ROLL_BASE} + h) % {ROLL_MOD}) AS fp
+  FROM toks
+)
+SELECT source,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+       MIN(fp) AS min_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM fp
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens by frequency (explode → groupBy → distributed
+    top-k via TakeOrderedAndProject; count desc, token asc tiebreak)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+SQL_TOKEN_HISTOGRAM = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest({_TOKS.format(c='text')}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest-id row per fingerprint (H2
+    deterministic canonical choice) — survivors' ids + source."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        dedup.exact_dedup_keep_first(docs)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_KEEP_FIRST = f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY md5({_NORM.format(c='text')}) ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------- similarity
 EMB_DIM = 64
 _QUERY_VEC_ID = 0
@@ -373,6 +464,14 @@ LIMIT {k}
 
 
 SQL_COSINE_TOPK = _sql_cosine_topk()
+
+
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN variant: deterministic coarse centroids, nprobe cell pruning,
+    exact cosine inside probed cells. No SQL oracle (the cell pruning is
+    the operator under test); recall vs brute force asserted in tests."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    return similarity.cosine_topk_ivf(emb, _QUERY_VEC_ID, k=10)
 
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -237,6 +237,153 @@ ORDER BY hour, event_type
 """
 
 
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi / left-anti joins (SURVEY §2.5 engine surface): customers
+    with vs. without finished orders, counted per market segment. Both
+    joins shuffle once on the key; the build side deduplicates in the hash
+    table — no row multiplication, unlike an inner join."""
+    cust = load_table(spark, sf_dir, "customer")
+    f_orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_custkey")
+    with_f = (
+        cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_finished"))
+    )
+    without_f = (
+        cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_finished"))
+    )
+    return with_f.join(without_f, "c_mktsegment", "full").orderBy("c_mktsegment")
+
+
+SQL_SEMI_ANTI_CUSTOMERS = """
+WITH w AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_with_finished
+  FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+  GROUP BY c_mktsegment
+),
+wo AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_without_finished
+  FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+  GROUP BY c_mktsegment
+)
+SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       n_with_finished, n_without_finished
+FROM w FULL JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) (SURVEY §2.11 grouping sets): all four
+    grouping-set combinations in one shuffle via the expand operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+SQL_CUBE_ORDER_STATS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def q_user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + inter-event gaps per user (SURVEY §2.6): one shuffle on
+    user_id serves all three window functions; (ts, event_id) total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("value"),
+            F.lag("value", 1).over(w).alias("prev_value"),
+            F.lead("value", 1).over(w).alias("next_value"),
+            # integer micros, not float epoch: exact in both engines
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)).alias(
+                "micros_since_prev"
+            ),
+        )
+        .where(F.col("user_id") % 10 == 0)
+        .orderBy("user_id", "event_id")
+    )
+
+
+SQL_USER_EVENT_DELTAS = """
+SELECT user_id, event_id, value, prev_value, next_value, micros_since_prev
+FROM (
+  SELECT user_id, event_id, value,
+         LAG(value, 1)  OVER w AS prev_value,
+         LEAD(value, 1) OVER w AS next_value,
+         epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS micros_since_prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE user_id % 10 = 0
+ORDER BY user_id, event_id
+"""
+
+
+def q_price_band_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join (SURVEY §2.5): parts matched to literal price bands
+    on lo <= price < hi. The band side is a broadcast nested-loop — the
+    right plan for a non-equi condition with a tiny build side."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 910.0), ("mid", 910.0, 1500.0), ("premium", 1500.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            # decimal-exact sum, then one double division: no float-sum
+            # associativity drift between engines
+            F.round(
+                F.sum(F.col("p_retailprice").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+SQL_PRICE_BAND_THETA_JOIN = """
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_price
+FROM part
+JOIN (VALUES ('budget', 0.0, 910.0), ('mid', 910.0, 1500.0), ('premium', 1500.0, 1e9))
+     AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
 def q_asof_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY §2.5 engine surface): each 'purchase' event
     enriched with the value of the same user's most recent prior-or-equal
