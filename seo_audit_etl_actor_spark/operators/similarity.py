@@ -100,11 +100,48 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return out.cast("int")
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    modulus: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a deterministic id-sample
+    (id % modulus == 0): all pairs with cosine ≥ threshold.
+
+    The exact all-pairs form is the verification baseline (quadratic by
+    design, sample-bounded); the full-corpus scale path is the same
+    predicate applied inside LSH buckets (lsh_bucket) or IVF cells
+    (assign_ivf_cells) — candidate generation identical to the text
+    near-dup pipelines in operators/dedup.py.
+    """
+    # norms precomputed once per vector, not once per pair (same doubles —
+    # a vector's norm is pair-independent; the per-pair work drops to one
+    # dot product)
+    sample = embeddings.where(F.col(id_col) % modulus == 0).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    a, b = sample.alias("a"), sample.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def assign_ivf_cells(
     embeddings: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantization with deterministic centroids: cell c's
     centroid is the stored vector with vec_id == c (a fixed, reproducible
@@ -116,12 +153,13 @@ def assign_ivf_cells(
     a map-side argmax; the cell column is then a partition/cluster key, so
     a query scans only `nprobe` cells — classic IVF partition pruning.
     """
-    centroids = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in embeddings.where(F.col(id_col) < n_cells)
-        .select(id_col, vec_col)
-        .collect()
-    ]
+    if centroids is None:
+        centroids = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in embeddings.where(F.col(id_col) < n_cells)
+            .select(id_col, vec_col)
+            .collect()
+        ]
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     vnorm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x))
     # stage 1: materialize one similarity column per centroid — argmax over
@@ -159,13 +197,17 @@ def cosine_topk_ivf(
     centroids are most similar to the query — the partition-pruned scale
     path (vs. LSH's hash-bucket pruning). Recall vs. brute force is
     asserted in tests."""
-    with_cell = assign_ivf_cells(embeddings, n_cells, id_col, vec_col)
+    # one driver collect serves both the codebook and the probe choice
+    centroids = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.where(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    with_cell = assign_ivf_cells(embeddings, n_cells, id_col, vec_col, centroids)
     q_row = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()
     qvec = [float(x) for x in q_row[0]]
-    cents = {
-        int(r[0]): [float(x) for x in r[1]]
-        for r in embeddings.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
-    }
+    cents = dict(centroids)
 
     def cos(a: list[float], b: list[float]) -> float:
         num = sum(x * y for x, y in zip(a, b))

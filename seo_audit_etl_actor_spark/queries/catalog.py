@@ -69,6 +69,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("doc_fingerprints", ext.q_doc_fingerprints, ext.SQL_DOC_FINGERPRINTS),
     QuerySpec("token_histogram", ext.q_token_histogram, ext.SQL_TOKEN_HISTOGRAM),
     QuerySpec("dedup_keep_first", ext.q_dedup_keep_first, ext.SQL_DEDUP_KEEP_FIRST),
+    QuerySpec("embedding_near_dup", ext.q_embedding_near_dup, ext.SQL_EMBEDDING_NEAR_DUP),
 ]
 
 

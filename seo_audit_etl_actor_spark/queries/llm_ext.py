@@ -466,6 +466,41 @@ LIMIT {k}
 SQL_COSINE_TOPK = _sql_cosine_topk()
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, deterministic id-sample) —
+    the vector-space member of the dedup family. The synthetic embeddings
+    top out near cosine 0.46, so 0.35 plays the role a ~0.95 threshold
+    plays on a real near-dup-bearing corpus (top ~0.1% of pairs)."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    return similarity.embedding_near_dup_pairs(emb, threshold=EMB_NEAR_DUP_T)
+
+
+EMB_NEAR_DUP_T = 0.35
+
+
+def _sql_embedding_near_dup(dim: int = EMB_DIM, modulus: int = 5) -> str:
+    def chain(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+        )
+
+    sim = (
+        f"({chain('a.embedding', 'b.embedding')})"
+        f" / (sqrt({chain('a.embedding', 'a.embedding')})"
+        f" * sqrt({chain('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id % {modulus} = 0 AND b.vec_id % {modulus} = 0
+  AND {sim} >= {EMB_NEAR_DUP_T}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
+
+
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN variant: deterministic coarse centroids, nprobe cell pruning,
     exact cosine inside probed cells. No SQL oracle (the cell pruning is
