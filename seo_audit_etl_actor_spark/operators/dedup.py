@@ -93,6 +93,29 @@ MASK32 = 0xFFFFFFFF
 MOD32 = 1 << 32
 
 
+def hashed_shingle_set(text_col, k: int = SHINGLE_K):
+    """Distinct k-word shingles as 32-bit hashes (array<long>).
+
+    The shingle STRINGS never leave the expression: each k-gram is hashed
+    (md5 → 32-bit) and deduplicated as an integer — 4-10× smaller rows
+    through every downstream shuffle, and set ops on longs instead of
+    strings. Hash collisions (~n²/2³³ per doc) merge identically in any
+    md5-agreeing engine, so oracle parity holds exactly.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<long>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: md5_long(F.concat_ws(" ", F.slice(toks, i, k))).bitwiseAND(
+                    F.lit(MASK32)
+                ),
+            )
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -104,17 +127,17 @@ def minhash_signatures(
     (a_i·h + b_i) mod 2^32 — n_hashes cheap affine maps instead of n_hashes
     md5 passes (16× less hash work; md5 dominates the signature cost).
 
-    All array-min HOFs over the shingle array — one narrow projection, zero
-    shuffles; docs with no shingles are dropped (they can't be
-    near-duplicates of anything).
+    All array-min HOFs over the hashed-shingle array — one narrow
+    projection, zero shuffles; docs with no shingles are dropped (they
+    can't be near-duplicates of anything). `shingles` carries the 32-bit
+    hash set (see hashed_shingle_set), which downstream Jaccard
+    verification intersects directly.
     """
-    sh = shingle_set(F.col(text_col))
-    base = docs.select(F.col(id_col), sh.alias("shingles")).where(F.size("shingles") > 0)
-    h32 = F.transform(F.col("shingles"), lambda s: md5_long(s).bitwiseAND(F.lit(MASK32)))
-    staged = base.select(id_col, "shingles", h32.alias("__h32"))
+    sh = hashed_shingle_set(F.col(text_col))
+    staged = docs.select(F.col(id_col), sh.alias("shingles")).where(F.size("shingles") > 0)
     sig_cols = [
         F.array_min(
-            F.transform(F.col("__h32"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MOD32))
+            F.transform(F.col("shingles"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MOD32))
         ).alias(f"mh{i}")
         for i, (a, b) in enumerate(_affine_constants(n_hashes))
     ]

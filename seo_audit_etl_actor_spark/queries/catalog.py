@@ -53,6 +53,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("cube_order_stats", rel.q_cube_order_stats, rel.SQL_CUBE_ORDER_STATS),
     QuerySpec("user_event_deltas", rel.q_user_event_deltas, rel.SQL_USER_EVENT_DELTAS),
     QuerySpec("price_band_theta_join", rel.q_price_band_theta_join, rel.SQL_PRICE_BAND_THETA_JOIN),
+    QuerySpec("grouping_sets_supplier", rel.q_grouping_sets_supplier, rel.SQL_GROUPING_SETS_SUPPLIER),
+    QuerySpec("price_percentiles", rel.q_price_percentiles, rel.SQL_PRICE_PERCENTILES),
     # --- LLM-data-pipeline extensions (SURVEY §2.11; north star) ---
     QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
     QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),
@@ -70,6 +72,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("token_histogram", ext.q_token_histogram, ext.SQL_TOKEN_HISTOGRAM),
     QuerySpec("dedup_keep_first", ext.q_dedup_keep_first, ext.SQL_DEDUP_KEEP_FIRST),
     QuerySpec("embedding_near_dup", ext.q_embedding_near_dup, ext.SQL_EMBEDDING_NEAR_DUP),
+    QuerySpec("skewsafe_distinct_users", ext.q_skewsafe_distinct_users, ext.SQL_SKEWSAFE_DISTINCT_USERS),
 ]
 
 

@@ -182,7 +182,7 @@ def _sql_minhash_near_dup(n_hashes: int = dedup.N_HASHES, n_bands: int = dedup.N
     toks = _TOKS.format(c="text")
     grams = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
     sig_exprs = ",\n    ".join(
-        f"list_min(list_transform(h32, h -> ({a} * h + {b}) % {dedup.MOD32})) AS mh{i}"
+        f"list_min(list_transform(shingles, h -> ({a} * h + {b}) % {dedup.MOD32})) AS mh{i}"
         for i, (a, b) in enumerate(dedup._affine_constants(n_hashes))
     )
     r = n_hashes // n_bands
@@ -199,18 +199,14 @@ WITH toks AS (
 ),
 sh AS (
   SELECT doc_id,
-         list_distinct(list_transform(range(1, len(t) - {k - 2}), i -> {grams})) AS shingles
+         list_distinct(list_transform(range(1, len(t) - {k - 2}),
+                                      i -> {_sql_md5_long(f'({grams})')} & {dedup.MASK32})) AS shingles
   FROM toks WHERE len(t) >= {k}
-),
-hashed AS (
-  SELECT doc_id, shingles,
-         list_transform(shingles, s -> {_sql_md5_long('s')} & {dedup.MASK32}) AS h32
-  FROM sh WHERE len(shingles) > 0
 ),
 sigs AS (
   SELECT doc_id, shingles,
     {sig_exprs}
-  FROM hashed
+  FROM sh WHERE len(shingles) > 0
 ),
 bands AS (
   {band_selects}
@@ -515,6 +511,26 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     under test); recall vs brute force is asserted in tests."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     return similarity.cosine_topk_lsh(emb, _QUERY_VEC_ID, k=10, dim=EMB_DIM)
+
+
+# ------------------------------------------------------------- skew-safe distinct
+def q_skewsafe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via the salted two-phase form
+    (operators/skew.py): value-space partitioned so hot keys spread across
+    tasks; result is EXACTLY the naive COUNT(DISTINCT) — which is the
+    oracle."""
+    from seo_audit_etl_actor_spark.operators.skew import salted_count_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(ev, ["event_type"], "user_id").orderBy("event_type")
+
+
+SQL_SKEWSAFE_DISTINCT_USERS = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 # ------------------------------------------------------------- approx distinct

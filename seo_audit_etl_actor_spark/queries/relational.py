@@ -384,6 +384,72 @@ ORDER BY band
 """
 
 
+def q_grouping_sets_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY §2.11) — the general form rollup/cube
+    specialize: per-nation, per-(nation, acctbal-sign), and grand total in
+    one expand + one shuffle."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    j = sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+    j.createOrReplaceTempView("__sup_nation")
+    return spark.sql(
+        """
+        SELECT n_name,
+               CASE WHEN s_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bal_sign,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM __sup_nation
+        GROUP BY GROUPING SETS ((n_name), (n_name, CASE WHEN s_acctbal >= 0 THEN 'pos' ELSE 'neg' END), ())
+        ORDER BY n_name ASC NULLS FIRST, bal_sign ASC NULLS FIRST
+        """
+    )
+
+
+SQL_GROUPING_SETS_SUPPLIER = """
+SELECT n_name,
+       CASE WHEN s_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bal_sign,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (n_name, CASE WHEN s_acctbal >= 0 THEN 'pos' ELSE 'neg' END), ())
+ORDER BY n_name ASC NULLS FIRST, bal_sign ASC NULLS FIRST
+"""
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated percentile family per order priority (the engine ALSO
+    exposes the reference's nearest-rank form — p75_nearest_rank; this is
+    the standard linear-interpolation surface, identical definition in
+    Spark `percentile` and DuckDB `quantile_cont`). Rounded to 4dp so both
+    engines' float arithmetic hashes identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    pcts = [0.25, 0.5, 0.75, 0.95]
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(
+                    f"p{int(q * 100)}"
+                )
+                for q in pcts
+            ]
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_PRICE_PERCENTILES = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_asof_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY §2.5 engine surface): each 'purchase' event
     enriched with the value of the same user's most recent prior-or-equal
