@@ -20,8 +20,9 @@ def default_fetch(url: str) -> bytes:
     """HTTP(S) fetch → bytes; raises on non-2xx (S1 — the reference errors
     on !res.ok, src/etl.js:98)."""
     with urllib.request.urlopen(url) as resp:  # noqa: S310 — job-config URL
-        status = getattr(resp, "status", 200)
-        if not (200 <= status < 300):
+        status = getattr(resp, "status", None)
+        # file:// responses carry no status — only HTTP(S) can fail non-2xx
+        if status is not None and not (200 <= status < 300):
             raise RuntimeError(f"Download failed: {status}")
         return resp.read()
 
