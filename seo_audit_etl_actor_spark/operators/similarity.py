@@ -12,6 +12,7 @@ exact order the DuckDB oracle uses, so results are bit-identical.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution needs it in globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,6 +99,40 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     for b in bits:
         out = out + b
     return out.cast("int")
+
+
+def cosine_scores_pandas(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized cosine scoring via pandas_udf (SURVEY §2.10's
+    sanctioned Python path: Arrow batch transfer + NumPy matrix math, never
+    row-at-a-time).
+
+    The HOF expression path (cosine/dot above) is the default — it stays in
+    the JVM. This variant exists for workloads where the per-vector math
+    outgrows what expressions express well (learned projections, quantized
+    codes): one (batch × dim) NumPy matmul per Arrow batch amortizes the
+    Python boundary to ~nothing.
+    """
+    # module-level pd import below: pandas_udf resolves the stringified
+    # type hints (PEP 563) against module globals
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("double")
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series((m @ q) / (norms * qn))
+
+    return embeddings.select(F.col(id_col), score(F.col(vec_col)).alias("cosine_sim"))
 
 
 def embedding_near_dup_pairs(

@@ -85,6 +85,21 @@ def lang_id(text: Column) -> Column:
     return F.when(best_score > 0, pred).otherwise(F.lit("und"))
 
 
+# GPT2-style pre-tokenizer pattern, constrained to syntax both Java regex
+# (Spark) and RE2 (DuckDB) support: no lookarounds; leftmost-first
+# alternation ties the engines together. Contractions, letter runs, digit
+# runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-precursor token count: matches of the GPT2-ish pre-tokenizer
+    regex, minus pure-whitespace runs (they delimit, they aren't tokens)."""
+    pieces = F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+    non_ws = F.filter(pieces, lambda p: ~p.rlike(r"^\s+$"))
+    return F.size(non_ws).cast("long")
+
+
 ROLL_BASE = 131
 ROLL_MOD = 2147483647  # 2^31 - 1: acc*B + x stays < 2^39, no 64-bit overflow
 

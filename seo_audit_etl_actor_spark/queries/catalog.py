@@ -73,6 +73,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("dedup_keep_first", ext.q_dedup_keep_first, ext.SQL_DEDUP_KEEP_FIRST),
     QuerySpec("embedding_near_dup", ext.q_embedding_near_dup, ext.SQL_EMBEDDING_NEAR_DUP),
     QuerySpec("skewsafe_distinct_users", ext.q_skewsafe_distinct_users, ext.SQL_SKEWSAFE_DISTINCT_USERS),
+    QuerySpec("bpe_token_stats", ext.q_bpe_token_stats, ext.SQL_BPE_TOKEN_STATS),
 ]
 
 

@@ -341,6 +341,46 @@ ORDER BY id_a, id_b
 SQL_NGRAM_JACCARD_SAMPLE = _sql_ngram_jaccard()
 
 
+# ------------------------------------------------------------- BPE tokens
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counts vs whitespace tokens per language — the
+    pre-tokenizer pass of an LLM data pipeline (text.bpe_token_count)."""
+    from seo_audit_etl_actor_spark.operators.text import bpe_token_count
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(bpe_token_count(F.col("text"))).cast("long").alias("bpe_tokens"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_bpe_token_stats() -> str:
+    from seo_audit_etl_actor_spark.operators.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    bpe = (
+        f"len(list_filter(regexp_extract_all(text, '{pat}'),"
+        " p -> NOT regexp_matches(p, '^\\s+$')))"
+    )
+    return f"""
+SELECT lang,
+       CAST(SUM({bpe}) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(len({_TOKS.format(c='text')})) AS BIGINT) AS ws_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+SQL_BPE_TOKEN_STATS = _sql_bpe_token_stats()
+
+
 # ------------------------------------------------------------- fingerprints
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints (order-sensitive polynomial hash
