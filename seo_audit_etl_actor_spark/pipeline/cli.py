@@ -54,13 +54,18 @@ def main(argv: list[str] | None = None) -> int:
         )
     )
     spark = get_spark("seo-audit-etl")
+    debug: dict = {}
     try:
-        result = process_zip(spark, job)
+        result = process_zip(spark, job, debug=debug)
     except NotAZipError as e:
         # debug dump for non-ZIP payloads (src/etl.js:104)
         (out / "ZIP_DEBUG.bin").write_bytes(e.payload)
         print(f"ERROR: {e}", file=sys.stderr)
         return 2
+    if "ahrefs_keywords_headers" in debug:  # S8 (src/etl.js:121)
+        (out / "ahrefs_keywords_headers.json").write_text(
+            json.dumps(debug["ahrefs_keywords_headers"])
+        )
     paths = write_outputs(result, str(out))
     print(json.dumps({"artifacts": paths}))
     return 0

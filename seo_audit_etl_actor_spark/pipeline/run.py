@@ -86,9 +86,14 @@ def process_zip(
     spark: SparkSession,
     job: JobInput,
     fetch_impl: FetchImpl | None = None,
+    debug: dict | None = None,
 ) -> dict:
     """→ {"normalized_audit": dict, "scores": dict, "manifest": dict}
-    (engine-typed; serialize with `write_outputs`/`to_reference_json`)."""
+    (engine-typed; serialize with `write_outputs`/`to_reference_json`).
+
+    `debug`, when passed a dict, collects the reference's observability
+    artifacts (S8): `ahrefs_keywords_headers` — the headers actually seen
+    (src/etl.js:121)."""
     manifest: dict = {}
     raw = (fetch_impl or default_fetch)(job.zip_url)
     zf = open_zip(raw)  # raises NotAZipError with payload for debug dump
@@ -111,6 +116,10 @@ def process_zip(
 
     # ---- Ahrefs keywords (src/etl.js:115-151)
     def _keywords(df: DataFrame) -> None:
+        if debug is not None:  # S8 headers dump (src/etl.js:121)
+            debug["ahrefs_keywords_headers"] = [
+                c for c in df.columns if c != "__row_id"
+            ]
         stanzas.ahrefs_keywords(df, doc)
         prov["ahrefs"] = True
 

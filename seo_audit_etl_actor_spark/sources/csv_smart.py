@@ -143,11 +143,17 @@ def read_csv_distributed(
     reader = spark.read.option("header", True).option("mode", "PERMISSIVE")
     if looks_utf16(probe):
         enc = "UTF-16LE" if utf16_variant(probe) == "utf-16-le" else "UTF-16BE"
-        return (
+        df = (
             reader.option("encoding", enc)
             .option("multiLine", True)
             .option("sep", "\t")
             .csv(path)
         )
-    text = probe.decode("utf-8", errors="replace")
-    return reader.option("sep", sniff_delimiter(text)).csv(path)
+    else:
+        text = probe.decode("utf-8", errors="replace")
+        df = reader.option("sep", sniff_delimiter(text)).csv(path)
+    # Spark keeps a BOM char in the first header; normalize it away
+    first = df.columns[0]
+    if first.startswith("﻿"):
+        df = df.withColumnRenamed(first, first.lstrip("﻿"))
+    return df

@@ -31,6 +31,8 @@ def test_cli_end_to_end(spark, tmp_path):
     manifest = json.loads((out / "etl_manifest.json").read_text())
     assert manifest["sf_images.csv"]["status"] == "missing"
     assert (out / "OUTPUT.json").exists()
+    headers = json.loads((out / "ahrefs_keywords_headers.json").read_text())
+    assert headers == ["Keyword", "Current position", "Volume"]
 
 
 def test_cli_non_zip_payload_dumps_debug(spark, tmp_path):

@@ -1,0 +1,71 @@
+"""Regenerate PLANS.md: capture formatted physical plans for the
+representative catalog queries, with what-to-check commentary.
+
+Run: python tools/gen_plans.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from seo_audit_etl_actor_spark.plans import audit  # noqa: E402
+from seo_audit_etl_actor_spark.queries import QUERIES  # noqa: E402
+from seo_audit_etl_actor_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+COMMENT = {
+    "keyword_position_buckets": (
+        "The flagship (reference src/etl.js:136-138). What to check: the scan reads ONE "
+        "column (ReadSchema), the finite/positive filter sits directly on the scan, and all "
+        "four aggregates fuse into a single partial/final HashAggregate pair — one shuffle "
+        "of four longs regardless of input size."
+    ),
+    "revenue_by_nation": (
+        "Star join. What to check: customer/nation/region enter as BroadcastHashJoin (the "
+        "probe side never reshuffles); the only Exchange before the groupBy is the "
+        "lineitem-orders join on the fact key. At 100 TB the fact scan streams through "
+        "map-side hash joins."
+    ),
+    "topk_parts_per_brand": (
+        "Top-k per group. What to check: WindowGroupLimit pushes the rank<=3 cut below the "
+        "full sort — each partition keeps only 3 rows per brand before the shuffle."
+    ),
+    "minhash_near_dup": (
+        "MinHash-LSH near-dup. What to check: the corpus is scanned ONCE (a single parquet "
+        "scan feeds shingling/signatures), candidates come from a groupBy on the band "
+        "bucket key (uniform md5-derived — skew-free), and verification is in-bucket HOFs, "
+        "not a self-join."
+    ),
+    "cosine_topk_bruteforce": (
+        "Brute-force ANN baseline. What to check: the single-row query side is a "
+        "BroadcastNestedLoopJoin (cross of 1 row), and the top-k is TakeOrderedAndProject — "
+        "Spark's distributed heap top-k, no global sort."
+    ),
+}
+
+
+def main() -> None:
+    spark = get_spark("plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    specs = {q.name: q for q in QUERIES}
+    lines = [
+        "# PLANS — captured physical plans for representative queries\n",
+        "Captured from `.explain('formatted')` at sf0.01 with AQE disabled for static",
+        "readability (AQE re-plans these at runtime: shuffle coalescing, broadcast",
+        "conversion, skew splitting). Regenerate with `python tools/gen_plans.py`.\n",
+    ]
+    for name, comment in COMMENT.items():
+        plan = audit.plan_string(specs[name].fn(spark, SF))
+        lines += [f"## {name}\n", comment + "\n", "```", plan.strip(), "```\n"]
+    Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
+        "\n".join(lines)
+    )
+
+
+if __name__ == "__main__":
+    main()
