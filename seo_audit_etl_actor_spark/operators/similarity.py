@@ -82,23 +82,33 @@ def hyperplane(dim: int, plane_idx: int) -> Column:
     return F.array(*[F.lit(v) for v in hyperplane_values(dim, plane_idx)])
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def _dot_sql(vec_sql: str, weights: list[float]) -> str:
+    """Unrolled multiply-add dot product as ONE SQL string. Building the
+    same tree with Python Column operators costs one py4j round-trip per
+    term (dim×planes ≈ thousands → multi-second plan construction);
+    parsing a single expr string is one round-trip and the resulting plan
+    (and whole-stage codegen) is identical."""
+    terms = [
+        f"CAST(element_at({vec_sql}, {j + 1}) AS DOUBLE)*({w!r}D)"
+        for j, w in enumerate(weights)
+    ]
+    return "(0.0D + " + " + ".join(terms) + ")"
+
+
+def lsh_bucket(vec_sql: str, dim: int, n_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id: bit i = sign(vec · plane_i).
 
-    The dot products are unrolled multiply-add chains over literal plane
-    weights — whole-stage-codegen arithmetic, no interpreted lambda per
-    element (the bucket is sign-based so fold order is irrelevant here)."""
-    bits = []
-    for i in range(n_planes):
-        weights = hyperplane_values(dim, i)
-        d = F.lit(0.0)
-        for j, w in enumerate(weights):
-            d = d + F.element_at(vec, j + 1).cast("double") * F.lit(w)
-        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = F.lit(0)
-    for b in bits:
-        out = out + b
-    return out.cast("int")
+    `vec_sql` is the SQL name/expression of the array column. The dot
+    products are unrolled multiply-add chains over literal plane weights —
+    whole-stage-codegen arithmetic, no interpreted lambda per element (the
+    bucket is sign-based so fold order is irrelevant here) — assembled as a
+    single expr string (see _dot_sql)."""
+    bits = [
+        f"(CASE WHEN {_dot_sql(vec_sql, hyperplane_values(dim, i))} > 0D"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    ]
+    return F.expr("CAST((" + " + ".join(bits) + ") AS INT)")
 
 
 def cosine_scores_pandas(
@@ -195,27 +205,35 @@ def assign_ivf_cells(
             .select(id_col, vec_col)
             .collect()
         ]
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    vnorm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x))
     # stage 1: materialize one similarity column per centroid — argmax over
     # column REFERENCES, never nested expression copies (a chained
     # when(sim > best) over inline expressions duplicates subtrees
-    # exponentially in the centroid count)
+    # exponentially in the centroid count). Each sim is ONE expr string
+    # (unrolled multiply-add; see _dot_sql) — one py4j call per centroid.
+    # the vector's own norm is centroid-independent: materialize it ONCE
+    # (16 inline copies would re-run the 64-element fold per centroid per row)
+    with_norm = embeddings.withColumn(
+        "__vnorm",
+        F.expr(
+            f"SQRT(aggregate(zip_with({vec_col}, {vec_col}, "
+            "(a, b) -> CAST(a AS DOUBLE)*CAST(b AS DOUBLE)), 0.0D, (s, x) -> s + x))"
+        ),
+    )
     sim_cols = []
     for cid, cvec in centroids:
-        carr = F.array(*[F.lit(x) for x in cvec])
         cnorm = sum(x * x for x in cvec) ** 0.5
-        dot_c = F.aggregate(
-            F.zip_with(v, carr, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        sim_cols.append(
+            F.expr(f"{_dot_sql(vec_col, cvec)} / (__vnorm * {cnorm!r}D)").alias(
+                f"__sim_{cid}"
+            )
         )
-        sim_cols.append((dot_c / (vnorm * F.lit(cnorm))).alias(f"__sim_{cid}"))
-    staged = embeddings.select("*", *sim_cols)
+    staged = with_norm.select("*", *sim_cols)
     best = F.greatest(*[F.col(f"__sim_{cid}") for cid, _ in centroids])
     cell = F.lit(-1)
     for cid, _ in reversed(centroids):  # earlier centroid wins ties
         cell = F.when(F.col(f"__sim_{cid}") == best, F.lit(cid)).otherwise(cell)
     return staged.withColumn("__cell", cell).drop(
-        *[f"__sim_{cid}" for cid, _ in centroids]
+        "__vnorm", *[f"__sim_{cid}" for cid, _ in centroids]
     )
 
 
@@ -284,7 +302,7 @@ def cosine_topk_lsh(
     ~n/2^(n_planes-max_hamming) candidates. Recall vs brute force is
     validated in tests (recall@10 on the synthetic corpus).
     """
-    with_bucket = embeddings.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
+    with_bucket = embeddings.withColumn("__bucket", lsh_bucket(vec_col, dim, n_planes))
     q = with_bucket.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
     )

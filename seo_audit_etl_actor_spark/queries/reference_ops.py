@@ -61,7 +61,11 @@ def q_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip-non-numeric → Number() chain as pure Catalyst expressions.
     """
     ev = load_table(spark, sf_dir, "events")
-    k = to_num(F.get_json_object(F.col("props"), "$.k"))
+    # Materialize the coerced value BEFORE the agg: referencing the inline
+    # expression from all three aggregates would re-run the JSON extract +
+    # regexp per aggregate (3x per row); a projected column runs it once.
+    ev = ev.select("event_type", to_num(F.get_json_object(F.col("props"), "$.k")).alias("k"))
+    k = F.col("k")
     return (
         ev.groupBy("event_type")
         .agg(
