@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from seo_audit_etl_actor_spark.queries import llm_ext as ext
 from seo_audit_etl_actor_spark.queries import reference_ops as r
 from seo_audit_etl_actor_spark.queries import relational as rel
+from seo_audit_etl_actor_spark.queries import reshape as rs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -55,6 +56,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("price_band_theta_join", rel.q_price_band_theta_join, rel.SQL_PRICE_BAND_THETA_JOIN),
     QuerySpec("grouping_sets_supplier", rel.q_grouping_sets_supplier, rel.SQL_GROUPING_SETS_SUPPLIER),
     QuerySpec("price_percentiles", rel.q_price_percentiles, rel.SQL_PRICE_PERCENTILES),
+    QuerySpec("sessionize_events", rs.q_sessionize_events, rs.SQL_SESSIONIZE_EVENTS),
+    QuerySpec("pivot_status_priority", rs.q_pivot_status_priority, rs.SQL_PIVOT_STATUS_PRIORITY),
+    QuerySpec("unpivot_lineitem_metrics", rs.q_unpivot_lineitem_metrics, rs.SQL_UNPIVOT_LINEITEM_METRICS),
+    QuerySpec("price_histogram", rs.q_price_histogram, rs.SQL_PRICE_HISTOGRAM),
+    QuerySpec("above_nation_avg_balance", rs.q_above_nation_avg_balance, rs.SQL_ABOVE_NATION_AVG_BALANCE),
     # --- LLM-data-pipeline extensions (SURVEY §2.11; north star) ---
     QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
     QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),
