@@ -48,8 +48,10 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def num_shuffles(df: DataFrame) -> int:
-    """Exchange count — every one is a full-data network hop at scale."""
-    return len(re.findall(r"\bExchange\b", plan_string(df)))
+    """Exchange count — every one is a full-data network hop at scale.
+    Counts the formatted plan's detail entries ("(n) Exchange"), which list
+    each node exactly once (the tree section would double-count)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", plan_string(df)))
 
 
 def uses_python_udf(df: DataFrame) -> bool:

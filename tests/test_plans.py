@@ -73,3 +73,37 @@ def test_no_python_udf_anywhere(spark, sf_dir, name):
 def test_cosine_topk_plans_distributed_topk(spark, sf_dir):
     p = audit.plan_string(SPECS["cosine_topk_bruteforce"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_sessionize_single_data_shuffle(spark, sf_dir):
+    """Both window passes and the session aggregate must ride ONE
+    hashpartitioning(user_id) exchange — hashpartitioning on a key subset
+    satisfies the aggregate's clustered distribution. Extra exchanges here
+    would dominate cost on a 100 TB event log."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = SPECS["sessionize_events"].fn(spark, sf_dir)
+        # 2 = one hashpartitioning(user_id) + the presentation-order range sort
+        assert audit.num_shuffles(df) <= 2, audit.plan_string(df)
+        assert "hashpartitioning(user_id" in audit.plan_string(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_pivot_is_single_pass_conditional_agg(spark, sf_dir):
+    """Explicit pivot values must not add a distinct-values JOB (that would
+    be a separate collect before planning). The plan itself is two
+    aggregate phases — the full-data reduction to (status, priority) pairs,
+    then PivotFirst over ~15 rows — plus the presentation sort; only the
+    first shuffle scales with data."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = SPECS["pivot_status_priority"].fn(spark, sf_dir)
+        assert audit.num_shuffles(df) <= 3, audit.plan_string(df)
+        assert not audit.uses_python_udf(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_above_nation_avg_broadcasts_aggregate(spark, sf_dir):
+    assert audit.has_broadcast_join(SPECS["above_nation_avg_balance"].fn(spark, sf_dir))

@@ -45,6 +45,17 @@ COMMENT = {
         "BroadcastNestedLoopJoin (cross of 1 row), and the top-k is TakeOrderedAndProject — "
         "Spark's distributed heap top-k, no global sort."
     ),
+    "sessionize_events": (
+        "Gap-based sessionization. What to check: ONE hashpartitioning(user_id) exchange "
+        "feeds both window passes AND the session aggregate (hashpartitioning on a key "
+        "subset satisfies the aggregate's clustered distribution) — the only other "
+        "exchange is the presentation-order range sort."
+    ),
+    "above_nation_avg_balance": (
+        "Decorrelated scalar subquery. What to check: the per-nation aggregate (25 rows) "
+        "re-enters as BroadcastHashJoin, so the customer side is scanned twice but never "
+        "shuffled; Catalyst would produce the same shape for the correlated SQL form."
+    ),
 }
 
 
