@@ -115,6 +115,28 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_dimension(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch broadcast-joins the (small,
+    re-read per batch) dimension — the standard streaming enrichment path.
+    No state is kept: the static side is planned as a broadcast per batch,
+    so a 1000-executor stream pays one dimension broadcast per trigger,
+    never a stateful join."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), "user_id", "left")
+
+
+def dedup_event_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    dropDuplicatesWithinWatermark evicts seen-keys older than the
+    watermark, so state is O(events per watermark window) instead of
+    O(all events ever) — the streaming twin of the batch exact-dedup
+    operators (operators/dedup.py)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_completion(
     query_df: DataFrame, out_rows: list, checkpoint: str, output_mode: str = "update"
 ) -> None:

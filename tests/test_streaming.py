@@ -87,3 +87,59 @@ def test_running_user_totals_state(spark, event_dir, tmp_path):
         n, tv = final[r["user_id"]]
         assert n == r["n"]
         assert tv == pytest.approx(r["tv"], rel=1e-9)
+
+
+def test_stream_static_enrichment(spark, event_dir, tmp_path):
+    """Stream-static broadcast join: every event picks up its user's
+    segment from the static dimension; row count is preserved (left join)."""
+    batch = _batch(spark, event_dir)
+    dim = (
+        batch.select("user_id")
+        .distinct()
+        .withColumn("segment", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    stream = se.read_event_stream(spark, event_dir)
+    got: list = []
+    se.run_to_completion(
+        se.enrich_with_dimension(stream, dim), got, str(tmp_path / "ck4"), output_mode="append"
+    )
+    assert len(got) == batch.count()
+    assert all(r["segment"] == ("even" if r["user_id"] % 2 == 0 else "odd") for r in got)
+
+
+def test_streaming_dedup_within_watermark(spark, event_dir, tmp_path):
+    """Duplicated input stream → dropDuplicatesWithinWatermark keeps one
+    row per event_id (all test data fits inside one watermark window)."""
+    doubled = str(tmp_path / "doubled")
+    b = _batch(spark, event_dir)
+    b.unionAll(b).repartition(2).write.mode("overwrite").parquet(doubled)
+    stream = se.read_event_stream(spark, doubled)
+    got: list = []
+    se.run_to_completion(
+        se.dedup_event_stream(stream), got, str(tmp_path / "ck5"), output_mode="append"
+    )
+    assert len(got) == b.count()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids))
+
+
+def test_batch_sessionize_matches_streaming_session_count(spark, event_dir, tmp_path):
+    """The batch gap-sessionization (queries/reshape.py) and the native
+    streaming session_window must carve identical session boundaries
+    (verified no exact-gap ties exist in the test data, where the two
+    definitions could legally differ: batch splits on gap > 30min,
+    session_window on gap >= 30min over half-open intervals)."""
+    from seo_audit_etl_actor_spark.queries.reshape import q_sessionize_events
+
+    stream = se.read_event_stream(spark, event_dir)
+    got: list = []
+    se.run_to_completion(
+        se.user_sessions(stream), got, str(tmp_path / "ck6"), output_mode="complete"
+    )
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    batch_sessions = q_sessionize_events(spark, sf_dir).collect()
+    assert len(got) == len(batch_sessions)
+    got_counts = sorted((r["user_id"], r["n_events"]) for r in got)
+    batch_counts = sorted((r["user_id"], r["n_events"]) for r in batch_sessions)
+    assert got_counts == batch_counts
