@@ -80,6 +80,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("embedding_near_dup", ext.q_embedding_near_dup, ext.SQL_EMBEDDING_NEAR_DUP),
     QuerySpec("skewsafe_distinct_users", ext.q_skewsafe_distinct_users, ext.SQL_SKEWSAFE_DISTINCT_USERS),
     QuerySpec("bpe_token_stats", ext.q_bpe_token_stats, ext.SQL_BPE_TOKEN_STATS),
+    QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
 ]
 
 

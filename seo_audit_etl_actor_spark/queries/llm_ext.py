@@ -582,3 +582,56 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
     )
+
+
+# ------------------------------------------------------------- curation funnel
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation funnel (operators/curation.py):
+    keep-first exact dedup → language gate → length gate → quality gate,
+    reported as per-(source, stage) doc/token counts. One scan, one
+    fingerprint shuffle; the oracle SQL replays the identical priority
+    CASE over the same md5/marker/quantized-quality expressions."""
+    from seo_audit_etl_actor_spark.operators.curation import curation_funnel
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return curation_funnel(docs)
+
+
+def _sql_curation_funnel() -> str:
+    from seo_audit_etl_actor_spark.operators.curation import (
+        KEEP_LANGS,
+        MIN_QUALITY_Q4,
+        MIN_TOKENS,
+    )
+
+    langs = ", ".join(f"'{l}'" for l in KEEP_LANGS)
+    toks = _TOKS.format(c="text")
+    return f"""
+WITH enriched AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY md5({_NORM.format(c='text')})
+                            ORDER BY doc_id) AS rn,
+         {_sql_lang_pred('text')} AS pred_lang,
+         len({toks}) AS n_tokens,
+         {_sql_quality_q4('text')} AS q4
+  FROM documents
+),
+staged AS (
+  SELECT source, n_tokens,
+         CASE WHEN rn > 1 THEN 'duplicate'
+              WHEN pred_lang NOT IN ({langs}) THEN 'lang_filter'
+              WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+              WHEN q4 < {MIN_QUALITY_Q4} THEN 'low_quality'
+              ELSE 'kept' END AS stage
+  FROM enriched
+)
+SELECT source, stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM staged
+GROUP BY source, stage
+ORDER BY source, stage
+"""
+
+
+SQL_CURATION_FUNNEL = _sql_curation_funnel()
