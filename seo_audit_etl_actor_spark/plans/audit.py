@@ -32,6 +32,17 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Filters applied at directory-listing time on a partitioned layout
+    (plan-time pruning — the scan never lists non-matching partitions)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan_string(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> set[str]:
     """Columns actually read from the scan (column pruning, §4.1)."""
     cols: set[str] = set()
