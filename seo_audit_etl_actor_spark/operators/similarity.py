@@ -194,9 +194,10 @@ def assign_ivf_cells(
     correctness requirement). Each vector is assigned to its max-cosine
     centroid.
 
-    At 100 TB the assignment is one broadcast join (centroids are tiny) +
-    a map-side argmax; the cell column is then a partition/cluster key, so
-    a query scans only `nprobe` cells — classic IVF partition pruning.
+    At 100 TB the assignment is a map-only Arrow pass (centroid matrix
+    broadcast inside the UDF closure — a few KB); the cell column is then a
+    partition/cluster key, so a query scans only `nprobe` cells — classic
+    IVF partition pruning.
     """
     if centroids is None:
         centroids = [
@@ -205,36 +206,31 @@ def assign_ivf_cells(
             .select(id_col, vec_col)
             .collect()
         ]
-    # stage 1: materialize one similarity column per centroid — argmax over
-    # column REFERENCES, never nested expression copies (a chained
-    # when(sim > best) over inline expressions duplicates subtrees
-    # exponentially in the centroid count). Each sim is ONE expr string
-    # (unrolled multiply-add; see _dot_sql) — one py4j call per centroid.
-    # the vector's own norm is centroid-independent: materialize it ONCE
-    # (16 inline copies would re-run the 64-element fold per centroid per row)
-    with_norm = embeddings.withColumn(
-        "__vnorm",
-        F.expr(
-            f"SQRT(aggregate(zip_with({vec_col}, {vec_col}, "
-            "(a, b) -> CAST(a AS DOUBLE)*CAST(b AS DOUBLE)), 0.0D, (s, x) -> s + x))"
-        ),
-    )
-    sim_cols = []
-    for cid, cvec in centroids:
-        cnorm = sum(x * x for x in cvec) ** 0.5
-        sim_cols.append(
-            F.expr(f"{_dot_sql(vec_col, cvec)} / (__vnorm * {cnorm!r}D)").alias(
-                f"__sim_{cid}"
-            )
-        )
-    staged = with_norm.select("*", *sim_cols)
-    best = F.greatest(*[F.col(f"__sim_{cid}") for cid, _ in centroids])
-    cell = F.lit(-1)
-    for cid, _ in reversed(centroids):  # earlier centroid wins ties
-        cell = F.when(F.col(f"__sim_{cid}") == best, F.lit(cid)).otherwise(cell)
-    return staged.withColumn("__cell", cell).drop(
-        "__vnorm", *[f"__sim_{cid}" for cid, _ in centroids]
-    )
+    # Arrow-batched argmax assignment (SURVEY §2.10's sanctioned Python
+    # path for embedding math): one (batch × dim) @ (dim × n_cells) NumPy
+    # matmul per Arrow batch. An expression-tree encoding was tried first
+    # and abandoned: the n_cells × dim multiply-add chains get re-inlined
+    # into every downstream consumer (the probe-cell FILTER references the
+    # argmax ~2×n_cells times → a 500k-node condition and multi-second
+    # planning), while the matmul is O(1) plan nodes and ~100 ns/vector.
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
+    cmat = np.asarray([cvec for _, cvec in centroids], dtype=np.float64)
+    cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        vnorms = np.sqrt((m * m).sum(axis=1))
+        sims = (m @ cmat.T) / np.outer(vnorms, cnorms)
+        # np.argmax takes the FIRST max — earlier centroid wins ties, the
+        # same contract the expression form had
+        return pd.Series(cids[np.argmax(sims, axis=1)].astype("int32"))
+
+    return embeddings.withColumn("__cell", cell_of(F.col(vec_col)))
 
 
 def cosine_topk_ivf(

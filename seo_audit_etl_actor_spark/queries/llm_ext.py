@@ -547,10 +547,56 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant: random-hyperplane LSH bucket pruning then exact cosine —
-    the 100 TB scale path. No SQL oracle (bucket pruning is the operator
-    under test); recall vs brute force is asserted in tests."""
+    the 100 TB scale path. Fully deterministic (literal plane weights,
+    IEEE-identical sign tests), so unlike most ANN it HAS an exact oracle:
+    the SQL replays the same bucket assignment + hamming gate + cosine.
+    Recall vs brute force is additionally asserted in tests."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     return similarity.cosine_topk_lsh(emb, _QUERY_VEC_ID, k=10, dim=EMB_DIM)
+
+
+def _sql_lsh_bucket(vec: str, dim: int, n_planes: int = 8) -> str:
+    """DuckDB twin of similarity.lsh_bucket: same unrolled multiply-add
+    chains over the same literal weights — IEEE addition is left-assoc in
+    both engines, so the per-plane signs (and hence the bucket) agree
+    bit-for-bit."""
+    bits = []
+    for i in range(n_planes):
+        ws = similarity.hyperplane_values(dim, i)
+        terms = " + ".join(
+            f"CAST({vec}[{j + 1}] AS DOUBLE)*CAST({w!r} AS DOUBLE)"
+            for j, w in enumerate(ws)
+        )
+        bits.append(f"(CASE WHEN (0.0 + {terms}) > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _sql_cosine_topk_lsh(
+    dim: int = EMB_DIM, qid: int = _QUERY_VEC_ID, k: int = 10, max_hamming: int = 2
+) -> str:
+    def chain(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+        )
+
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_sql_lsh_bucket('embedding', dim)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS e, bucket AS qb FROM bucketed WHERE vec_id = {qid})
+SELECT vec_id,
+       ({chain('embedding', 'e')})
+       / (sqrt({chain('embedding', 'embedding')}) * sqrt({chain('e', 'e')})) AS cosine_sim
+FROM bucketed, q
+WHERE vec_id != {qid}
+  AND bit_count(CAST(xor(bucket, qb) AS BIGINT)) <= {max_hamming}
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+SQL_COSINE_TOPK_LSH = _sql_cosine_topk_lsh()
 
 
 # ------------------------------------------------------------- skew-safe distinct
