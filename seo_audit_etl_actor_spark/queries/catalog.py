@@ -61,6 +61,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("unpivot_lineitem_metrics", rs.q_unpivot_lineitem_metrics, rs.SQL_UNPIVOT_LINEITEM_METRICS),
     QuerySpec("price_histogram", rs.q_price_histogram, rs.SQL_PRICE_HISTOGRAM),
     QuerySpec("above_nation_avg_balance", rs.q_above_nation_avg_balance, rs.SQL_ABOVE_NATION_AVG_BALANCE),
+    QuerySpec("event_promo_windows", rs.q_event_promo_windows, rs.SQL_EVENT_PROMO_WINDOWS),
     # --- LLM-data-pipeline extensions (SURVEY §2.11; north star) ---
     QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
     QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),

@@ -259,3 +259,57 @@ WHERE c.c_acctbal > nav.nation_avg
 GROUP BY n.n_name
 ORDER BY n.n_name
 """
+
+
+# ------------------------------------------------------------- range join
+# Ten fixed 3-day promo windows over the events month (Jan 2024) — a
+# dimension-sized interval table, declared identically in both engines.
+PROMO_WINDOWS = [
+    (i, f"2024-01-{3 * i + 1:02d} 00:00:00", f"2024-01-{3 * i + 4:02d} 00:00:00")
+    for i in range(10)
+]
+
+
+def q_event_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/rangejoin.py): events
+    assigned to overlapping promo windows via the bin-bucketed equi-join
+    (day bins ≈ interval span / 3), then per-window totals. The DuckDB
+    oracle uses the naive BETWEEN join — same pairs, different plan."""
+    from seo_audit_etl_actor_spark.operators.rangejoin import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    # literal timestamps: one createDataFrame with string casts keeps the
+    # driver-side table tiny and the values byte-identical to the oracle's
+    intervals = spark.createDataFrame(
+        PROMO_WINDOWS, ["window_id", "w_start", "w_end"]
+    ).select(
+        "window_id",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    joined = range_join_binned(ev, intervals, "ts", "w_start", "w_end")
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("window_id")
+    )
+
+
+SQL_EVENT_PROMO_WINDOWS = (
+    "WITH windows(window_id, w_start, w_end) AS (VALUES "
+    + ", ".join(
+        f"({w}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for w, s, e in PROMO_WINDOWS
+    )
+    + """)
+SELECT window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN windows w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY window_id
+ORDER BY window_id
+"""
+)

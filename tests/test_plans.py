@@ -107,3 +107,13 @@ def test_pivot_is_single_pass_conditional_agg(spark, sf_dir):
 
 def test_above_nation_avg_broadcasts_aggregate(spark, sf_dir):
     assert audit.has_broadcast_join(SPECS["above_nation_avg_balance"].fn(spark, sf_dir))
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The bin-bucketed range join must plan as a broadcast HASH join on
+    the bin key (the naive BETWEEN form would be BroadcastNestedLoopJoin —
+    O(points x intervals) compares at 100 TB)."""
+    df = SPECS["event_promo_windows"].fn(spark, sf_dir)
+    p = audit.plan_string(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "NestedLoop" not in p, p
