@@ -51,6 +51,11 @@ COMMENT = {
         "subset satisfies the aggregate's clustered distribution) — the only other "
         "exchange is the presentation-order range sort."
     ),
+    "event_promo_windows": (
+        "Bin-bucketed range join. What to check: the interval side is exploded to day bins "
+        "and enters as BroadcastHashJoin on the bin key (the naive BETWEEN form would plan "
+        "BroadcastNestedLoopJoin); the exact BETWEEN survives as a post-join Filter."
+    ),
     "above_nation_avg_balance": (
         "Decorrelated scalar subquery. What to check: the per-nation aggregate (25 rows) "
         "re-enters as BroadcastHashJoin, so the customer side is scanned twice but never "
