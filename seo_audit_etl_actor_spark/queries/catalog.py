@@ -82,6 +82,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("skewsafe_distinct_users", ext.q_skewsafe_distinct_users, ext.SQL_SKEWSAFE_DISTINCT_USERS),
     QuerySpec("bpe_token_stats", ext.q_bpe_token_stats, ext.SQL_BPE_TOKEN_STATS),
     QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
+    QuerySpec("hash_split_stats", ext.q_hash_split_stats, ext.SQL_HASH_SPLIT_STATS),
+    QuerySpec("stratified_sample_stats", ext.q_stratified_sample_stats, ext.SQL_STRATIFIED_SAMPLE_STATS),
 ]
 
 

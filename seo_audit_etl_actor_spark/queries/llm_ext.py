@@ -681,3 +681,101 @@ ORDER BY source, stage
 
 
 SQL_CURATION_FUNNEL = _sql_curation_funnel()
+
+
+# ------------------------------------------------- deterministic splits
+def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(doc_id) mod 100 →
+    80/10/10 buckets. Hash-gated (not RNG) so the split is reproducible
+    across engines, runs, and repartitioning — the property a training
+    pipeline needs for leak-free evaluation sets. Reported per (lang,
+    split) with token totals.
+
+    Scale: pure map-side arithmetic on the id (no text hashing), one
+    aggregate shuffle of n_langs x 3 rows.
+    """
+    from seo_audit_etl_actor_spark.operators.text import md5_long, token_count
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "lang", split.alias("split"), token_count(F.col("text")).alias("n_tok")
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+SQL_HASH_SPLIT_STATS = f"""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN {_sql_md5_long("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+              WHEN {_sql_md5_long("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         len({_TOKS.format(c='text')}) AS n_tok
+  FROM documents
+)
+SELECT lang, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM assigned
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+# ------------------------------------------------- stratified hash sample
+# per-stratum sampling rates (percent) — the domain-mixing knob of a
+# pretraining data recipe: oversample scarce langs, downsample dominant
+STRATA_RATES = {"en": 30, "es": 60, "fr": 60, "de": 90, "zh": 90}
+
+
+def q_stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff
+    md5(doc_id) % 100 < rate(lang). Unlike df.sampleBy (RNG-seeded,
+    engine-specific) the hash gate is exactly reproducible anywhere —
+    the oracle runs the identical predicate. Reports kept/total per lang.
+    """
+    from seo_audit_etl_actor_spark.operators.text import md5_long
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    rate = F.lit(10)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    keep = (md5_long(F.col("doc_id").cast("string")) % 100) < rate
+    return (
+        docs.select("lang", keep.cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_stratified_sample() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in STRATA_RATES.items()
+    )
+    return f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {_sql_md5_long("CAST(doc_id AS VARCHAR)")} % 100
+                          < (CASE {whens} ELSE 10 END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+SQL_STRATIFIED_SAMPLE_STATS = _sql_stratified_sample()
