@@ -45,6 +45,28 @@ def write_time_partitioned(
     )
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. Streaming sinks and incremental
+    backfills accrete thousands of KB-sized files; every downstream scan
+    then pays per-file open/footer costs — compaction restores
+    target-sized splits. Sizes come from the Hadoop FileSystem API, so the
+    same code runs on local disk, HDFS, or object stores. Returns the
+    output file count."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-int(total) // target_file_bytes))
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
 def read_lake(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned layout back; partition columns come back as real
     columns and filters on them become PartitionFilters (plan-time

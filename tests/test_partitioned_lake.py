@@ -70,3 +70,18 @@ def test_time_partition_rewrite_is_idempotent(spark, events, tmp_path_factory):
     first = sorted(os.listdir(path))
     pl.write_time_partitioned(events, path)
     assert sorted(os.listdir(path)) == first
+
+
+def test_compaction_reduces_file_count(spark, events, tmp_path_factory):
+    base = tmp_path_factory.mktemp("lake")
+    frag, out = str(base / "fragmented"), str(base / "compacted")
+    events.repartition(32).write.parquet(frag)  # simulate streaming accretion
+    n_small = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_small == 32
+    pl.compact(spark, frag, out)
+    n_big = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_big < n_small
+    back = pl.read_lake(spark, out)
+    assert back.count() == events.count()
+    # content preserved, not just counts
+    assert back.agg(F.sum("event_id")).first()[0] == events.agg(F.sum("event_id")).first()[0]
