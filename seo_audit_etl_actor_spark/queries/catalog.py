@@ -84,6 +84,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
     QuerySpec("hash_split_stats", ext.q_hash_split_stats, ext.SQL_HASH_SPLIT_STATS),
     QuerySpec("stratified_sample_stats", ext.q_stratified_sample_stats, ext.SQL_STRATIFIED_SAMPLE_STATS),
+    QuerySpec("chunk_stats", ext.q_chunk_stats, ext.SQL_CHUNK_STATS),
+    QuerySpec("packing_stats", ext.q_packing_stats, ext.SQL_PACKING_STATS),
 ]
 
 

@@ -779,3 +779,130 @@ ORDER BY lang
 
 
 SQL_STRATIFIED_SAMPLE_STATS = _sql_stratified_sample()
+
+
+# ------------------------------------------------------------- chunking
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 8
+
+
+def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for a fixed context window: docs split into
+    CHUNK_TOKENS-token windows with CHUNK_OVERLAP-token overlap (stride =
+    chunk - overlap), the standard pretraining tokenize-and-slice step.
+    Chunks are generated map-side with explode(sequence(...)) — no UDF, no
+    shuffle until the per-source aggregate; chunk token counts are pure
+    integer arithmetic so the oracle matches exactly.
+
+    n_chunks(d) = 1 + ceil(max(0, n_tok - chunk) / stride); the last chunk
+    is short (n_tok - start) — per-source totals report both.
+    """
+    from seo_audit_etl_actor_spark.operators.text import token_count
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    n_tok = token_count(F.col("text"))
+    base = docs.select("doc_id", "source", n_tok.alias("n_tok")).where(
+        F.col("n_tok") > 0
+    )
+    n_chunks = 1 + F.ceil(
+        F.greatest(F.col("n_tok") - CHUNK_TOKENS, F.lit(0)) / F.lit(stride)
+    ).cast("long")
+    chunked = base.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    ).select(
+        "source",
+        F.least(
+            F.lit(CHUNK_TOKENS), F.col("n_tok") - F.col("chunk_idx") * stride
+        ).alias("chunk_tok"),
+    )
+    return (
+        chunked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tok").cast("long").alias("chunk_tokens"),
+            F.min("chunk_tok").alias("min_chunk_tok"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_chunk_stats() -> str:
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+WITH sized AS (
+  SELECT doc_id, source, len({_TOKS.format(c='text')}) AS n_tok
+  FROM documents
+),
+chunked AS (
+  SELECT source,
+         LEAST({CHUNK_TOKENS}, n_tok - chunk_idx * {stride}) AS chunk_tok
+  FROM sized,
+       UNNEST(range(0, CAST(1 + CEIL(GREATEST(n_tok - {CHUNK_TOKENS}, 0)
+                                     / {stride}.0) AS BIGINT))) AS t(chunk_idx)
+  WHERE n_tok > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_tok) AS BIGINT) AS chunk_tokens,
+       CAST(MIN(chunk_tok) AS BIGINT) AS min_chunk_tok
+FROM chunked
+GROUP BY source
+ORDER BY source
+"""
+
+
+SQL_CHUNK_STATS = _sql_chunk_stats()
+
+
+# ------------------------------------------------------------- packing
+CTX_WINDOW = 128
+
+
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency per language: one-doc-per-window padding
+    waste vs the packed lower bound. naive_windows = Σ ceil(tok/ctx);
+    ideal_windows = ceil(Σ tok / ctx); efficiency_pct = quantized integer
+    (Σ tok) * 100 / (naive * ctx). All integer math — exact oracle."""
+    from seo_audit_etl_actor_spark.operators.text import token_count
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n_tok = token_count(F.col("text"))
+    base = docs.select("lang", n_tok.alias("n_tok")).where(F.col("n_tok") > 0)
+    per_doc_windows = F.ceil(F.col("n_tok") / F.lit(CTX_WINDOW)).cast("long")
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(per_doc_windows).cast("long").alias("naive_windows"),
+        )
+        .withColumn(
+            "ideal_windows",
+            F.ceil(F.col("total_tokens") / F.lit(CTX_WINDOW)).cast("long"),
+        )
+        .withColumn(
+            # explicit FLOOR: Spark's double->long cast truncates while
+            # DuckDB's CAST rounds — floor in both makes them agree
+            "naive_fill_pct",
+            F.floor(
+                F.col("total_tokens") * 100 / (F.col("naive_windows") * CTX_WINDOW)
+            ).cast("long"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_PACKING_STATS = f"""
+WITH sized AS (
+  SELECT lang, len({_TOKS.format(c='text')}) AS n_tok FROM documents
+)
+SELECT lang,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(CEIL(n_tok / {CTX_WINDOW}.0) AS BIGINT)) AS BIGINT) AS naive_windows,
+       CAST(CEIL(SUM(n_tok) / {CTX_WINDOW}.0) AS BIGINT) AS ideal_windows,
+       CAST(FLOOR(SUM(n_tok) * 100 / (SUM(CAST(CEIL(n_tok / {CTX_WINDOW}.0) AS BIGINT)) * {CTX_WINDOW})) AS BIGINT) AS naive_fill_pct
+FROM sized
+WHERE n_tok > 0
+GROUP BY lang
+ORDER BY lang
+"""
