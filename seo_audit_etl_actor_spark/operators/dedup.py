@@ -327,12 +327,14 @@ def ngram_jaccard_sample_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    modulus: int = 25,
-    min_jaccard: float = 0.05,
+    modulus: int = 10,
+    min_jaccard: float = 0.02,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard over a deterministic id-sampled subset
     (id % modulus == 0) — the verification baseline for the LSH pipelines.
-    Quadratic by design; the sample bound keeps it tractable at any SF."""
+    Quadratic by design; the sample bound keeps it tractable at any SF.
+    Defaults chosen so the pair set is NON-EMPTY at the driver's sf0.01
+    (an empty result would make the oracle check vacuous)."""
     sample = docs.where(F.col(id_col) % modulus == 0).select(
         F.col(id_col), shingle_set(F.col(text_col)).alias("sh")
     ).where(F.size("sh") > 0)

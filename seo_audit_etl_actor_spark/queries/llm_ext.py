@@ -316,7 +316,7 @@ def q_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_sample_pairs(docs)
 
 
-def _sql_ngram_jaccard(modulus: int = 25, min_j: float = 0.05) -> str:
+def _sql_ngram_jaccard(modulus: int = 10, min_j: float = 0.02) -> str:
     k = dedup.SHINGLE_K
     toks = _TOKS.format(c="text")
     grams = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
