@@ -30,12 +30,18 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition — no pairwise expansion.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return sessionize(ev)
+
+
+def sessionize(ev: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Core sessionization over (user_id, ts, event_id, value) rows —
+    shared by the catalog query and the property tests."""
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w = Window.partitionBy("user_id").orderBy(*order)
     prev_ts = F.lag("ts").over(w)
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
     new_session = F.when(
-        prev_ts.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+        prev_ts.isNull() | (gap_us > gap_min * 60 * 1_000_000), 1
     ).otherwise(0)
     run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

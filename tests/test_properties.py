@@ -213,3 +213,57 @@ def test_scoring_invariants(spark):
             assert s[f"{fam}_weight_used"] <= s[f"{fam}_weight_total"] == 100
             if s[f"{fam}_weight_used"] == 0:
                 assert s[fam] == 0.0
+
+
+# ---------------------------------------------------------- sessionization
+
+
+def test_sessionize_matches_python_model(spark):
+    """Random event streams (seeded; adversarial gaps straddling the 30-min
+    boundary including EXACT-gap ties) vs an independent pure-Python
+    sessionizer — session boundaries, counts, and membership must agree."""
+    import datetime as dt
+
+    gap_s = 30 * 60
+    seeded = random.Random(13)
+    rows = []
+    eid = 0
+    for user in range(25):
+        t = 0.0
+        for _ in range(seeded.randint(0, 40)):
+            # mix sub-gap, super-gap, and exact-gap steps (integer seconds
+            # so the exact case is representable)
+            step = seeded.choice(
+                [seeded.uniform(1, gap_s - 1), seeded.uniform(gap_s + 1, 3 * gap_s), float(gap_s)]
+            )
+            t += step
+            rows.append((eid, user, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t), 1.0))
+            eid += 1
+
+    # pure-Python model: strictly-greater-than-gap starts a new session
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for e, u, ts, v in rows:
+        by_user[u].append((ts, e))
+    want = []  # (user, n_events) per session, in time order
+    for u, evs in by_user.items():
+        evs.sort()
+        n = 0
+        prev = None
+        for ts, _ in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_s:
+                if n:
+                    want.append((u, n))
+                n = 0
+            n += 1
+            prev = ts
+        if n:
+            want.append((u, n))
+
+    from seo_audit_etl_actor_spark.queries.reshape import sessionize
+
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = [(r["user_id"], r["n_events"]) for r in sessionize(df).collect()]
+    assert sorted(got) == sorted(want)
+    assert sum(n for _, n in got) == len(rows)
