@@ -181,18 +181,30 @@ def brightlocal_ranks(df: DataFrame, doc: dict) -> None:
 
 
 def brightlocal_citations(df: DataFrame, doc: dict) -> None:
-    """Liveness-proxy consistency ratio (P9/A7, src/etl.js:332-366)."""
+    """Liveness-proxy consistency ratio (P9/A7, src/etl.js:332-366).
+
+    Bug-for-bug parity on ragged rows: the reference's `String(r[col])`
+    turns a MISSING cell (row shorter than header) into the truthy string
+    'undefined' (src/etl.js:345-347), so such rows count toward `total` and
+    — via `link.length > 0` — toward `good`. csv_smart preserves the
+    distinction (missing cell → NULL, empty cell → ''), so NULL coalesces to
+    'undefined' here, exactly mirroring the JS.
+    """
     cols = _cols(df)
     s_col = pick_col(cols, ["Status"])
     gs_col = pick_col(cols, ["General Status"])
     link_col = pick_col(cols, ["Citation Link"])
 
     def lowered(c):
-        return F.lower(F.coalesce(F.col(c).cast("string"), F.lit(""))) if c else F.lit("")
+        return (
+            F.lower(F.coalesce(F.col(c).cast("string"), F.lit("undefined")))
+            if c
+            else F.lit("")
+        )
 
     s, gs = lowered(s_col), lowered(gs_col)
     link = (
-        F.trim(F.coalesce(F.col(link_col).cast("string"), F.lit("")))
+        F.trim(F.coalesce(F.col(link_col).cast("string"), F.lit("undefined")))
         if link_col
         else F.lit("")
     )

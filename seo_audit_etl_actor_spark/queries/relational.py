@@ -464,13 +464,18 @@ def q_asof_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     views = ev.where(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("value").alias("view_value"), F.lit(0).alias("is_left")
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+        F.lit(0).alias("is_left"),
+        F.col("event_id").alias("__ord"),
     )
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id",
         "ts",
         F.lit(None).cast("double").alias("view_value"),
         F.lit(1).alias("is_left"),
+        F.col("event_id").alias("__ord"),
         F.col("event_id"),
         F.col("value"),
     )
@@ -479,9 +484,12 @@ def q_asof_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(purchases)
     # At equal ts the right-side (view) row sorts first (is_left 0 < 1), so a
     # purchase sees a view with ts <= its own ts — ASOF `>=` semantics.
+    # __ord (source event_id) pins a total order among views tied on ts, so
+    # last() deterministically picks the max-event_id view — mirrored in the
+    # oracle by a pre-dedup CTE keeping that same row per (user_id, ts).
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_left").asc())
+        .orderBy(F.col("ts").asc(), F.col("is_left").asc(), F.col("__ord").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -493,9 +501,18 @@ def q_asof_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ASOF_JOIN_ENRICHMENT = """
+WITH v_dedup AS (
+  -- one view per (user_id, ts): keep the max-event_id row, matching the
+  -- Spark window's (ts, is_left, event_id) total order among tied views
+  SELECT user_id, ts, value
+  FROM (SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view')
+  WHERE rn = 1
+)
 SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value, v.value AS last_view_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN v_dedup v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 ORDER BY p.event_id
 """

@@ -62,7 +62,7 @@ def sessionize(ev: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
 
 SQL_SESSIONIZE_EVENTS = f"""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN LAG(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_MIN} * 60 * 1000000
               THEN 1 ELSE 0 END AS new_session
@@ -70,8 +70,11 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sids AS (
+  -- ORDER BY (ts, event_id) mirrors the Spark window's total order; with
+  -- ts alone, tied timestamps straddling a session boundary would leave the
+  -- running sum's row order unspecified and the hash comparison could flake.
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )

@@ -51,6 +51,18 @@ def get_spark(app_name: str = "seo-audit-etl-actor-spark") -> SparkSession:
     )
     active = SparkSession.getActiveSession()
     if active is not None:
+        # A host process may have created the session without our confs.
+        # Timezone-sensitive queries (hourly/monthly windows) compare against
+        # a UTC DuckDB oracle, so re-apply every runtime-settable conf on the
+        # reuse path; static confs (driver memory, UI) can't change post-start.
+        for k, v in (
+            ("spark.sql.adaptive.enabled", "true"),
+            ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+            ("spark.sql.adaptive.skewJoin.enabled", "true"),
+            ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+            ("spark.sql.session.timeZone", "UTC"),
+        ):
+            active.conf.set(k, v)
         return active
     return builder.master(f"local[{cpus}]").getOrCreate()
 
