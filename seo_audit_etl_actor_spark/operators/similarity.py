@@ -200,10 +200,13 @@ def assign_ivf_cells(
     IVF partition pruning.
     """
     if centroids is None:
+        # orderBy pins the codebook order (collect order off a filtered scan
+        # is partition order, not guaranteed) — tie-breaks depend on it
         centroids = [
             (int(r[0]), [float(x) for x in r[1]])
             for r in embeddings.where(F.col(id_col) < n_cells)
             .select(id_col, vec_col)
+            .orderBy(id_col)
             .collect()
         ]
     # Arrow-batched argmax assignment (SURVEY §2.10's sanctioned Python
@@ -226,8 +229,14 @@ def assign_ivf_cells(
         m = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)))
         vnorms = np.sqrt((m * m).sum(axis=1))
         sims = (m @ cmat.T) / np.outer(vnorms, cnorms)
-        # np.argmax takes the FIRST max — earlier centroid wins ties, the
-        # same contract the expression form had
+        # Quantized-argmax contract: round to 6dp before argmax so the cell
+        # choice is engine-independent (BLAS pairwise summation vs a SQL
+        # left-assoc chain differ only in last ulps, far below 1e-6) — this
+        # is what makes the IVF operator exactly oracle-able. np.argmax
+        # takes the FIRST max, so with cid-ascending centroid order ties go
+        # to the lowest cid — mirrored by the oracle's ROW_NUMBER ORDER BY
+        # (rounded sim DESC, cid ASC).
+        sims = np.round(sims, 6)
         return pd.Series(cids[np.argmax(sims, axis=1)].astype("int32"))
 
     return embeddings.withColumn("__cell", cell_of(F.col(vec_col)))
@@ -246,11 +255,13 @@ def cosine_topk_ivf(
     centroids are most similar to the query — the partition-pruned scale
     path (vs. LSH's hash-bucket pruning). Recall vs. brute force is
     asserted in tests."""
-    # one driver collect serves both the codebook and the probe choice
+    # one driver collect serves both the codebook and the probe choice;
+    # orderBy pins the codebook order so tie-breaks are reproducible
     centroids = [
         (int(r[0]), [float(x) for x in r[1]])
         for r in embeddings.where(F.col(id_col) < n_cells)
         .select(id_col, vec_col)
+        .orderBy(id_col)
         .collect()
     ]
     with_cell = assign_ivf_cells(embeddings, n_cells, id_col, vec_col, centroids)

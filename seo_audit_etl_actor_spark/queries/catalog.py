@@ -73,7 +73,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("ngram_jaccard_sample", ext.q_ngram_jaccard_sample, ext.SQL_NGRAM_JACCARD_SAMPLE),
     QuerySpec("cosine_topk_bruteforce", ext.q_cosine_topk_bruteforce, ext.SQL_COSINE_TOPK),
     QuerySpec("cosine_topk_lsh", ext.q_cosine_topk_lsh, ext.SQL_COSINE_TOPK_LSH),
-    QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, None),
+    QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),
     QuerySpec("approx_distinct_users", ext.q_approx_distinct_users, None),
     QuerySpec("doc_fingerprints", ext.q_doc_fingerprints, ext.SQL_DOC_FINGERPRINTS),
     QuerySpec("token_histogram", ext.q_token_histogram, ext.SQL_TOKEN_HISTOGRAM),

@@ -539,10 +539,74 @@ SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
 
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN variant: deterministic coarse centroids, nprobe cell pruning,
-    exact cosine inside probed cells. No SQL oracle (the cell pruning is
-    the operator under test); recall vs brute force asserted in tests."""
+    exact cosine inside probed cells. The probe choice is deterministic
+    given the fixed codebook and the cell assignment follows the
+    quantized-argmax contract (round(sim, 6) then first-max), so — like the
+    LSH variant — it HAS an exact DuckDB oracle that replays centroid
+    argmax + nprobe pruning + cosine scoring. Recall vs brute force is
+    additionally asserted in tests."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     return similarity.cosine_topk_ivf(emb, _QUERY_VEC_ID, k=10)
+
+
+def _sql_cosine_topk_ivf(
+    dim: int = EMB_DIM,
+    qid: int = _QUERY_VEC_ID,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB twin of similarity.cosine_topk_ivf, machine-generated the same
+    way as the LSH oracle: unrolled left-assoc multiply-add chains (bit-equal
+    to the Spark HOF fold / Python sum), ROW_NUMBER first-max over
+    round(sim, 6) for cell assignment, ORDER BY exact sim for the probe
+    choice — every tie broken by ascending cid exactly as the operator does.
+    """
+
+    def chain(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+        )
+
+    def cos_sql(a: str, b: str) -> str:
+        return (
+            f"({chain(a, b)}) / (sqrt({chain(a, a)}) * sqrt({chain(b, b)}))"
+        )
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_cells}
+),
+cell_sims AS (
+  SELECT e.vec_id, c.cid, {cos_sql('e.embedding', 'c.cv')} AS sim
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid AS cell
+  FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY round(sim, 6) DESC, cid ASC) AS rn
+        FROM cell_sims)
+  WHERE rn = 1
+),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {qid}),
+probe AS (
+  SELECT c.cid
+  FROM cent c CROSS JOIN q
+  ORDER BY {cos_sql('c.cv', 'q.e')} DESC, c.cid ASC
+  LIMIT {nprobe}
+)
+SELECT e.vec_id AS vec_id, {cos_sql('e.embedding', 'q.e')} AS cosine_sim
+FROM embeddings e
+JOIN assigned a ON e.vec_id = a.vec_id
+CROSS JOIN q
+WHERE a.cell IN (SELECT cid FROM probe) AND e.vec_id != {qid}
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+SQL_COSINE_TOPK_IVF = _sql_cosine_topk_ivf()
 
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
