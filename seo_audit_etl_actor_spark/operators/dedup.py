@@ -181,7 +181,15 @@ def lsh_candidate_pairs(
     )
 
 
-def _bucket_pairs(exploded: DataFrame, bucket_cols: list[str], member_col: str) -> DataFrame:
+MAX_BUCKET_MEMBERS = 10_000
+
+
+def _bucket_pairs(
+    exploded: DataFrame,
+    bucket_cols: list[str],
+    member_col: str,
+    max_bucket_members: int = MAX_BUCKET_MEMBERS,
+) -> DataFrame:
     """Group band-exploded rows into buckets and emit every in-bucket pair
     (a, b) with a.id < b.id, deduplicated across buckets.
 
@@ -189,11 +197,26 @@ def _bucket_pairs(exploded: DataFrame, bucket_cols: list[str], member_col: str) 
     HOF over the collected member array — no self-join, so the upstream
     pipeline (shingling, signatures) is scanned exactly once. Bucket sizes
     are LSH-bounded (docs only share a bucket if a whole band matches), so
-    collect_list stays small; a pathological hot bucket is the same
-    quadratic cost the equivalent self-join would pay.
+    collect_list stays small for real corpora.
+
+    Hot-bucket guard: a pathological mega-bucket (e.g. a boilerplate
+    duplicated across millions of docs making one band key cover them all)
+    would concentrate the whole bucket into ONE collect_list aggregation
+    state and OOM that task. A window count over the same bucket
+    partitioning splits the flow first: buckets ≤ `max_bucket_members` take
+    the HOF path; oversized buckets fall back to a sort-merge self-join —
+    identical pair output, but streamed and spillable instead of held as
+    one in-memory array. Both branches hang off the same exchange
+    (hashpartitioning on the bucket key), which Spark's ReuseExchange
+    computes once — the expensive upstream (shingling, signatures, md5)
+    is still scanned exactly once.
     """
+    wn = F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+    sized = exploded.withColumn("__bn", wn)
+
+    small = sized.where(F.col("__bn") <= max_bucket_members)
     buckets = (
-        exploded.groupBy(*bucket_cols)
+        small.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(member_col)).alias("members"))
         .where(F.size("members") > 1)
     )
@@ -207,7 +230,21 @@ def _bucket_pairs(exploded: DataFrame, bucket_cols: list[str], member_col: str) 
             ),
         )
     )
-    return buckets.select(F.explode(pairs).alias("p")).select("p.a", "p.b").distinct()
+    small_pairs = buckets.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+
+    big = sized.where(F.col("__bn") > max_bucket_members)
+    a, b = big.alias("a"), big.alias("b")
+    cond = F.lit(True)
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # struct < struct is lexicographic on fields; `id` comes first and is
+    # unique, so the orientation matches the array_sort order above
+    cond = cond & (F.col(f"a.{member_col}") < F.col(f"b.{member_col}"))
+    big_pairs = a.join(b, cond).select(
+        F.col(f"a.{member_col}").alias("a"), F.col(f"b.{member_col}").alias("b")
+    )
+
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def minhash_near_dup_pairs(
@@ -215,6 +252,7 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_bucket_members: int = MAX_BUCKET_MEMBERS,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     in-bucket candidate pairs → exact Jaccard verification
@@ -240,7 +278,7 @@ def minhash_near_dup_pairs(
     exploded = sigs.select(member.alias("m"), F.explode(bands).alias("band")).select(
         "m", "band.band_idx", "band.band_key"
     )
-    pairs = _bucket_pairs(exploded, ["band_idx", "band_key"], "m")
+    pairs = _bucket_pairs(exploded, ["band_idx", "band_key"], "m", max_bucket_members)
     jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
     return (
         pairs.select(
@@ -288,6 +326,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
     n_bands: int = 4,
+    max_bucket_members: int = MAX_BUCKET_MEMBERS,
 ) -> DataFrame:
     """SimHash near-dup candidates via fingerprint banding (pigeonhole: any
     pair within `max_hamming` ≤ n_bands-1 bit flips shares ≥1 exact band),
@@ -310,7 +349,7 @@ def simhash_near_dup_pairs(
     exploded = fps.select(member.alias("m"), F.explode(bands).alias("band")).select(
         "m", "band.band_idx", "band.band_key"
     )
-    pairs = _bucket_pairs(exploded, ["band_idx", "band_key"], "m")
+    pairs = _bucket_pairs(exploded, ["band_idx", "band_key"], "m", max_bucket_members)
     hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (
         pairs.select(

@@ -1,0 +1,83 @@
+"""Hot-bucket guard in _bucket_pairs: an adversarial corpus that funnels
+every doc into ONE band bucket must (a) still produce exactly the same pair
+set as the uncapped HOF path, and (b) route the mega-bucket through the
+streaming self-join branch instead of a single collect_list state
+(operators/dedup.py MAX_BUCKET_MEMBERS rationale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from seo_audit_etl_actor_spark.operators import dedup
+
+
+def _exploded(spark, n_hot=50, n_small_buckets=8):
+    """Synthetic band-exploded rows: one hot bucket with n_hot members plus
+    n_small_buckets buckets of 2-3 members, with some ids in both (so the
+    cross-bucket distinct matters)."""
+    schema = T.StructType(
+        [
+            T.StructField(
+                "m",
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("sh", T.ArrayType(T.LongType())),
+                    ]
+                ),
+            ),
+            T.StructField("band_idx", T.IntegerType()),
+            T.StructField("band_key", T.StringType()),
+        ]
+    )
+    rows = []
+    for i in range(n_hot):
+        rows.append(((i, [i, i + 1]), 0, "HOT"))
+    for b in range(n_small_buckets):
+        for i in range(2 + b % 2):
+            rows.append(((b * 3 + i, [b * 3 + i, b * 3 + i + 1]), 1, f"k{b}"))
+    return spark.createDataFrame(rows, schema)
+
+
+def _pairs(df):
+    return sorted((r["a"]["id"], r["b"]["id"]) for r in df.collect())
+
+
+def test_capped_output_identical_to_uncapped(spark):
+    ex = _exploded(spark)
+    uncapped = _pairs(dedup._bucket_pairs(ex, ["band_idx", "band_key"], "m", 10**9))
+    capped = _pairs(dedup._bucket_pairs(ex, ["band_idx", "band_key"], "m", 10))
+    assert capped == uncapped
+    # the hot bucket alone contributes C(50,2) pairs
+    assert len(capped) >= 50 * 49 // 2
+
+
+def test_capped_plan_has_no_giant_collect(spark):
+    """With the cap below the hot-bucket size, the hot bucket's pairs must
+    come from the join branch; the collect_list branch must filter it out.
+    Sanity-check the split predicate does what the docstring claims by
+    running each branch's filter independently."""
+    ex = _exploded(spark)
+    from pyspark.sql import Window
+
+    sized = ex.withColumn("__bn", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_key")))
+    assert sized.where(F.col("__bn") > 10).count() == 50
+    assert sized.where(F.col("__bn") <= 10).count() == ex.count() - 50
+
+
+def test_minhash_pipeline_with_adversarial_boilerplate(spark):
+    """End-to-end: a corpus where one boilerplate text dominates (every
+    copy lands in the same buckets for every band). With the cap forced
+    tiny, output must equal the uncapped pipeline's."""
+    boiler = "terms of service apply to all pages of this site always"
+    rows = [(i, boiler) for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} with its own words entirely") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    uncapped = dedup.minhash_near_dup_pairs(docs, max_bucket_members=10**9)
+    capped = dedup.minhash_near_dup_pairs(docs, max_bucket_members=5)
+    a = [(r["id_a"], r["id_b"], r["jaccard"]) for r in uncapped.collect()]
+    b = [(r["id_a"], r["id_b"], r["jaccard"]) for r in capped.collect()]
+    assert a == b
+    # all 40 boilerplate copies pair up
+    assert len([p for p in a if p[0] < 100 and p[1] < 100]) == 40 * 39 // 2
