@@ -2,8 +2,8 @@
 
 Driver-side `zipfile` for the reference-sized case (one ZIP of ~20 small
 files — SURVEY §1.4); the distributed variant for many-ZIP corpora is
-`spark.read.format("binaryFile")` + a mapInPandas unzip, sketched in
-multimodal/binary_ops.py.
+`spark.read.format("binaryFile")` + the mapInPandas unzip in
+sources/zip_distributed.py (explode_zip_entries).
 """
 
 from __future__ import annotations
