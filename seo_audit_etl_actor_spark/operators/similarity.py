@@ -289,6 +289,84 @@ def cosine_topk_ivf(
     )
 
 
+def lsh_bucket_py(vec: list[float], dim: int, n_planes: int = 8) -> int:
+    """Driver-side twin of lsh_bucket for a single query vector: Python's
+    left-assoc sum matches the SQL chain bit-for-bit, so the bucket agrees
+    with the persisted corpus column."""
+    bucket = 0
+    for i in range(n_planes):
+        ws = hyperplane_values(dim, i)
+        if sum(float(x) * w for x, w in zip(vec, ws)) > 0.0:
+            bucket |= 1 << i
+    return bucket
+
+
+def hamming_ball(bucket: int, n_planes: int, max_hamming: int) -> list[int]:
+    """All bucket ids within `max_hamming` bit flips of `bucket` — the
+    candidate partition list for a pre-bucketed corpus (e.g. 37 of 256
+    partitions for n_planes=8, max_hamming=2)."""
+    from itertools import combinations
+
+    out = []
+    for h in range(max_hamming + 1):
+        for flips in combinations(range(n_planes), h):
+            b = bucket
+            for f in flips:
+                b ^= 1 << f
+            out.append(b)
+    return sorted(set(out))
+
+
+def write_lsh_bucketed_corpus(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> None:
+    """Corpus-build-time step of the production ANN path: compute the LSH
+    bucket ONCE and persist it as a Hive partition column. Every subsequent
+    query is then a partition-pruned scan of its hamming ball — the bucket
+    recompute (cosine_topk_lsh's per-query cost) moves to write time.
+    """
+    from seo_audit_etl_actor_spark.sources.partitioned import write_partitioned
+
+    with_bucket = embeddings.withColumn("bucket", lsh_bucket(vec_col, dim, n_planes))
+    write_partitioned(with_bucket, path, ["bucket"])
+
+
+def cosine_topk_lsh_prebucketed(
+    corpus: DataFrame,
+    query_vec: list[float],
+    query_vec_id: int | None = None,
+    k: int = 10,
+    n_planes: int = 8,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Query-time half of the persisted-bucket ANN path: `corpus` is a
+    read of write_lsh_bucketed_corpus output (bucket as a partition
+    column). The hamming ball is enumerated driver-side into an IN list,
+    which Catalyst turns into PartitionFilters — the scan touches only the
+    candidate directories (plan-asserted in tests). Top-k output is
+    identical to cosine_topk_lsh for the same parameters.
+    """
+    qb = lsh_bucket_py(query_vec, len(query_vec), n_planes)
+    ball = hamming_ball(qb, n_planes, max_hamming)
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    cand = corpus.where(F.col(bucket_col).isin(ball))
+    if query_vec_id is not None:
+        cand = cand.where(F.col(id_col) != query_vec_id)
+    sim = cosine(F.col(vec_col), qcol)
+    return (
+        cand.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -304,10 +382,13 @@ def cosine_topk_lsh(
     ~14% of the corpus for ~0.7 recall@10 on the synthetic embeddings;
     hamming 3 → 36% scan, ~0.8).
 
-    At 100 TB the bucket column is precomputed/persisted once per corpus
-    (write-time cost), making each query a partition-pruned scan of
-    ~n/2^(n_planes-max_hamming) candidates. Recall vs brute force is
-    validated in tests (recall@10 on the synthetic corpus).
+    This self-contained form recomputes the bucket column per query — right
+    for the catalog harness (no side state). The production path is the
+    write-once/persisted variant: write_lsh_bucketed_corpus at corpus-build
+    time + cosine_topk_lsh_prebucketed per query, which scans only the
+    hamming-ball partitions (PartitionFilters, plan-asserted in tests) and
+    returns the identical top-k. Recall vs brute force is validated in
+    tests (recall@10 on the synthetic corpus).
     """
     with_bucket = embeddings.withColumn("__bucket", lsh_bucket(vec_col, dim, n_planes))
     q = with_bucket.where(F.col(id_col) == query_vec_id).select(

@@ -117,3 +117,36 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     p = audit.plan_string(df)
     assert "BroadcastHashJoin" in p, p
     assert "NestedLoop" not in p, p
+
+
+def test_above_nation_avg_no_nested_loop_or_cartesian(spark, sf_dir):
+    """The decorrelated subquery must stay a hash-join rewrite; a Spark
+    upgrade silently degrading it to a nested-loop/cartesian plan would be
+    an O(n x m) regression at scale."""
+    p = audit.plan_string(SPECS["above_nation_avg_balance"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_prebucketed_ann_prunes_partitions(spark, sf_dir, tmp_path_factory):
+    """Persisted-bucket ANN path: the per-query scan must show non-empty
+    PartitionFilters (hamming-ball IN list pruned at plan time) and return
+    the identical top-k as the self-contained recompute form."""
+    from seo_audit_etl_actor_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lake = str(tmp_path_factory.mktemp("ann") / "corpus")
+    similarity.write_lsh_bucketed_corpus(emb, lake, dim=64)
+    corpus = spark.read.parquet(lake)
+
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    df = similarity.cosine_topk_lsh_prebucketed(corpus, qvec, query_vec_id=0, k=10)
+    pf = audit.partition_filters(df)
+    assert pf and any("bucket" in f for f in pf), audit.plan_string(df)
+
+    got = [(r["vec_id"], r["cosine_sim"]) for r in df.collect()]
+    want = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in similarity.cosine_topk_lsh(emb, 0, k=10, dim=64).collect()
+    ]
+    assert got == want
