@@ -1,10 +1,11 @@
 """Binary-column (image/audio/video) plumbing for LLM-data pipelines.
 
 The Spark-side design is fully real — schemas, partitioning, Arrow batch
-shapes, mapInPandas signatures; only the codec inner loop is stubbed
-(Pillow/ffmpeg are not in this container): `decode_image_meta` falls back
-to deterministic header parsing for PNG/JPEG and raises NotImplementedError
-for real pixel decoding, clearly marked below.
+shapes, mapInPandas signatures; only the codec inner loop is a
+deterministic fake (Pillow/ffmpeg are not in this container):
+`decode_image_meta` does real header parsing for PNG/JPEG dimensions, and
+`decode_image_thumbs` substitutes a byte-sampling fake for pixel decode
+(clearly marked; swap points documented at each function).
 
 Scale design:
 - binary payloads ride `spark.read.format("binaryFile")` (one row per
@@ -70,8 +71,8 @@ def _sniff_image_header(data: bytes) -> tuple[str | None, int | None, int | None
 
 def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     """mapInPandas image metadata extraction: format/dims from container
-    headers + content hash. The full pixel decode is a STUB — see
-    `decode_image_pixels`."""
+    headers + content hash. For the (fake-decoded) pixel path see
+    `decode_image_thumbs`."""
 
     def extract(batches) -> Iterator:
         import pandas as pd
@@ -96,15 +97,64 @@ def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(extract, IMAGE_META_SCHEMA)
 
 
-def decode_image_pixels(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """STUB — real pixel decoding needs an image codec (Pillow/libvips),
-    not present in this container. The Spark plumbing (signature, schema,
-    batch shape) is the contract; swap the inner loop for PIL.Image.open
-    when the dependency exists."""
-    raise NotImplementedError(
-        "pixel decode requires an image codec; container ships none. "
-        "Plug Pillow into the mapInPandas inner loop (see decode_image_meta)."
-    )
+THUMB_SIDE = 8
+
+IMAGE_THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("thumb", T.ArrayType(T.IntegerType()), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_image_thumbs(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Resize/feature-extract step with a DETERMINISTIC FAKE decoder (no
+    image codec ships in this container — the brief's sanctioned stand-in).
+
+    The Spark side is the real contract: mapInPandas over Arrow batches,
+    one fixed-width row per image (8×8 "grayscale thumbnail" + mean luma),
+    bounded output regardless of blob size. The fake decode samples
+    `THUMB_SIDE²` evenly spaced payload bytes — deterministic per content,
+    so downstream tests (thumb-distance dedup, feature joins) behave like a
+    real decoder's output. Swap `_fake_gray_thumb` for
+    `PIL.Image.open(...).convert("L").resize(...)` when a codec exists;
+    schema and batch shape do not change.
+    """
+
+    def _fake_gray_thumb(b: bytes) -> list[int]:
+        n = THUMB_SIDE * THUMB_SIDE
+        if not b:
+            return [0] * n
+        step = max(1, len(b) // n)
+        return [b[min(i * step, len(b) - 1)] for i in range(n)]
+
+    def extract(batches) -> Iterator:
+        import pandas as pd
+
+        cols = [f.name for f in IMAGE_THUMB_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for path, data in zip(pdf["path"], pdf[content_col]):
+                b = bytes(data) if data is not None else b""
+                fmt, w, h = _sniff_image_header(b)
+                thumb = _fake_gray_thumb(b)
+                rows.append(
+                    {
+                        "path": path,
+                        "format": fmt,
+                        "width": w,
+                        "height": h,
+                        "thumb": thumb,
+                        "mean_luma": sum(thumb) / len(thumb),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(extract, IMAGE_THUMB_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(

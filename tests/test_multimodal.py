@@ -57,7 +57,20 @@ def test_frame_sampler_shape(spark, blob_dir):
     assert all(len(r["frame_fingerprint"]) == 40 for r in rows)
 
 
-def test_pixel_decode_is_stubbed(spark, blob_dir):
+def test_thumb_decode_deterministic_fake(spark, blob_dir):
+    """decode_image_thumbs: fixed-width rows per image, deterministic
+    content-derived thumbs (identical blobs → identical thumbs), header
+    dims carried through."""
     df = B.read_binary_dir(spark, blob_dir)
-    with pytest.raises(NotImplementedError, match="codec"):
-        B.decode_image_pixels(df)
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in B.decode_image_thumbs(df).collect()}
+    assert set(rows) == {"a.png", "b.jpg", "dup_of_a.png", "junk.bin"}
+    for r in rows.values():
+        assert len(r["thumb"]) == B.THUMB_SIDE**2
+        assert all(0 <= v <= 255 for v in r["thumb"])
+        assert abs(r["mean_luma"] - sum(r["thumb"]) / len(r["thumb"])) < 1e-9
+    assert rows["a.png"]["thumb"] == rows["dup_of_a.png"]["thumb"]
+    assert rows["a.png"]["format"] == "png" and rows["junk.bin"]["format"] is None
+    assert rows["a.png"]["width"] is not None
+    # rerun → identical output (deterministic fake decoder)
+    again = {r["path"].rsplit("/", 1)[-1]: r for r in B.decode_image_thumbs(df).collect()}
+    assert {k: v["thumb"] for k, v in rows.items()} == {k: v["thumb"] for k, v in again.items()}
