@@ -5,12 +5,20 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Queries are materialized with the noop sink (full execution, no driver
 collect) so the timing measures the engine, not result transfer.
+
+Repeatability: this host has noisy-neighbor throttling windows that swing
+identical runs 3-4x, so a single measurement cannot power a
+regressed-vs-last-round comparison. One cold pass warms JVM/codegen/schema
+caches, then $SPARK_GRAFT_BENCH_RUNS (default 3) warm passes are measured;
+`value` and per-query `queries` are MEDIANS across the warm passes, with
+min/max spread reported alongside (`warm_totals`, `queries_spread`).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -23,6 +31,7 @@ from seo_audit_etl_actor_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("seo-audit-etl-actor-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -33,23 +42,36 @@ def main() -> None:
         for spec in QUERIES:
             qt = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[spec.name] = round(time.perf_counter() - qt, 3)
-        return round(time.perf_counter() - t0, 3), timings
+            timings[spec.name] = time.perf_counter() - qt
+        return time.perf_counter() - t0, timings
 
-    # Pass 1 warms JVM/codegen/schema caches (fixed cost, amortized away at
-    # cluster scale); pass 2 is the reported steady-state number.
+    # Cold pass warms JVM/codegen/schema caches (fixed cost, amortized away
+    # at cluster scale); the measured passes are steady-state numbers.
     cold_total, _ = run_suite()
-    total, timings = run_suite()
+
+    warm_totals: list[float] = []
+    per_query: dict[str, list[float]] = {q.name: [] for q in QUERIES}
+    for _ in range(max(1, n_runs)):
+        total, timings = run_suite()
+        warm_totals.append(round(total, 3))
+        for name, t in timings.items():
+            per_query[name].append(t)
+
+    med_q = {n: round(statistics.median(ts), 3) for n, ts in per_query.items()}
+    spread_q = {n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in per_query.items()}
 
     print(
         json.dumps(
             {
                 "metric": "catalog_suite_wall_clock",
-                "value": total,
+                "value": round(statistics.median(warm_totals), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": med_q,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cold_total_sec": cold_total,
+                "cold_total_sec": round(cold_total, 3),
+                "warm_totals": warm_totals,
+                "queries_spread": spread_q,
+                "n_warm_runs": max(1, n_runs),
                 "n_queries": len(QUERIES),
             }
         )

@@ -68,6 +68,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("doc_quality_by_source", ext.q_doc_quality_by_source, ext.SQL_DOC_QUALITY_BY_SOURCE),
     QuerySpec("exact_dedup_stats", ext.q_exact_dedup_stats, ext.SQL_EXACT_DEDUP_STATS),
     QuerySpec("minhash_near_dup", ext.q_minhash_near_dup, ext.SQL_MINHASH_NEAR_DUP),
+    QuerySpec("near_dup_clusters", ext.q_near_dup_clusters, ext.SQL_NEAR_DUP_CLUSTERS),
     QuerySpec("simhash_fingerprints", ext.q_simhash_fingerprints, ext.SQL_SIMHASH_FINGERPRINTS),
     QuerySpec("simhash_near_dup", ext.q_simhash_near_dup, ext.SQL_SIMHASH_NEAR_DUP),
     QuerySpec("ngram_jaccard_sample", ext.q_ngram_jaccard_sample, ext.SQL_NGRAM_JACCARD_SAMPLE),

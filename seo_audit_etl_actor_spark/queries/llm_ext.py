@@ -231,6 +231,47 @@ ORDER BY id_a, id_b
 SQL_MINHASH_NEAR_DUP = _sql_minhash_near_dup()
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the MinHash near-dup pair graph: every paired
+    doc labeled with its cluster's canonical id (min doc_id in the
+    connected component) + cluster size — the keep-one-per-CLUSTER step of
+    corpus dedup (operators/components.py, iterative min-label
+    propagation). Oracle: DuckDB recursive CTE over the same pair SQL."""
+    from seo_audit_etl_actor_spark.operators.components import (
+        near_dup_cluster_assignments,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.5)
+    return near_dup_cluster_assignments(pairs)
+
+
+def _sql_near_dup_clusters() -> str:
+    pair_sql = _sql_minhash_near_dup()
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS t FROM pairs
+),
+verts AS (SELECT DISTINCT s AS v FROM edges),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.t AS v, reach.r AS r FROM reach JOIN edges e ON reach.v = e.s
+),
+labels AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM labels
+ORDER BY doc_id
+"""
+
+
+SQL_NEAR_DUP_CLUSTERS = _sql_near_dup_clusters()
+
+
 # ------------------------------------------------------------- SimHash
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 48-bit SimHash fingerprints (tf-weighted bit votes over

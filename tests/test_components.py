@@ -1,0 +1,59 @@
+"""Connected components (operators/components.py): min-label propagation
+must match a driver-side union-find on adversarial shapes — long paths
+(worst-case diameter), cliques, singleton-free edge lists — and the
+cluster-assignment wrapper must produce canonical min-id labels."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seo_audit_etl_actor_spark.operators.components import (
+    connected_components,
+    near_dup_cluster_assignments,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # long path: diameter 19 forces multiple propagation rounds
+        [(i, i + 1) for i in range(20)],
+        # two cliques + a bridge + an isolated pair
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        + [(4, 10), (100, 101)],
+        # star with high-degree hub
+        [(0, i) for i in range(1, 30)],
+        # reversed-id path (canonical label must still be the min)
+        [(i + 1, i) for i in range(30, 50)],
+    ],
+)
+def test_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r["vertex"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_cluster_assignments_shape(spark):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    out = near_dup_cluster_assignments(spark.createDataFrame(edges, "id_a: long, id_b: long"))
+    rows = [(r["doc_id"], r["cluster_id"], r["cluster_size"]) for r in out.collect()]
+    assert rows == [(1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)]
