@@ -62,6 +62,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("price_histogram", rs.q_price_histogram, rs.SQL_PRICE_HISTOGRAM),
     QuerySpec("above_nation_avg_balance", rs.q_above_nation_avg_balance, rs.SQL_ABOVE_NATION_AVG_BALANCE),
     QuerySpec("event_promo_windows", rs.q_event_promo_windows, rs.SQL_EVENT_PROMO_WINDOWS),
+    QuerySpec("customer_rank_stats", rel.q_customer_rank_stats, rel.SQL_CUSTOMER_RANK_STATS),
+    QuerySpec("trailing_hour_value", rel.q_trailing_hour_value, rel.SQL_TRAILING_HOUR_VALUE),
+    QuerySpec("order_count_distribution", rel.q_order_count_distribution, rel.SQL_ORDER_COUNT_DISTRIBUTION),
     # --- LLM-data-pipeline extensions (SURVEY §2.11; north star) ---
     QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
     QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),
@@ -69,6 +72,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("exact_dedup_stats", ext.q_exact_dedup_stats, ext.SQL_EXACT_DEDUP_STATS),
     QuerySpec("minhash_near_dup", ext.q_minhash_near_dup, ext.SQL_MINHASH_NEAR_DUP),
     QuerySpec("near_dup_clusters", ext.q_near_dup_clusters, ext.SQL_NEAR_DUP_CLUSTERS),
+    QuerySpec("contamination_by_source", ext.q_contamination_by_source, ext.SQL_CONTAMINATION_BY_SOURCE),
+    QuerySpec("repetition_stats", ext.q_repetition_stats, ext.SQL_REPETITION_STATS),
     QuerySpec("simhash_fingerprints", ext.q_simhash_fingerprints, ext.SQL_SIMHASH_FINGERPRINTS),
     QuerySpec("simhash_near_dup", ext.q_simhash_near_dup, ext.SQL_SIMHASH_NEAR_DUP),
     QuerySpec("ngram_jaccard_sample", ext.q_ngram_jaccard_sample, ext.SQL_NGRAM_JACCARD_SAMPLE),

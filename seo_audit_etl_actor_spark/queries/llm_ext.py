@@ -272,6 +272,109 @@ ORDER BY doc_id
 SQL_NEAR_DUP_CLUSTERS = _sql_near_dup_clusters()
 
 
+def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 App. C-style n-gram overlap): a
+    deterministic id-slice plays the benchmark set; per-source counts of
+    corpus docs sharing any hashed 3-gram with it
+    (operators/contamination.py — broadcast semi-join, corpus never
+    shuffled)."""
+    from seo_audit_etl_actor_spark.operators.contamination import (
+        contamination_by_source,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return contamination_by_source(docs)
+
+
+def _sql_contamination_by_source(modulus: int = 97, k: int = dedup.SHINGLE_K) -> str:
+    toks = _TOKS.format(c="text")
+    grams = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {toks} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(t) - {k - 2}),
+                                      i -> {_sql_md5_long(f'({grams})')} & {dedup.MASK32})) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % {modulus} = 0),
+corpus AS (SELECT doc_id, source, g FROM sh WHERE doc_id % {modulus} <> 0),
+cg AS (SELECT doc_id, unnest(g) AS gram FROM corpus),
+hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bench USING (gram))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+       ROUND(COUNT(h.doc_id) / COUNT(*), 6) AS contamination_rate
+FROM corpus LEFT JOIN hits h USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+
+SQL_CONTAMINATION_BY_SOURCE = _sql_contamination_by_source()
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter: per-doc duplicate
+    3-gram fraction (1 - distinct/total), quantized to ppm by INTEGER
+    division so the per-source aggregate is exact in any engine/partition
+    order. Entirely map-side HOFs — the only shuffle carries (source, two
+    longs) per doc."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    k = dedup.SHINGLE_K
+    toks = tokens(F.col("text"))
+    total = F.greatest(F.size(toks) - (k - 1), F.lit(0)).cast("long")
+    distinct = F.size(dedup.hashed_shingle_set(F.col("text"), k)).cast("long")
+    scored = docs.select(
+        F.col("source"),
+        total.alias("t"),
+        distinct.alias("d"),
+    ).where(F.col("t") > 0)
+    dup_q6 = F.expr("((t - d) * 1000000) div t")
+    return (
+        scored.select("source", dup_q6.alias("dup_q6"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            (F.sum("dup_q6").cast("long") / F.count(F.lit(1))).alias("avg_dup_q6"),
+            F.max("dup_q6").alias("max_dup_q6"),
+            F.sum((F.col("dup_q6") > 300000).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_repetition_stats(k: int = dedup.SHINGLE_K) -> str:
+    toks = _TOKS.format(c="text")
+    grams = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT source, {toks} AS t FROM documents
+),
+scored AS (
+  SELECT source,
+         GREATEST(len(t) - {k - 1}, 0) AS total,
+         len(list_distinct(list_transform(range(1, len(t) - {k - 2}),
+                                          i -> {_sql_md5_long(f'({grams})')} & {dedup.MASK32}))) AS d
+  FROM toks
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+       CAST(SUM(((total - d) * 1000000) // total) AS BIGINT) / COUNT(*) AS avg_dup_q6,
+       CAST(MAX(((total - d) * 1000000) // total) AS BIGINT) AS max_dup_q6,
+       CAST(SUM(CASE WHEN ((total - d) * 1000000) // total > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM scored
+WHERE total > 0
+GROUP BY source
+ORDER BY source
+"""
+
+
+SQL_REPETITION_STATS = _sql_repetition_stats()
+
+
 # ------------------------------------------------------------- SimHash
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 48-bit SimHash fingerprints (tf-weighted bit votes over

@@ -516,3 +516,108 @@ ASOF LEFT JOIN v_dedup v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 ORDER BY p.event_id
 """
+
+
+def q_customer_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth (SURVEY §2.6 surface): ntile, percent_rank
+    and cume_dist over account balance within each market segment. Ordering
+    includes c_custkey so ties are totally ordered — rank families are only
+    engine-portable under a total order. One shuffle (hashpartitioning on
+    mktsegment); all four windows share it."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("bal_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .where(F.col("c_custkey") % 50 == 0)
+        .orderBy("c_custkey")
+    )
+
+
+SQL_CUSTOMER_RANK_STATS = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(4) OVER w AS INT) AS bal_quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+QUALIFY c_custkey % 50 = 0
+ORDER BY c_custkey
+"""
+
+
+def q_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME range frame (not row frame): per event, the sum/count of
+    the same user's events in the trailing hour — RANGE BETWEEN 3600s
+    PRECEDING via rangeBetween over unix seconds. Ties on ts are included
+    wholesale by RANGE semantics in both engines, so no tiebreak column is
+    needed for determinism. Decimal-summed to kill float fold-order drift.
+    One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("hour_sum"),
+            F.count(F.lit(1)).over(w).alias("hour_n"),
+        )
+        .where(F.col("event_id") % 20 == 0)
+        .orderBy("event_id")
+    )
+
+
+SQL_TRAILING_HOUR_VALUE = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS hour_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+QUALIFY event_id % 20 = 0
+ORDER BY event_id
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, INCLUDING
+    zero-order customers (left outer join + count of non-null keys — the
+    classic outer-join-into-histogram double aggregate). Both aggregations
+    shuffle shrinking data: rows → (custkey, cnt) → (cnt, n_customers)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_orders").asc())
+    )
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY n_orders
+ORDER BY n_orders ASC
+"""
