@@ -154,3 +154,44 @@ def run_to_completion(
         .start()
     )
     q.awaitTermination()
+
+
+def purchase_view_attribution(
+    stream: DataFrame, watermark: str = "2 hours", lookback: str = "1 hour"
+) -> DataFrame:
+    """Stream-STREAM interval join (the §2.9 two-unbounded-sides case):
+    each purchase joined to the same user's view events in the trailing
+    `lookback` interval — streaming last-touch attribution.
+
+    Both sides carry a watermark and the join condition bounds view_ts to
+    [purchase_ts - lookback, purchase_ts], so Spark can evict buffered rows
+    once the watermark passes the interval — state is O(events per
+    lookback window per side), never unbounded. Inner join: purchases with
+    no prior view emit nothing (the outer variant would need the watermark
+    to close before emitting nulls)."""
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("view_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "purchase_value", "view_id", "view_ts")

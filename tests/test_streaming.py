@@ -143,3 +143,35 @@ def test_batch_sessionize_matches_streaming_session_count(spark, event_dir, tmp_
     got_counts = sorted((r["user_id"], r["n_events"]) for r in got)
     batch_counts = sorted((r["user_id"], r["n_events"]) for r in batch_sessions)
     assert got_counts == batch_counts
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_dir, tmp_path):
+    """purchase_view_attribution (stream-stream interval join) must emit
+    exactly the pairs the equivalent batch self-join produces."""
+    stream = se.read_event_stream(spark, event_dir)
+    out: list = []
+    se.run_to_completion(
+        se.purchase_view_attribution(stream),
+        out,
+        str(tmp_path / "ck_ssj"),
+        output_mode="append",
+    )
+    got = sorted((r["purchase_id"], r["view_id"]) for r in out)
+
+    b = _batch(spark, event_dir)
+    p = b.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    v = b.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    want = sorted(
+        (r["purchase_id"], r["view_id"])
+        for r in p.join(
+            v,
+            (F.col("user_id") == F.col("vu"))
+            & (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
