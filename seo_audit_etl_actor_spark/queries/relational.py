@@ -621,3 +621,39 @@ FROM (
 GROUP BY n_orders
 ORDER BY n_orders ASC
 """
+
+
+def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: top-20 part pairs co-occurring in the
+    same order. Self-join on l_orderkey with p1 < p2 — the candidate space
+    is Σ(order_size²), bounded by per-order line counts (~7 max in TPC-H),
+    NOT corpus size, so the join explodes per-key only and shuffles on the
+    uniform orderkey. distinct-per-order first so duplicate part lines
+    can't double-count a pair. Final top-k is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
+
+
+SQL_PART_COOCCURRENCE = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
