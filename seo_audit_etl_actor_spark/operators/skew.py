@@ -16,7 +16,7 @@ cover the cases AQE does not:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -74,12 +74,15 @@ def salted_join(
 
 def skew_stats(df: DataFrame, key_cols: list[str], top_n: int = 10) -> DataFrame:
     """Key-frequency diagnostic: the top-N heaviest keys and their share —
-    the measurement that justifies (or rules out) salting."""
-    total = df.count()
+    the measurement that justifies (or rules out) salting.
+
+    Single scan: the total comes from a global window SUM over the
+    (already tiny) per-key aggregate instead of a separate df.count()
+    action — one job, one pass over the data."""
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = F.sum("n_rows").over(Window.partitionBy())
     return (
-        df.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.col("n_rows") / F.lit(float(total)))
+        per_key.withColumn("share", F.col("n_rows") / total.cast("double"))
         .orderBy(F.col("n_rows").desc(), *key_cols)
         .limit(top_n)
     )
