@@ -36,9 +36,11 @@ COMMENT = {
     ),
     "minhash_near_dup": (
         "MinHash-LSH near-dup. What to check: the corpus is scanned ONCE (a single parquet "
-        "scan feeds shingling/signatures), candidates come from a groupBy on the band "
-        "bucket key (uniform md5-derived — skew-free), and verification is in-bucket HOFs, "
-        "not a self-join."
+        "scan feeds shingling/signatures, reused by every branch via ReusedExchange), "
+        "candidates come from a groupBy on the band bucket key (uniform md5-derived — "
+        "skew-free), verification is in-bucket HOFs, and the hot-bucket guard's window "
+        "count splits oversized buckets (> MAX_BUCKET_MEMBERS) to a streaming join branch "
+        "instead of one collect_list state."
     ),
     "cosine_topk_bruteforce": (
         "Brute-force ANN baseline. What to check: the single-row query side is a "
@@ -60,6 +62,18 @@ COMMENT = {
         "Decorrelated scalar subquery. What to check: the per-nation aggregate (25 rows) "
         "re-enters as BroadcastHashJoin, so the customer side is scanned twice but never "
         "shuffled; Catalyst would produce the same shape for the correlated SQL form."
+    ),
+    "contamination_by_source": (
+        "Benchmark decontamination. What to check: the benchmark gram set enters as a "
+        "BROADCAST (LeftSemi BroadcastHashJoin) — the corpus side is map-only through "
+        "shingling + the semi-join; the only exchanges move doc_id-sized rows (the "
+        "distinct and the per-source rollup), never document text."
+    ),
+    "part_cooccurrence": (
+        "Market-basket pair mining. What to check: the self-join shuffles both sides on "
+        "the uniform l_orderkey (sort-merge or shuffled-hash — either is fine; the "
+        "explosion is bounded per key by order size), and the final top-20 is "
+        "TakeOrderedAndProject, not a global sort."
     ),
 }
 
