@@ -75,6 +75,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("near_dup_clusters", ext.q_near_dup_clusters, ext.SQL_NEAR_DUP_CLUSTERS),
     QuerySpec("contamination_by_source", ext.q_contamination_by_source, ext.SQL_CONTAMINATION_BY_SOURCE),
     QuerySpec("repetition_stats", ext.q_repetition_stats, ext.SQL_REPETITION_STATS),
+    QuerySpec("vocab_oov_stats", ext.q_vocab_oov_stats, ext.SQL_VOCAB_OOV_STATS),
     QuerySpec("simhash_fingerprints", ext.q_simhash_fingerprints, ext.SQL_SIMHASH_FINGERPRINTS),
     QuerySpec("simhash_near_dup", ext.q_simhash_near_dup, ext.SQL_SIMHASH_NEAR_DUP),
     QuerySpec("ngram_jaccard_sample", ext.q_ngram_jaccard_sample, ext.SQL_NGRAM_JACCARD_SAMPLE),

@@ -375,6 +375,73 @@ ORDER BY source
 SQL_REPETITION_STATS = _sql_repetition_stats()
 
 
+VOCAB_SIZE = 20  # corpus vocabulary is 31 tokens → ~30% OOV, non-vacuous both ways
+
+
+def q_vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization prep: map tokens to ids via a frequency-ranked vocab
+    (top-N by count, ties to lexicographically-first token — a total
+    order), then per-source OOV statistics. The vocab side is tiny and
+    BROADCAST; at 100 TB the vocab is built once offline and the mapping
+    join is map-side — the corpus text is scanned once and never
+    shuffled (only (source, counts) rows move)."""
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "token_id",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+            ),
+        )
+        .where(F.col("token_id") <= VOCAB_SIZE)
+        .select("tok", "token_id")
+    )
+    mapped = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("token_id").isNull().cast("long")).alias("n_oov"),
+            F.round(
+                F.sum(F.col("token_id").isNull().cast("long")) / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+            F.countDistinct("token_id").alias("n_vocab_ids_used"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_vocab_oov_stats(vocab_size: int = VOCAB_SIZE) -> str:
+    toks = _TOKS.format(c="text")
+    return f"""
+WITH tk AS (
+  SELECT source, unnest({toks}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, token_id FROM (
+    SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS INT) AS token_id
+    FROM tk GROUP BY tok
+  ) WHERE token_id <= {vocab_size}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS oov_rate,
+       CAST(COUNT(DISTINCT v.token_id) AS BIGINT) AS n_vocab_ids_used
+FROM tk LEFT JOIN vocab v USING (tok)
+GROUP BY source
+ORDER BY source
+"""
+
+
+SQL_VOCAB_OOV_STATS = _sql_vocab_oov_stats()
+
+
 # ------------------------------------------------------------- SimHash
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 48-bit SimHash fingerprints (tf-weighted bit votes over
