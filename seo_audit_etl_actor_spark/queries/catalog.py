@@ -66,6 +66,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("trailing_hour_value", rel.q_trailing_hour_value, rel.SQL_TRAILING_HOUR_VALUE),
     QuerySpec("order_count_distribution", rel.q_order_count_distribution, rel.SQL_ORDER_COUNT_DISTRIBUTION),
     QuerySpec("part_cooccurrence", rel.q_part_cooccurrence, rel.SQL_PART_COOCCURRENCE),
+    QuerySpec("segment_user_reconciliation", rel.q_segment_user_reconciliation, rel.SQL_SEGMENT_USER_RECONCILIATION),
     # --- LLM-data-pipeline extensions (SURVEY §2.11; north star) ---
     QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
     QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),

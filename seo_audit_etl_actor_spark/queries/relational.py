@@ -657,3 +657,56 @@ GROUP BY part_a, part_b
 ORDER BY n_orders DESC, part_a ASC, part_b ASC
 LIMIT 20
 """
+
+
+def q_segment_user_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completing the join-type surface): a deterministic
+    customer segment (c_custkey % 3 == 0) reconciled against active event
+    users — keys in the segment only, active only, or both, rolled up to
+    presence-class counts. Both sides pre-aggregate to one row per key
+    BEFORE the join (shrink-then-join), and on this corpus all three outer
+    branches are non-empty (users ⊂ custkeys; segment ∩ users partial)."""
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("k"))
+        .withColumn("in_segment", F.lit(1))
+    )
+    active = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = seg.join(active, "k", "full_outer")
+    presence = (
+        F.when(F.col("in_segment").isNull(), "active_only")
+        .when(F.col("n_events").isNull(), "segment_only")
+        .otherwise("both")
+    )
+    return (
+        j.select(presence.alias("presence"), F.coalesce("n_events", F.lit(0)).alias("ne"))
+        .groupBy("presence")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("ne").alias("total_events"),
+        )
+        .orderBy("presence")
+    )
+
+
+SQL_SEGMENT_USER_RECONCILIATION = """
+WITH seg AS (
+  SELECT c_custkey AS k, 1 AS in_segment FROM customer WHERE c_custkey % 3 = 0
+),
+active AS (
+  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id
+)
+SELECT CASE WHEN in_segment IS NULL THEN 'active_only'
+            WHEN n_events IS NULL THEN 'segment_only'
+            ELSE 'both' END AS presence,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(COALESCE(n_events, 0)) AS BIGINT) AS total_events
+FROM seg FULL OUTER JOIN active USING (k)
+GROUP BY presence
+ORDER BY presence
+"""
