@@ -150,3 +150,35 @@ def test_prebucketed_ann_prunes_partitions(spark, sf_dir, tmp_path_factory):
         for r in similarity.cosine_topk_lsh(emb, 0, k=10, dim=64).collect()
     ]
     assert got == want
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination: the benchmark gram set must enter as a broadcast
+    LeftSemi hash join — corpus text never shuffles."""
+    df = SPECS["contamination_by_source"].fn(spark, sf_dir)
+    p = audit.plan_string(df)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert not audit.uses_python_udf(df)
+
+
+def test_vocab_mapping_broadcasts_vocab(spark, sf_dir):
+    df = SPECS["vocab_oov_stats"].fn(spark, sf_dir)
+    assert audit.has_broadcast_join(df)
+    assert not audit.uses_python_udf(df)
+
+
+def test_cooccurrence_distributed_topk(spark, sf_dir):
+    p = audit.plan_string(SPECS["part_cooccurrence"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_trailing_hour_single_data_shuffle(spark, sf_dir):
+    """The RANGE-frame window must ride ONE hashpartitioning(user_id)
+    exchange plus the presentation sort."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = SPECS["trailing_hour_value"].fn(spark, sf_dir)
+        assert audit.num_shuffles(df) <= 2, audit.plan_string(df)
+        assert "hashpartitioning(user_id" in audit.plan_string(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
