@@ -49,6 +49,8 @@ def connected_components(
         .withColumn("label", F.col("v"))
         .localCheckpoint(eager=True)
     )
+    import gc
+
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym["s"] == labels["v"])
@@ -66,7 +68,13 @@ def connected_components(
             .where(F.col("o.label") != F.col("n.label"))
             .count()
         )
+        # drop the superseded generation's references and collect so
+        # Spark's ContextCleaner can free its localCheckpoint blocks —
+        # otherwise a long-diameter graph pins every iteration's
+        # (vertex, label) snapshot in executor storage until session end
         labels = new_labels
+        del prop, new_labels
+        gc.collect()
         if changed == 0:
             return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

@@ -42,9 +42,22 @@ def pii_stats(
     docs: DataFrame, text_col: str = "text", group_col: str = "source"
 ) -> DataFrame:
     """Per-group PII exposure report: docs containing each PII family,
-    total match counts, and redacted-character volume."""
+    total match counts, and redacted-character volume.
+
+    Counts are taken at each SEQUENTIAL redaction stage (email on the raw
+    text, ip on the email-redacted text, phone after both) so every count
+    is exactly what redact_pii masks at that stage — counting all families
+    on raw text would claim phone exposure inside an email's local part
+    that redaction never touches.
+    """
     t = F.col(text_col)
-    counts = {k: F.regexp_count(t, F.lit(p)) for k, p in PATTERNS.items()}
+    after_email = F.regexp_replace(t, EMAIL_RE, MASKS["email"])
+    after_ip = F.regexp_replace(after_email, IPV4_RE, MASKS["ip"])
+    counts = {
+        "email": F.regexp_count(t, F.lit(EMAIL_RE)),
+        "ip": F.regexp_count(after_email, F.lit(IPV4_RE)),
+        "phone": F.regexp_count(after_ip, F.lit(PHONE_RE)),
+    }
     scored = docs.select(
         F.col(group_col),
         *[c.alias(f"n_{k}") for k, c in counts.items()],

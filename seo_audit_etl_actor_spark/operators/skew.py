@@ -16,7 +16,7 @@ cover the cases AQE does not:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -76,13 +76,17 @@ def skew_stats(df: DataFrame, key_cols: list[str], top_n: int = 10) -> DataFrame
     """Key-frequency diagnostic: the top-N heaviest keys and their share —
     the measurement that justifies (or rules out) salting.
 
-    Single scan: the total comes from a global window SUM over the
-    (already tiny) per-key aggregate instead of a separate df.count()
-    action — one job, one pass over the data."""
+    Single scan: the total re-aggregates the per-key counts and re-enters
+    as a broadcast cross join — one pass over the data (both consumers sit
+    on the per-key aggregate's exchange → ReusedExchange), and no
+    empty-partition window funneling millions of distinct keys through a
+    single task."""
     per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = F.sum("n_rows").over(Window.partitionBy())
+    total = per_key.agg(F.sum("n_rows").alias("__total"))
     return (
-        per_key.withColumn("share", F.col("n_rows") / total.cast("double"))
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n_rows") / F.col("__total").cast("double"))
+        .drop("__total")
         .orderBy(F.col("n_rows").desc(), *key_cols)
         .limit(top_n)
     )

@@ -556,16 +556,19 @@ ORDER BY c_custkey
 
 def q_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-TIME range frame (not row frame): per event, the sum/count of
-    the same user's events in the trailing hour — RANGE BETWEEN 3600s
-    PRECEDING via rangeBetween over unix seconds. Ties on ts are included
-    wholesale by RANGE semantics in both engines, so no tiebreak column is
-    needed for determinism. Decimal-summed to kill float fold-order drift.
-    One shuffle on user_id."""
+    the same user's events in the trailing hour — RANGE BETWEEN 3600e6
+    PRECEDING over INTEGER MICROSECONDS (unix_micros / epoch_us), so both
+    engines bound the frame on the exact same integer key; ordering by
+    floored whole seconds while the oracle used fractional seconds would
+    silently disagree on sub-second neighbors. Ties on the micros key are
+    included wholesale by RANGE semantics in both engines — no tiebreak
+    needed. Decimal-summed to kill float fold-order drift. One shuffle on
+    user_id."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return (
         ev.select(
@@ -585,8 +588,8 @@ SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_sum,
        CAST(COUNT(*) OVER w AS BIGINT) AS hour_n
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 QUALIFY event_id % 20 = 0
 ORDER BY event_id
 """

@@ -206,7 +206,7 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICE_HISTOGRAM = f"""
 SELECT CAST(FLOOR(l_extendedprice / {BUCKET_WIDTH}) AS BIGINT) AS bucket,
-       CAST(FLOOR(l_extendedprice / {BUCKET_WIDTH}) AS BIGINT) * {BUCKET_WIDTH} AS bucket_lo,
+       CAST(CAST(FLOOR(l_extendedprice / {BUCKET_WIDTH}) AS BIGINT) * {BUCKET_WIDTH} AS DOUBLE) AS bucket_lo,
        CAST(COUNT(*) AS BIGINT) AS n_items,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
 FROM lineitem

@@ -47,7 +47,20 @@ ZIP_ENTRY_SCHEMA = T.StructType(
 
 STATUS_OK = "ok"
 STATUS_NOT_A_ZIP = "not_a_zip"
+STATUS_ZIP_UNREADABLE = "zip_unreadable"
+STATUS_ENTRY_UNREADABLE = "entry_unreadable"
 STATUS_NESTED_UNREADABLE = "nested_unreadable"
+
+
+def _row(path, name, nested, data, status):
+    return {
+        "zip_path": path,
+        "entry_name": name,
+        "is_nested": nested,
+        "entry_size": len(data) if data is not None else None,
+        "content": data,
+        "status": status,
+    }
 
 
 def _entries_of(path: str, blob: bytes, expand_nested: bool) -> Iterator[dict]:
@@ -55,60 +68,52 @@ def _entries_of(path: str, blob: bytes, expand_nested: bool) -> Iterator[dict]:
         # the reference dumps the payload as ZIP_DEBUG.bin and errors
         # (src/etl.js:102-104); at corpus scale we degrade per file and
         # keep the payload so a debug sink can still dump it
-        yield {
-            "zip_path": path,
-            "entry_name": None,
-            "is_nested": False,
-            "entry_size": len(blob),
-            "content": blob,
-            "status": STATUS_NOT_A_ZIP,
-        }
+        yield _row(path, None, False, blob, STATUS_NOT_A_ZIP)
         return
-    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
-        for info in zf.infolist():
-            if info.is_dir():
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        infos = [i for i in zf.infolist() if not i.is_dir()]
+    except Exception:  # noqa: BLE001 — PK prefix but corrupt directory
+        # a truncated download passes the 2-byte magic check yet has no
+        # readable central directory; one poison blob must not kill the job
+        yield _row(path, None, False, blob, STATUS_ZIP_UNREADABLE)
+        return
+    with zf:
+        for info in infos:
+            try:
+                data = zf.read(info)
+            except Exception:  # noqa: BLE001 — CRC/deflate-corrupt member
+                yield _row(path, info.filename, False, None, STATUS_ENTRY_UNREADABLE)
                 continue
-            data = zf.read(info)
             if expand_nested and info.filename.lower().endswith(".zip"):
                 # attempt expansion on the NAME, not the magic bytes — the
                 # reference's corrupt-site-audit branch degrades on any
-                # unreadable payload claiming to be an archive
+                # unreadable payload claiming to be an archive. Materialize
+                # ALL inner entries BEFORE yielding any: a half-readable
+                # nested archive must not emit entry 1 decoded and then the
+                # whole raw blob again (duplicate content downstream).
                 try:
                     with zipfile.ZipFile(io.BytesIO(data)) as inner:
-                        for iinfo in inner.infolist():
-                            if iinfo.is_dir():
-                                continue
-                            idata = inner.read(iinfo)
-                            yield {
-                                "zip_path": path,
-                                "entry_name": f"{info.filename}!{iinfo.filename}",
-                                "is_nested": True,
-                                "entry_size": len(idata),
-                                "content": idata,
-                                "status": STATUS_OK,
-                            }
+                        inner_rows = [
+                            _row(
+                                path,
+                                f"{info.filename}!{iinfo.filename}",
+                                True,
+                                inner.read(iinfo),
+                                STATUS_OK,
+                            )
+                            for iinfo in inner.infolist()
+                            if not iinfo.is_dir()
+                        ]
+                    yield from inner_rows
                     continue
-                except (zipfile.BadZipFile, OSError):
+                except Exception:  # noqa: BLE001 — BadZipFile, zlib.error, CRC
                     # partial-degrade exactly like the reference's corrupt
                     # site-audit branch (src/etl.js:184-187): surface the
                     # raw entry, flag it, keep going
-                    yield {
-                        "zip_path": path,
-                        "entry_name": info.filename,
-                        "is_nested": False,
-                        "entry_size": len(data),
-                        "content": data,
-                        "status": STATUS_NESTED_UNREADABLE,
-                    }
+                    yield _row(path, info.filename, False, data, STATUS_NESTED_UNREADABLE)
                     continue
-            yield {
-                "zip_path": path,
-                "entry_name": info.filename,
-                "is_nested": False,
-                "entry_size": len(data),
-                "content": data,
-                "status": STATUS_OK,
-            }
+            yield _row(path, info.filename, False, data, STATUS_OK)
 
 
 def explode_zip_entries(

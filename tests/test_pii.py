@@ -37,17 +37,21 @@ def test_stats_match_duckdb_twin(spark):
     con = duckdb.connect()
     con.execute("CREATE TABLE docs(doc_id BIGINT, source VARCHAR, text VARCHAR)")
     con.executemany("INSERT INTO docs VALUES (?, ?, ?)", DOCS)
+    # sequential-stage counts, mirroring pii_stats: email on raw text, ip
+    # on email-redacted text, phone after both
+    after_email = f"regexp_replace(text, '{pii.EMAIL_RE}', '<EMAIL>', 'g')"
+    after_ip = f"regexp_replace({after_email}, '{pii.IPV4_RE}', '<IP>', 'g')"
     fams = [
-        ("email", pii.EMAIL_RE, "<EMAIL>"),
-        ("phone", pii.PHONE_RE, "<PHONE>"),
-        ("ip", pii.IPV4_RE, "<IP>"),
+        ("email", pii.EMAIL_RE, "text"),
+        ("phone", pii.PHONE_RE, after_ip),
+        ("ip", pii.IPV4_RE, after_email),
     ]
     cols = []
-    for k, p, _ in fams:
+    for k, p, src in fams:
         cols.append(
-            f"CAST(SUM(CASE WHEN len(regexp_extract_all(text, '{p}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_{k}"
+            f"CAST(SUM(CASE WHEN len(regexp_extract_all({src}, '{p}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_{k}"
         )
-        cols.append(f"CAST(SUM(len(regexp_extract_all(text, '{p}'))) AS BIGINT) AS total_{k}")
+        cols.append(f"CAST(SUM(len(regexp_extract_all({src}, '{p}'))) AS BIGINT) AS total_{k}")
     redacted = "regexp_replace(regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'), '{p}', '<PHONE>', 'g')".format(
         e=pii.EMAIL_RE, i=pii.IPV4_RE, p=pii.PHONE_RE
     )

@@ -111,3 +111,62 @@ def test_map_only_no_shuffle(exploded, spark, zip_dir):
     df = zd.explode_zip_entries(spark.read.format("binaryFile").load(zip_dir))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_corrupt_outer_zip_degrades_not_fails(spark, tmp_path):
+    """PK prefix + truncated central directory (a cut-off download) must
+    yield one zip_unreadable row, not a failed task."""
+    d = tmp_path / "corrupt_outer"
+    d.mkdir()
+    (d / "good.zip").write_bytes(build_fixture_zip())
+    (d / "truncated.zip").write_bytes(build_fixture_zip()[:100])
+    out = zd.explode_zip_entries(spark.read.format("binaryFile").load(str(d)))
+    rows = out.collect()
+    bad = [r for r in rows if r["zip_path"].endswith("truncated.zip")]
+    assert len(bad) == 1 and bad[0]["status"] == "zip_unreadable"
+    assert any(
+        r["zip_path"].endswith("good.zip") and r["status"] == "ok" for r in rows
+    )
+
+
+def test_half_readable_nested_zip_no_duplicate_entries(spark, tmp_path):
+    """A nested archive whose directory parses but whose member data is
+    corrupt must degrade to ONE nested_unreadable row — no inner entry may
+    be emitted twice (once decoded, once inside the raw fallback blob)."""
+    import io as _io
+    import zipfile as _zf
+
+    inner = _io.BytesIO()
+    with _zf.ZipFile(inner, "w", compression=_zf.ZIP_DEFLATED) as z:
+        z.writestr("a.csv", "h\n1\n")
+        z.writestr("b.csv", "h\n2\n")
+    blob = bytearray(inner.getvalue())
+    # corrupt b.csv's deflate stream: flip bytes in the middle of the file
+    # body region (after a.csv's local header) but before the central dir
+    for off in range(45, 60):
+        blob[off] ^= 0xFF
+
+    outer = _io.BytesIO()
+    with _zf.ZipFile(outer, "w") as z:
+        z.writestr("nested.zip", bytes(blob))
+        z.writestr("plain.csv", "x\n9\n")
+    d = tmp_path / "halfbad"
+    d.mkdir()
+    (d / "archive.zip").write_bytes(outer.getvalue())
+
+    rows = zd.explode_zip_entries(spark.read.format("binaryFile").load(str(d))).collect()
+    by_name = {}
+    for r in rows:
+        by_name.setdefault(r["entry_name"], []).append(r["status"])
+    assert by_name["plain.csv"] == ["ok"]
+    # either the whole nested zip degraded as one row, or (if the corruption
+    # didn't break extraction) every inner entry appears exactly once
+    if "nested.zip" in by_name:
+        assert by_name["nested.zip"] == ["nested_unreadable"]
+        assert not any(n and n.startswith("nested.zip!") for n in by_name)
+    else:
+        assert sorted(n for n in by_name if n and n.startswith("nested.zip!")) == [
+            "nested.zip!a.csv",
+            "nested.zip!b.csv",
+        ]
+        assert all(len(v) == 1 for v in by_name.values())
