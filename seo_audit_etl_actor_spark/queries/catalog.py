@@ -95,6 +95,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("stratified_sample_stats", ext.q_stratified_sample_stats, ext.SQL_STRATIFIED_SAMPLE_STATS),
     QuerySpec("chunk_stats", ext.q_chunk_stats, ext.SQL_CHUNK_STATS),
     QuerySpec("packing_stats", ext.q_packing_stats, ext.SQL_PACKING_STATS),
+    QuerySpec("tfidf_top_terms", ext.q_tfidf_top_terms, ext.SQL_TFIDF_TOP_TERMS),
 ]
 
 

@@ -1181,3 +1181,113 @@ WHERE n_tok > 0
 GROUP BY lang
 ORDER BY lang
 """
+
+# --------------------------------------------------- TF-IDF top terms
+
+TFIDF_TERM_RE = "[a-z]{2,}"
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide TF-IDF: the top-K most characteristic terms per source.
+
+    The classic text-analysis reduction the reference's per-column scalar
+    model cannot express (no reference analogue; engine surface per SURVEY
+    §2.11): term frequency per doc, document frequency per term, idf
+    weighting, then a per-group top-k.
+
+    Scale shape (100 TB): explode is map-side; tf and df are two shuffles
+    keyed on (doc_id, term) and term — both partial-aggregated map-side, so
+    the hot stopword keys ship one row per map partition, not one per
+    occurrence (the same reason simhash_near_dup needs no salting). The
+    doc-count side is a 1-row broadcast; the df join shuffles on term
+    (dictionary-sized, far smaller than the corpus). Final top-k is a
+    window over source — group-count rows only.
+
+    Oracle parity: idf is quantized to an integer (round(ln*1e6)) BEFORE
+    multiplying by tf and summing, so the aggregation is integer math —
+    fold-order immune, and a last-ulp ln() difference between JVM and
+    libm cannot survive the quantization (memory: oracle-parity-recipes).
+    """
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TFIDF_TERM_RE}', 0)")
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_docs"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    idf_q = F.round(
+        F.log(
+            (F.col("__n") + F.lit(1)).cast("double")
+            / (F.col("df_docs") + F.lit(1)).cast("double")
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    per_source = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("source", "term")
+        .agg(
+            F.sum(F.col("tf") * idf_q).cast("long").alias("score_q"),
+            F.sum("tf").cast("long").alias("term_freq"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_q").desc(), F.col("term").asc()
+    )
+    return (
+        per_source.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOP_K)
+        .select(
+            "source",
+            F.col("rnk").cast("int").alias("rnk"),
+            "term",
+            "term_freq",
+            (F.col("score_q") / F.lit(1_000_000.0)).alias("tfidf"),
+        )
+        .orderBy("source", "rnk")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '{TFIDF_TERM_RE}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2, 3
+),
+dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         CAST(ROUND(ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfr.df_docs + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS idf_q
+  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n
+),
+agg AS (
+  SELECT source, term,
+         CAST(SUM(tf * idf_q) AS BIGINT) AS score_q,
+         CAST(SUM(tf) AS BIGINT) AS term_freq
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, term, score_q, term_freq,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_q DESC, term) AS rnk
+  FROM agg
+)
+SELECT source, CAST(rnk AS INT) AS rnk, term, term_freq,
+       CAST(score_q / 1000000.0 AS DOUBLE) AS tfidf
+FROM ranked
+WHERE rnk <= {TFIDF_TOP_K}
+ORDER BY source, rnk
+"""
