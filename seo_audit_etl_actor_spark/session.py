@@ -46,6 +46,7 @@ def get_spark(app_name: str = "seo-audit-etl-actor-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -61,6 +62,7 @@ def get_spark(app_name: str = "seo-audit-etl-actor-spark") -> SparkSession:
             ("spark.sql.adaptive.skewJoin.enabled", "true"),
             ("spark.sql.execution.arrow.pyspark.enabled", "true"),
             ("spark.sql.session.timeZone", "UTC"),
+            ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ):
             active.conf.set(k, v)
         return active
@@ -96,6 +98,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _SCHEMA_CACHE[key] = df.schema
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Timestamps without a parquet UTC marker arrive as TIMESTAMP_NTZ when a
+    # host-created session left inferTimestampNTZ on; every operator (and the
+    # round-1-proven oracle comparison) works on TIMESTAMP_LTZ under the UTC
+    # session timezone, where the NTZ->LTZ cast is wall-clock identity.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
