@@ -10,8 +10,13 @@ Repeatability: this host has noisy-neighbor throttling windows that swing
 identical runs 3-4x, so a single measurement cannot power a
 regressed-vs-last-round comparison. One cold pass warms JVM/codegen/schema
 caches, then $SPARK_GRAFT_BENCH_RUNS (default 3) warm passes are measured;
-`value` and per-query `queries` are MEDIANS across the warm passes, with
-min/max spread reported alongside (`warm_totals`, `queries_spread`).
+`value` and per-query `queries` are MEDIANS across the warm passes.
+
+Output capture contract (BENCH_r02 lost its JSON head to a bounded tail
+capture): stdout carries a sentinel line `BENCH_JSON_BELOW` followed by ONE
+compact JSON line as the FINAL line — nothing is printed after it, and the
+per-query spread detail that bloated the r02 line goes to
+bench_detail.json (git-ignored) instead of stdout.
 """
 
 from __future__ import annotations
@@ -60,22 +65,24 @@ def main() -> None:
     med_q = {n: round(statistics.median(ts), 3) for n, ts in per_query.items()}
     spread_q = {n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in per_query.items()}
 
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_suite_wall_clock",
-                "value": round(statistics.median(warm_totals), 3),
-                "unit": "sec",
-                "queries": med_q,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cold_total_sec": round(cold_total, 3),
-                "warm_totals": warm_totals,
-                "queries_spread": spread_q,
-                "n_warm_runs": max(1, n_runs),
-                "n_queries": len(QUERIES),
-            }
-        )
+    summary = {
+        "metric": "catalog_suite_wall_clock",
+        "value": round(statistics.median(warm_totals), 3),
+        "unit": "sec",
+        "queries": med_q,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cold_total_sec": round(cold_total, 3),
+        "warm_totals": warm_totals,
+        "n_warm_runs": max(1, n_runs),
+        "n_queries": len(QUERIES),
+    }
+    detail_path = Path(__file__).resolve().parent / "bench_detail.json"
+    detail_path.write_text(
+        json.dumps({**summary, "queries_spread": spread_q}, indent=1) + "\n"
     )
+    sys.stdout.flush()
+    print("BENCH_JSON_BELOW", flush=True)
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

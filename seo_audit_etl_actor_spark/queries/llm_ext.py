@@ -897,12 +897,35 @@ ORDER BY event_type
 # ------------------------------------------------------------- approx distinct
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct (A2's 100 TB variant — SURVEY §2.3 A2).
-    No oracle: DuckDB's approx algorithm differs; tests assert ≤2% error
-    vs exact."""
+
+    The HLL estimate itself is implementation-defined (DuckDB's sketch
+    differs from Spark's), so the hashable contract is the EXACT count plus
+    a boolean asserting the estimate landed within the configured relative
+    error: the oracle emits the same exact count and a literal TRUE. A
+    drifting HLL implementation flips `within_bound` and fails the hash.
+    Both sides come out of one aggregate over one scan — at 100 TB the
+    exact COUNT(DISTINCT) is the expensive half; production callers drop it
+    and keep only the estimate (this query is the calibration harness).
+    """
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    ).select(
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.02)
+        ).alias("within_bound"),
     )
+
+
+SQL_APPROX_DISTINCT_USERS = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events
+"""
 
 
 # ------------------------------------------------------------- curation funnel

@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 TABLES = (
     "region",
@@ -46,9 +47,13 @@ def get_spark(app_name: str = "seo-audit-etl-actor-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.timestampType", "TIMESTAMP_LTZ")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # progress-bar escape codes would interleave with bench.py's
+        # machine-parseable stdout (static conf: must be set pre-start)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     active = SparkSession.getActiveSession()
     if active is not None:
@@ -62,6 +67,7 @@ def get_spark(app_name: str = "seo-audit-etl-actor-spark") -> SparkSession:
             ("spark.sql.adaptive.skewJoin.enabled", "true"),
             ("spark.sql.execution.arrow.pyspark.enabled", "true"),
             ("spark.sql.session.timeZone", "UTC"),
+            ("spark.sql.timestampType", "TIMESTAMP_LTZ"),
             ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ):
             active.conf.set(k, v)
@@ -102,9 +108,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # host-created session left inferTimestampNTZ on; every operator (and the
     # round-1-proven oracle comparison) works on TIMESTAMP_LTZ under the UTC
     # session timezone, where the NTZ->LTZ cast is wall-clock identity.
+    # Cast to the explicit LTZ type: the "timestamp" alias resolves via
+    # spark.sql.timestampType, which a host session could have set to NTZ —
+    # the exact threat this conversion defends against. Only top-level
+    # columns are walked; the driver tables are flat (no nested timestamps).
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+        df = df.withColumn(c, F.col(c).cast(TimestampType()))
     return df
 
 

@@ -1,7 +1,13 @@
 """Local mirror of the driver's Spark-vs-DuckDB comparison: row count,
-schema (column names), and order-insensitive value comparison with a small
-float tolerance (the driver hashes; we compare values directly so failures
-are debuggable)."""
+schema (column names), and order-insensitive EXACT value comparison (we
+compare values directly instead of hashing so failures are debuggable).
+
+Exactness matches the driver: it hashes values with no float tolerance, so
+a result that differs in the 7th decimal must fail HERE, locally, not in
+the per-round driver run. Queries whose outputs are genuinely
+float-arithmetic-order-dependent must quantize in BOTH the Spark
+expression and the oracle SQL (the catalog's integer-quantization idiom)
+rather than rely on comparison slack."""
 
 from __future__ import annotations
 
@@ -15,7 +21,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # exact: -0.0 vs 0.0 is the one representational (not arithmetic)
+        # difference a hash of the decimal string would also collapse
+        return v + 0.0 if v == 0.0 else v
     if isinstance(v, (datetime, date)):
         return str(v)
     if isinstance(v, (list, tuple)):
