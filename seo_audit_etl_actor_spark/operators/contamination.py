@@ -45,6 +45,71 @@ def contaminated_doc_ids(
     )
 
 
+def build_gram_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+) -> None:
+    """Materialize the (doc_id, gram) shingle index as a parquet lake
+    table — the write-once half of scrubbing one corpus-scale split
+    against another (where the reference side exceeds broadcast size and
+    `contaminated_doc_ids`'s broadcast semi-join no longer applies).
+
+    Materializing is not just caching: Catalyst's runtime Bloom-filter
+    injection (InjectRuntimeFilter) only fires when the filter-creation
+    side is a selective predicate directly over a SCAN — it cannot see
+    through the Generate(explode) that gram extraction needs. Persisting
+    the exploded grams turns the decontamination join into exactly the
+    shape the rule matches, and the index is reused by every subsequent
+    scrub (new benchmark, new split) without re-shingling 100 TB of text.
+    """
+    grams = hashed_shingle_set(F.col(text_col), k)
+    (
+        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def contaminated_doc_ids_from_index(
+    index: DataFrame,
+    benchmark_modulus: int = 97,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-vs-corpus decontamination over a persisted gram index: docs
+    whose id ≡ 0 (mod benchmark_modulus) play the benchmark split, and a
+    corpus doc is contaminated if it shares any gram with that split.
+
+    Both join inputs are selective filters over the SAME index scan, and
+    neither side is broadcast — this is the shape where Spark's runtime
+    Bloom-filter join pushdown carries the 100 TB cost: Catalyst builds a
+    Bloom filter over the benchmark-side grams and pushes a
+    `might_contain` predicate into the corpus-side scan, dropping the
+    overwhelmingly-clean grams BEFORE the shuffle (terabytes → gigabytes
+    of exchange). Asserted on the optimized plan in tests/test_bloom.py
+    (size thresholds lowered so injection triggers at test scale; at real
+    scale the defaults — creation side <10 MB won't hold for a corpus
+    split, so raise spark.sql.optimizer.runtime.bloomFilter.
+    creationSideThreshold alongside expectedNumItems).
+
+    Inner join + id-distinct rather than semi-join: for LEFT SEMI the
+    rule can only inject INTO the right side, which is backwards here;
+    inner keeps both directions eligible and the trailing distinct
+    restores semi semantics.
+    """
+    bench = index.where(F.col(id_col) % benchmark_modulus == 0).select(
+        F.col("gram").alias("__bgram")
+    )
+    corpus = index.where(F.col(id_col) % benchmark_modulus != 0)
+    return (
+        corpus.join(bench, corpus["gram"] == bench["__bgram"])
+        .select(id_col)
+        .distinct()
+    )
+
+
 def contamination_by_source(
     docs: DataFrame,
     benchmark_modulus: int = 97,

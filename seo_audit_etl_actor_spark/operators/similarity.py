@@ -289,6 +289,84 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_topk_rerank(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_candidates: int = 50,
+    dim: int = 64,
+    n_planes: int = 8,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrieve-then-rerank: LSH candidate generation → coarse cosine top-N
+    → expensive per-pair rerank on the N survivors → final top-k. The
+    standard two-stage retrieval pipeline: the cheap stage bounds how many
+    pairs the expensive stage ever sees, so rerank cost is O(n_candidates)
+    regardless of corpus size — at 100 TB the corpus scan is the pruned
+    LSH hamming-ball pass, the coarse top-N is Spark's distributed
+    TakeOrderedAndProject, and the reranker touches exactly N rows.
+
+    The rerank stage is Arrow-batched pandas_udf by design — it stands in
+    for a learned cross-encoder (the real-world rerank is a model forward
+    pass, inherently Python). The stand-in score is a soft-sign
+    interaction, sum_j s(c_j*q_j) with s(x)=x/(1+|x|): nonlinear in the
+    per-dimension products (so it genuinely reorders the cosine ranking)
+    yet rational arithmetic folded left-to-right — bit-reproducible by the
+    DuckDB oracle's unrolled chain, like the cosine fold.
+
+    The candidate vectors ride through the coarse top-N (N × dim doubles
+    through TakeOrdered — a few KB), avoiding a second corpus scan to
+    re-fetch candidate embeddings.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    q_row = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()
+    qv = np.asarray([float(x) for x in q_row[0]], dtype=np.float64)
+
+    with_bucket = embeddings.withColumn("__bucket", lsh_bucket(vec_col, dim, n_planes))
+    q = with_bucket.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
+    )
+    coarse = (
+        with_bucket.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_vec_id)
+        .where(
+            F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qbucket")).cast("long"))
+            <= max_hamming
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            cosine(F.col(vec_col), F.col("__qvec")).alias("coarse_sim"),
+        )
+        .orderBy(F.col("coarse_sim").desc(), F.col(id_col).asc())
+        .limit(n_candidates)
+    )
+
+    @pandas_udf("double")
+    def rerank(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        # dimension-by-dimension accumulation = the SQL chain's left-assoc
+        # order per row (vectorized across the batch, sequential across
+        # dims) — this is what makes the score exactly oracle-able
+        acc = np.zeros(m.shape[0], dtype=np.float64)
+        for j in range(m.shape[1]):
+            x = m[:, j] * qv[j]
+            acc = acc + x / (1.0 + np.abs(x))
+        return pd.Series(acc)
+
+    return (
+        coarse.withColumn("rerank_score", rerank(F.col(vec_col)))
+        .select(F.col(id_col), "coarse_sim", "rerank_score")
+        .orderBy(F.col("rerank_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_bucket_py(vec: list[float], dim: int, n_planes: int = 8) -> int:
     """Driver-side twin of lsh_bucket for a single query vector: Python's
     left-assoc sum matches the SQL chain bit-for-bit, so the bucket agrees

@@ -73,6 +73,22 @@ def uses_python_udf(df: DataFrame) -> bool:
     return any(tag in p for tag in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "FlatMapGroupsInPandas", "MapInPandas"))
 
 
+def optimized_plan_string(df: DataFrame) -> str:
+    """Optimized LOGICAL plan text. Needed for properties AQE hides from
+    the formatted physical output — e.g. an injected runtime Bloom filter
+    appears here as `might_contain(scalar-subquery ...)` while the
+    physical string buries the subquery."""
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def has_runtime_bloom_filter(df: DataFrame) -> bool:
+    """True if Catalyst's InjectRuntimeFilter added a Bloom-filter
+    pre-shuffle prune (bloom_filter_agg on the creation side +
+    might_contain on the application side)."""
+    p = optimized_plan_string(df)
+    return "might_contain" in p and "bloom_filter_agg" in p
+
+
 def num_codegen_subtrees(df: DataFrame) -> int:
     """Whole-stage-codegen coverage. Uses explain('codegen') — the
     formatted mode hides codegen spans under an unexecuted

@@ -39,7 +39,7 @@ class QuerySpec:
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
     # --- round-3 additions (no driver evidence yet) ---
-    # (inserted here as they are built)
+    QuerySpec("cosine_topk_rerank", ext.q_cosine_topk_rerank, ext.SQL_COSINE_TOPK_RERANK),
     # --- never driver-verified before round 3 (rounds 1-2 window misses) ---
     QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
     QuerySpec("hash_split_stats", ext.q_hash_split_stats, ext.SQL_HASH_SPLIT_STATS),

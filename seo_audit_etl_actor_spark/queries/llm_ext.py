@@ -874,6 +874,66 @@ LIMIT {k}
 SQL_COSINE_TOPK_LSH = _sql_cosine_topk_lsh()
 
 
+def q_cosine_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank (operators/similarity.py
+    cosine_topk_rerank): LSH hamming-ball candidates → coarse cosine top-50
+    → Arrow-batched soft-sign rerank → top-10. The rerank stand-in is
+    left-assoc rational arithmetic, so the whole pipeline — including the
+    nonlinear second stage — has an exact DuckDB oracle."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    return similarity.cosine_topk_rerank(
+        emb, _QUERY_VEC_ID, k=10, n_candidates=50, dim=EMB_DIM
+    )
+
+
+def _sql_cosine_topk_rerank(
+    dim: int = EMB_DIM,
+    qid: int = _QUERY_VEC_ID,
+    k: int = 10,
+    n_cand: int = 50,
+    max_hamming: int = 2,
+) -> str:
+    """DuckDB twin of similarity.cosine_topk_rerank: same bucketed candidate
+    set and coarse top-N as the LSH oracle, then the soft-sign interaction
+    sum_j t/(1+|t|) with t = c_j*q_j as an unrolled left-assoc chain —
+    bit-equal to the pandas_udf's dimension-sequential accumulation."""
+
+    def chain(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+        )
+
+    def ss_term(j: int) -> str:
+        t = f"(CAST(embedding[{j}] AS DOUBLE) * CAST(e[{j}] AS DOUBLE))"
+        return f"({t} / (1.0 + abs({t})))"
+
+    rr = "0.0 + " + " + ".join(ss_term(j) for j in range(1, dim + 1))
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_sql_lsh_bucket('embedding', dim)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS e, bucket AS qb FROM bucketed WHERE vec_id = {qid}),
+coarse AS (
+  SELECT vec_id, embedding, e,
+         ({chain('embedding', 'e')})
+         / (sqrt({chain('embedding', 'embedding')}) * sqrt({chain('e', 'e')})) AS coarse_sim
+  FROM bucketed, q
+  WHERE vec_id != {qid}
+    AND bit_count(CAST(xor(bucket, qb) AS BIGINT)) <= {max_hamming}
+  ORDER BY coarse_sim DESC, vec_id ASC
+  LIMIT {n_cand}
+)
+SELECT vec_id, coarse_sim, ({rr}) AS rerank_score
+FROM coarse
+ORDER BY rerank_score DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+SQL_COSINE_TOPK_RERANK = _sql_cosine_topk_rerank()
+
+
 # ------------------------------------------------------------- skew-safe distinct
 def q_skewsafe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users per event type via the salted two-phase form
