@@ -13,6 +13,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from seo_audit_etl_actor_spark.queries import llm_ext as ext
+from seo_audit_etl_actor_spark.queries import pipeline_ext as px
 from seo_audit_etl_actor_spark.queries import reference_ops as r
 from seo_audit_etl_actor_spark.queries import relational as rel
 from seo_audit_etl_actor_spark.queries import reshape as rs
@@ -40,6 +41,12 @@ class QuerySpec:
 QUERIES: list[QuerySpec] = [
     # --- round-3 additions (no driver evidence yet) ---
     QuerySpec("cosine_topk_rerank", ext.q_cosine_topk_rerank, ext.SQL_COSINE_TOPK_RERANK),
+    QuerySpec("passage_dedup_stats", px.q_passage_dedup_stats, px.SQL_PASSAGE_DEDUP_STATS),
+    QuerySpec("incremental_admission", px.q_incremental_admission, px.SQL_INCREMENTAL_ADMISSION),
+    QuerySpec("source_mixing_weights", px.q_source_mixing_weights, px.SQL_SOURCE_MIXING_WEIGHTS),
+    QuerySpec("bpe_pair_stats", px.q_bpe_pair_stats, px.SQL_BPE_PAIR_STATS),
+    QuerySpec("length_bucket_packing", px.q_length_bucket_packing, px.SQL_LENGTH_BUCKET_PACKING),
+    QuerySpec("token_rarity_stats", px.q_token_rarity_stats, px.SQL_TOKEN_RARITY_STATS),
     # --- never driver-verified before round 3 (rounds 1-2 window misses) ---
     QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
     QuerySpec("hash_split_stats", ext.q_hash_split_stats, ext.SQL_HASH_SPLIT_STATS),
