@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from seo_audit_etl_actor_spark.session import ensure_package_on_executors
+
 IMAGE_META_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType(), True),
@@ -73,6 +75,7 @@ def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     """mapInPandas image metadata extraction: format/dims from container
     headers + content hash. For the (fake-decoded) pixel path see
     `decode_image_thumbs`."""
+    ensure_package_on_executors(df.sparkSession)
 
     def extract(batches) -> Iterator:
         import pandas as pd
@@ -124,6 +127,7 @@ def decode_image_thumbs(df: DataFrame, content_col: str = "content") -> DataFram
     `PIL.Image.open(...).convert("L").resize(...)` when a codec exists;
     schema and batch shape do not change.
     """
+    ensure_package_on_executors(df.sparkSession)
 
     def _fake_gray_thumb(b: bytes) -> list[int]:
         n = THUMB_SIDE * THUMB_SIDE
@@ -171,6 +175,7 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1 << 16, max_frames: int =
     windows of the blob (stand-in for ffmpeg keyframe extraction — the
     mapInPandas fan-out, bounded output rows per blob, and typed schema are
     the real contract; the codec inner loop is the stub)."""
+    ensure_package_on_executors(df.sparkSession)
 
     def sample(batches) -> Iterator:
         import pandas as pd

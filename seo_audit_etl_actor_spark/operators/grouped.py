@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from seo_audit_etl_actor_spark.session import ensure_package_on_executors
+
 EWMA_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), True),
@@ -39,6 +41,7 @@ def ewma_per_user(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     """Per-user exponentially weighted moving average of `value`, ordered
     by (ts, event_id). applyInPandas: one shuffle on user_id, NumPy
     recurrence per group."""
+    ensure_package_on_executors(events.sparkSession)
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")

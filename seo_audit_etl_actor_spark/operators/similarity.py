@@ -16,6 +16,8 @@ import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution needs it i
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from seo_audit_etl_actor_spark.session import ensure_package_on_executors
+
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -129,6 +131,7 @@ def cosine_scores_pandas(
     """
     # module-level pd import below: pandas_udf resolves the stringified
     # type hints (PEP 563) against module globals
+    ensure_package_on_executors(embeddings.sparkSession)
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -216,6 +219,7 @@ def assign_ivf_cells(
     # into every downstream consumer (the probe-cell FILTER references the
     # argmax ~2×n_cells times → a 500k-node condition and multi-second
     # planning), while the matmul is O(1) plan nodes and ~100 ns/vector.
+    ensure_package_on_executors(embeddings.sparkSession)
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -320,6 +324,7 @@ def cosine_topk_rerank(
     through TakeOrdered — a few KB), avoiding a second corpus scan to
     re-fetch candidate embeddings.
     """
+    ensure_package_on_executors(embeddings.sparkSession)
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf

@@ -12,11 +12,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from seo_audit_etl_actor_spark.queries import events_ext as ev
 from seo_audit_etl_actor_spark.queries import llm_ext as ext
 from seo_audit_etl_actor_spark.queries import pipeline_ext as px
 from seo_audit_etl_actor_spark.queries import reference_ops as r
 from seo_audit_etl_actor_spark.queries import relational as rel
 from seo_audit_etl_actor_spark.queries import reshape as rs
+from seo_audit_etl_actor_spark.queries import scale_ext as sx
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -40,6 +42,14 @@ class QuerySpec:
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
     # --- round-3 additions (no driver evidence yet) ---
+    QuerySpec("conversion_funnel", ev.q_conversion_funnel, ev.SQL_CONVERSION_FUNNEL),
+    QuerySpec("weekly_retention_cohorts", ev.q_weekly_retention_cohorts, ev.SQL_WEEKLY_RETENTION_COHORTS),
+    QuerySpec("event_transitions", ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
+    QuerySpec("json_props_stats", ev.q_json_props_stats, ev.SQL_JSON_PROPS_STATS),
+    QuerySpec("heavy_hitter_tokens", sx.q_heavy_hitter_tokens, sx.SQL_HEAVY_HITTER_TOKENS),
+    QuerySpec("median_bound_check", sx.q_median_bound_check, sx.SQL_MEDIAN_BOUND_CHECK),
+    QuerySpec("incremental_agg_merge", sx.q_incremental_agg_merge, sx.SQL_INCREMENTAL_AGG_MERGE),
+    QuerySpec("nation_pagerank", sx.q_nation_pagerank, sx.SQL_NATION_PAGERANK),
     QuerySpec("cosine_topk_rerank", ext.q_cosine_topk_rerank, ext.SQL_COSINE_TOPK_RERANK),
     QuerySpec("passage_dedup_stats", px.q_passage_dedup_stats, px.SQL_PASSAGE_DEDUP_STATS),
     QuerySpec("incremental_admission", px.q_incremental_admission, px.SQL_INCREMENTAL_ADMISSION),

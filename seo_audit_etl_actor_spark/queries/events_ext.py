@@ -1,0 +1,228 @@
+"""Event-analytics queries, round 3: ordered conversion funnel, weekly
+retention cohorts, event-transition matrix, and semi-structured JSON
+property extraction. Extension surface beyond the reference (whose only
+event handling is flat scalar stanzas, src/etl.js:93-454) — the product
+analytics a clickstream warehouse runs on the `events` table.
+
+Determinism discipline: outputs are integer counts, data values, or a
+fixed sequence of IEEE double ops over exact integers — every query
+hash-matches its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seo_audit_etl_actor_spark.session import load_table
+
+# ------------------------------------------------------------ conversion funnel
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step k only with an event
+    of step k's type STRICTLY AFTER their step-(k-1) timestamp — the
+    sequenced funnel (view → click-after-view → purchase-after-click), not
+    the unordered "did all three" intersection.
+
+    Scale: all three step timestamps are unbounded MIN windows over the
+    SAME user_id partitioning, so Catalyst plans ONE exchange and chains
+    the window stages on it; the per-user rollup reuses that partitioning
+    (groupBy user_id on hashpartitioning(user_id) adds no exchange), and
+    the final global aggregate is a single partial-agg row per task."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts"))).over(w)
+    d1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == FUNNEL_STEPS[1]) & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    d2 = d1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == FUNNEL_STEPS[2]) & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        d2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).cast("long").alias("step_view"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).cast("long").alias("step_click"),
+        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).cast("long").alias("step_purchase"),
+        F.round(
+            F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0))
+            / F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)),
+            6,
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+SQL_CONVERSION_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+            OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+            OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+pu AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM s3 GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+       CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+       CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase,
+       ROUND(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+             / SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END), 6)
+           AS view_to_purchase_rate
+FROM pu
+"""
+
+
+# -------------------------------------------------------- retention cohorts
+def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by their first active
+    epoch-week (days-since-1970 // 7 — engine-portable, no week-start
+    convention), and each (cohort_week, week_offset) cell counts users from
+    that cohort active offset weeks later.
+
+    Scale: distinct (user, week) first — that collapses the event volume to
+    at most users×weeks rows before any window; the cohort MIN rides a
+    user_id window, and the final cell aggregate shuffles tiny rows. All
+    keys uniform."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))) / 7
+    ).cast("long")
+    pw = ev.select("user_id", week.alias("week")).distinct()
+    cohort = F.min("week").over(Window.partitionBy("user_id"))
+    return (
+        pw.withColumn("cohort_week", cohort)
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_WEEKLY_RETENTION_COHORTS = """
+WITH pw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7)
+              AS BIGINT) AS week
+  FROM events
+),
+c AS (
+  SELECT user_id, week, MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM pw
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+# ------------------------------------------------------ transition matrix
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov bigram counts): for
+    each user's (ts, event_id)-ordered stream, count type→next_type pairs.
+    The session-path-mining primitive.
+
+    Scale: one shuffle on user_id for the LEAD window; the pair aggregate
+    is over ≤ |types|² keys, fully map-side-combined."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    return (
+        ev.select(F.col("event_type").alias("from_type"), nxt.alias("to_type"))
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.col("n_transitions").desc(), "from_type", "to_type")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq
+WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY n_transitions DESC, from_type, to_type
+"""
+
+
+# ------------------------------------------------------ JSON props extraction
+JSON_K_THRESHOLD = 50
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured `props` JSON column:
+    extract `$.k`, roll up per event_type. The engine's answer to
+    "my payload is a JSON string" — extraction stays a native expression
+    (`get_json_object`, codegen'd JSON path over UTF-8), never a Python
+    UDF, so the 100 TB scan cost is the scan.
+
+    Scale: pure map-side extract + one tiny-key aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > JSON_K_THRESHOLD, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_k_over_{JSON_K_THRESHOLD}"),
+            F.round(F.sum("k") / F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)), 6)
+            .alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_PROPS_STATS = f"""
+WITH x AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MAX(k) AS max_k,
+       CAST(SUM(CASE WHEN k > {JSON_K_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_k_over_{JSON_K_THRESHOLD},
+       ROUND(SUM(k) / SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END), 6) AS avg_k
+FROM x
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -31,6 +31,45 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via `addPyFile`.
+
+    Closures passed to mapInPandas/pandas_udf/applyInPandas are pickled by
+    value, but any package-level function or constant they reference is
+    pickled BY REFERENCE — the worker must be able to `import
+    seo_audit_etl_actor_spark`. A host-created SparkSession (the external
+    driver's, a notebook's) carries no PYTHONPATH pointing here, and the
+    worker's implicit cwd entry only saves the day when the driver happens
+    to run from the repo root. Zipping the package once per SparkContext
+    and `addPyFile`-ing it makes every Python-worker stage importable under
+    ANY session, cwd, or (at cluster scale) executor host — `addPyFile` is
+    exactly Spark's mechanism for shipping job code to executors.
+
+    Called by every operator that builds a Python-worker stage; O(1) after
+    the first call (flag on the SparkContext)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_seo_pkg_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(parent, ".pkgzip", "seo_audit_etl_actor_spark.zip")
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        sources.extend(os.path.join(root, f) for f in files if f.endswith(".py"))
+    newest = max(os.path.getmtime(p) for p in sources)
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in sorted(sources):
+                zf.write(p, os.path.relpath(p, parent))
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    sc._seo_pkg_shipped = True
+
+
 def get_spark(app_name: str = "seo-audit-etl-actor-spark") -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 

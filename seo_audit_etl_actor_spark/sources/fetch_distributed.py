@@ -25,6 +25,8 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from seo_audit_etl_actor_spark.session import ensure_package_on_executors
+
 FETCH_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), True),
@@ -48,6 +50,7 @@ def fetch_urls(
         from seo_audit_etl_actor_spark.sources.zip_io import default_fetch
 
         fetch_impl = default_fetch
+    ensure_package_on_executors(urls.sparkSession)
 
     def fetch(batches) -> Iterator:
         import pandas as pd

@@ -34,6 +34,8 @@ from pyspark.sql import types as T
 
 from seo_audit_etl_actor_spark.sources.zip_io import is_zip
 
+from seo_audit_etl_actor_spark.session import ensure_package_on_executors
+
 ZIP_ENTRY_SCHEMA = T.StructType(
     [
         T.StructField("zip_path", T.StringType(), True),
@@ -130,6 +132,7 @@ def explode_zip_entries(
     op. Map-only: no shuffle is introduced; Catalyst prunes the binaryFile
     scan to (path, content).
     """
+    ensure_package_on_executors(archives.sparkSession)
 
     def unzip(batches) -> Iterator:
         import pandas as pd

@@ -44,6 +44,7 @@ from seo_audit_etl_actor_spark.operators.text import (
     quality_score_q4,
     token_count,
 )
+from seo_audit_etl_actor_spark.session import ensure_package_on_executors
 
 DOCS_SCHEMA = T.StructType(
     [
@@ -77,6 +78,7 @@ def curate_document_stream(stream: DataFrame) -> DataFrame:
     """Per-document curation verdicts over an unbounded stream (append
     mode): (doc_id, source, stage) with the batch funnel's priority
     semantics — `duplicate` wins over every quality gate."""
+    ensure_package_on_executors(stream.sparkSession)
     enriched = (
         stream.withColumn("fp", fingerprint(F.col("text")))
         .withColumn("pred_lang", lang_id(F.col("text")))
