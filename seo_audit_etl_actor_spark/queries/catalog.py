@@ -42,6 +42,8 @@ class QuerySpec:
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
     # --- round-3 additions (no driver evidence yet) ---
+    QuerySpec("tpch_q1_pricing_summary", rel.q_tpch_q1_pricing_summary, rel.SQL_TPCH_Q1_PRICING_SUMMARY),
+    QuerySpec("tpch_q3_shipping_priority", rel.q_tpch_q3_shipping_priority, rel.SQL_TPCH_Q3_SHIPPING_PRIORITY),
     QuerySpec("conversion_funnel", ev.q_conversion_funnel, ev.SQL_CONVERSION_FUNNEL),
     QuerySpec("weekly_retention_cohorts", ev.q_weekly_retention_cohorts, ev.SQL_WEEKLY_RETENTION_COHORTS),
     QuerySpec("event_transitions", ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),

@@ -713,3 +713,105 @@ FROM seg FULL OUTER JOIN active USING (k)
 GROUP BY presence
 ORDER BY presence
 """
+
+
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) on the synthetic lineitem: the
+    canonical scan-heavy single-pass aggregate — 8 aggregates over 2 group
+    keys, everything computed in one map-side-combined pass.
+
+    Determinism: money math in DECIMAL so sums are exact (order-independent
+    regardless of partitioning); the derived products stay within
+    (22,6) — no precision-loss rounding in either engine — and only the
+    final per-group values are cast to double. The date literal is a
+    timestamp bound because the synthetic l_shipdate is TIMESTAMP.
+
+    Scale: THE whole-stage-codegen showcase — filter pushed to the parquet
+    scan, 2-key hash aggregate with partial aggregation, shuffle carries
+    one row per (task, flag, status)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = (
+        "CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+    )
+    charge = f"{disc_price} * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").alias("sum_qty"),
+            F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").alias("sum_base_price"),
+            F.expr(f"CAST(SUM({disc_price}) AS DOUBLE)").alias("sum_disc_price"),
+            F.expr(f"CAST(SUM({charge}) AS DOUBLE)").alias("sum_charge"),
+            F.expr("ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)").alias("avg_qty"),
+            F.expr("ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)").alias("avg_price"),
+            F.expr("ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+_Q1_CHARGE = f"{_Q1_DISC_PRICE} * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+
+SQL_TPCH_Q1_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_Q1_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_Q1_CHARGE}) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) shape: 3-way join with per-side date
+    filters, revenue aggregate per order, top 10. The synthetic orders
+    table has no o_shippriority, so the projection is (orderkey, revenue,
+    orderdate).
+
+    Scale: customer is the small side (broadcast after its segment
+    filter); orders⨝lineitem shuffles on the uniform orderkey; the top-10
+    is TakeOrderedAndProject (no global sort materialization). Both date
+    filters push to the scans."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(F.expr(f"CAST(SUM({_Q1_DISC_PRICE}) AS DOUBLE)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(SUM({_Q1_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""

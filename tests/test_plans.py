@@ -182,3 +182,15 @@ def test_trailing_hour_single_data_shuffle(spark, sf_dir):
         assert "hashpartitioning(user_id" in audit.plan_string(df)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_tpch_q1_pushes_date_filter_and_prunes(spark, sf_dir):
+    df = SPECS["tpch_q1_pricing_summary"].fn(spark, sf_dir)
+    assert any("l_shipdate" in f for f in audit.pushed_filters(df))
+    assert "l_orderkey" not in audit.read_schema_columns(df)  # pruned
+
+
+def test_tpch_q3_broadcasts_customer_and_takeordered(spark, sf_dir):
+    df = SPECS["tpch_q3_shipping_priority"].fn(spark, sf_dir)
+    assert audit.has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in audit.plan_string(df)
