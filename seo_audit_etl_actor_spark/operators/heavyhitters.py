@@ -102,7 +102,10 @@ def exact_heavy_hitters(
     frequency threshold at N/k and the MG capacity."""
     candidates = misra_gries_candidates(df, text_col, k).distinct()
     ex = df.select(token_expr.alias("token"))
-    total = ex.agg(F.count(F.lit(1)).alias("__n"))
+    # N without a per-token explode: sum of array sizes, map-side only
+    from seo_audit_etl_actor_spark.operators.text import token_count
+
+    total = df.agg(F.coalesce(F.sum(token_count(F.col(text_col))), F.lit(0)).alias("__n"))
     counts = (
         ex.join(F.broadcast(candidates), "token", "leftsemi")
         .groupBy("token")

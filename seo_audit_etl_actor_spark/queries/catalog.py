@@ -52,6 +52,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("median_bound_check", sx.q_median_bound_check, sx.SQL_MEDIAN_BOUND_CHECK),
     QuerySpec("incremental_agg_merge", sx.q_incremental_agg_merge, sx.SQL_INCREMENTAL_AGG_MERGE),
     QuerySpec("nation_pagerank", sx.q_nation_pagerank, sx.SQL_NATION_PAGERANK),
+    QuerySpec("embedding_near_dup_ivf", ext.q_embedding_near_dup_ivf, ext.SQL_EMBEDDING_NEAR_DUP_IVF),
     QuerySpec("cosine_topk_rerank", ext.q_cosine_topk_rerank, ext.SQL_COSINE_TOPK_RERANK),
     QuerySpec("passage_dedup_stats", px.q_passage_dedup_stats, px.SQL_PASSAGE_DEDUP_STATS),
     QuerySpec("incremental_admission", px.q_incremental_admission, px.SQL_INCREMENTAL_ADMISSION),

@@ -748,6 +748,86 @@ ORDER BY id_a, id_b
 SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
 
 
+def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CORPUS embedding near-dup — the production shape of
+    `embedding_near_dup`'s sample-bounded baseline: vectors are IVF-cell
+    assigned (quantized-argmax contract, deterministic codebook), and the
+    quadratic pair predicate runs only WITHIN cells — the vector-space
+    analog of the MinHash/SimHash bucketed candidate generation.
+
+    Scale: pair candidates shrink from |V|² to Σ|cell|²; the self-join
+    shuffles on the cell key, and a skewed (hot) cell is handled the same
+    way as dedup's hot buckets — AQE skew split on the join, or a finer
+    codebook. The cosine is the same left-assoc HOF fold as the baseline,
+    so the query has an exact oracle (argmax CTE + within-cell self-join).
+    A real near-dup pair whose members quantize into different cells is
+    missed BY DESIGN (that is IVF's recall trade-off — measured for the
+    top-k variant in test_ann_recall)."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    assigned = similarity.assign_ivf_cells(emb, n_cells=16)
+    v = assigned.select(
+        "vec_id",
+        F.col("__cell").alias("cell"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("n", similarity.norm(F.col("v")))
+    a, b = v.alias("a"), v.alias("b")
+    sim = similarity.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= EMB_NEAR_DUP_T)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _sql_embedding_near_dup_ivf(dim: int = 64, n_cells: int = 16) -> str:
+    def chain(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+        )
+
+    def cos_sql(a: str, b: str) -> str:
+        return f"({chain(a, b)}) / (sqrt({chain(a, a)}) * sqrt({chain(b, b)}))"
+
+    sim = cos_sql("a.embedding", "b.embedding")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_cells}
+),
+cell_sims AS (
+  SELECT e.vec_id, c.cid, {cos_sql('e.embedding', 'c.cv')} AS sim
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid AS cell
+  FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY round(sim, 6) DESC, cid ASC) AS rn
+        FROM cell_sims)
+  WHERE rn = 1
+)
+SELECT aa.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS cosine_sim
+FROM assigned aa
+JOIN assigned ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+JOIN embeddings a ON a.vec_id = aa.vec_id
+JOIN embeddings b ON b.vec_id = ab.vec_id
+WHERE {sim} >= {EMB_NEAR_DUP_T}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP_IVF = _sql_embedding_near_dup_ivf()
+
+
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN variant: deterministic coarse centroids, nprobe cell pruning,
     exact cosine inside probed cells. The probe choice is deterministic

@@ -36,10 +36,12 @@ def q_passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurs more than once in the WHOLE corpus. Per-source passage counts +
     duplication ratio.
 
-    Scale: explode is map-side; both the passage-frequency aggregate and
-    the join back ride one hashpartitioning(pfp) exchange (uniform md5 key
-    — skew-free), so the cost is two shuffles of passage-fingerprint rows
-    regardless of document size."""
+    Scale: explode is map-side; the passage frequency is a COUNT window
+    over hashpartitioning(pfp) (uniform md5 key — skew-free), so the whole
+    query is ONE explode and one passage-fingerprint shuffle (+ the tiny
+    per-source rollup) — the window form halves the join form's cost,
+    which would scan and explode the corpus twice with no exchange
+    reuse."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     n = F.size(toks)
@@ -51,10 +53,11 @@ def q_passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )).otherwise(F.array().cast("array<string>"))
     ex = docs.select("source", F.explode(passages).alias("pfp"))
-    counts = ex.groupBy("pfp").agg(F.count(F.lit(1)).alias("pf_count"))
+    with_count = ex.withColumn(
+        "pf_count", F.count(F.lit(1)).over(Window.partitionBy("pfp"))
+    )
     return (
-        ex.join(counts, "pfp")
-        .groupBy("source")
+        with_count.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_passages"),
             F.sum(F.when(F.col("pf_count") > 1, 1).otherwise(0))

@@ -202,14 +202,27 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     out_w = edges_w.groupBy("src").agg(F.sum("w").alias("w_out"))
-    # per-edge integer share of the source's outgoing mass, built once
-    edges = edges_w.join(out_w, "src").select(
-        "src", "dst", F.expr(f"CAST((w * {PR_SHARE_SCALE}) DIV w_out AS BIGINT)").alias("share")
+    # per-edge integer share of the source's outgoing mass, built once —
+    # and MATERIALIZED once: every iteration (and the node/count derivations)
+    # references this subtree, and without lineage truncation Catalyst
+    # re-derives the full lineitem join per reference (22 scans observed).
+    # localCheckpoint pins the tiny edge list (|E| rows), exactly the
+    # components.py iterative pattern; at 100 TB this is the persisted edge
+    # list every graph engine builds before iterating.
+    edges = (
+        edges_w.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"CAST((w * {PR_SHARE_SCALE}) DIV w_out AS BIGINT)").alias("share"),
+        )
+        .localCheckpoint(eager=True)
     )
     nodes = (
-        edges_w.select(F.col("src").alias("node"))
-        .union(edges_w.select(F.col("dst").alias("node")))
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
