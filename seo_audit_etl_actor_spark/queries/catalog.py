@@ -17,6 +17,7 @@ from seo_audit_etl_actor_spark.queries import llm_ext as ext
 from seo_audit_etl_actor_spark.queries import pipeline_ext as px
 from seo_audit_etl_actor_spark.queries import reference_ops as r
 from seo_audit_etl_actor_spark.queries import relational as rel
+from seo_audit_etl_actor_spark.queries import quality_ext as qx
 from seo_audit_etl_actor_spark.queries import reshape as rs
 from seo_audit_etl_actor_spark.queries import scale_ext as sx
 
@@ -42,6 +43,9 @@ class QuerySpec:
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
     # --- round-3 additions (no driver evidence yet) ---
+    QuerySpec("data_quality_checks", qx.q_data_quality_checks, qx.SQL_DATA_QUALITY_CHECKS),
+    QuerySpec("quantity_price_regression", qx.q_quantity_price_regression, qx.SQL_QUANTITY_PRICE_REGRESSION),
+    QuerySpec("fuzzy_name_pairs", qx.q_fuzzy_name_pairs, qx.SQL_FUZZY_NAME_PAIRS),
     QuerySpec("tpch_q1_pricing_summary", rel.q_tpch_q1_pricing_summary, rel.SQL_TPCH_Q1_PRICING_SUMMARY),
     QuerySpec("tpch_q3_shipping_priority", rel.q_tpch_q3_shipping_priority, rel.SQL_TPCH_Q3_SHIPPING_PRIORITY),
     QuerySpec("conversion_funnel", ev.q_conversion_funnel, ev.SQL_CONVERSION_FUNNEL),

@@ -1,0 +1,222 @@
+"""Data-quality / profiling queries, round 3: dbt-style quality checks,
+exact-arithmetic correlation & regression, and blocked fuzzy matching
+(entity resolution). Extension surface beyond the reference (whose only
+quality logic is per-row liveness/placeholder predicates,
+src/etl.js:183-222) — the operational profiling layer a warehouse runs on
+every load.
+
+Determinism discipline: the statistical moments are EXACT DECIMAL sums
+(order-independent under any partitioning); only the final closed-form
+expression touches doubles — both engines evaluate the identical
+expression over identical exact sums, so corr/slope/intercept hash-match.
+Edit distances are integers; check results are counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seo_audit_etl_actor_spark.session import load_table
+
+# --------------------------------------------------------- quality checks
+QUALITY_PRICE_MAX = 600_000.0
+
+
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass-per-table quality suite in long format (check, target,
+    value): primary-key duplication, foreign-key orphans, null rate,
+    range violations, and freshness — the dbt-test set, computed as native
+    aggregates so a 100 TB audit costs a few pruned scans.
+
+    Scale: each check is either a map-side-combined aggregate or (for the
+    FK orphan check) a shuffle on the uniform orderkey; the union of
+    1-row results is plan-trivial."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(check: str, target: str, value) -> DataFrame:
+        return value.select(
+            F.lit(check).alias("check_name"),
+            F.lit(target).alias("target"),
+            F.col("v").cast("long").alias("value"),
+        )
+
+    pk_dups = orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") > 1
+    ).agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))
+    fk_orphans = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    null_price = orders.agg(
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("v")
+    )
+    range_viol = orders.agg(
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > QUALITY_PRICE_MAX), 1
+            ).otherwise(0)
+        ).alias("v")
+    )
+    freshness = orders.agg(
+        F.datediff(
+            F.max(F.col("o_orderdate")).cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).alias("v")
+    )
+    return (
+        row("pk_duplicate_rows", "orders.o_orderkey", pk_dups)
+        .unionAll(row("fk_orphan_rows", "lineitem.l_orderkey", fk_orphans))
+        .unionAll(row("null_rows", "orders.o_totalprice", null_price))
+        .unionAll(row("range_violations", "orders.o_totalprice", range_viol))
+        .unionAll(row("freshness_epoch_days", "orders.o_orderdate", freshness))
+        .orderBy("check_name")
+    )
+
+
+SQL_DATA_QUALITY_CHECKS = f"""
+SELECT 'pk_duplicate_rows' AS check_name, 'orders.o_orderkey' AS target,
+       CAST(COALESCE((SELECT SUM(c) FROM (
+           SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+       )), 0) AS BIGINT) AS value
+UNION ALL
+SELECT 'fk_orphan_rows', 'lineitem.l_orderkey',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'null_rows', 'orders.o_totalprice',
+       CAST((SELECT SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) FROM orders)
+            AS BIGINT)
+UNION ALL
+SELECT 'range_violations', 'orders.o_totalprice',
+       CAST((SELECT SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > {QUALITY_PRICE_MAX}
+                             THEN 1 ELSE 0 END) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'freshness_epoch_days', 'orders.o_orderdate',
+       CAST((SELECT date_diff('day', DATE '1970-01-01', CAST(MAX(o_orderdate) AS DATE))
+             FROM orders) AS BIGINT)
+ORDER BY check_name
+"""
+
+
+# ----------------------------------------------- exact-moment regression
+def q_quantity_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation + OLS slope/intercept of
+    l_extendedprice on l_quantity — computed from EXACT DECIMAL moment
+    sums (n, Σx, Σy, Σx², Σy², Σxy), then one closed-form double
+    expression. Spark's corr/regr_* aggregates merge float co-moments in
+    partition order (not reproducible bit-for-bit); the exact-moment form
+    is order-independent AND cheaper — one pass, map-side combined.
+
+    Scale: identical shape to any single-pass aggregate; moments fit in
+    (38,4) DECIMAL for 10^12-row groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = 'CAST(l_quantity AS DECIMAL(12,2))'
+    y = 'CAST(l_extendedprice AS DECIMAL(12,2))'
+    mom = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM({x})").alias("sx"),
+        F.expr(f"SUM({y})").alias("sy"),
+        F.expr(f"SUM({x} * {x})").alias("sxx"),
+        F.expr(f"SUM({y} * {y})").alias("syy"),
+        F.expr(f"SUM({x} * {y})").alias("sxy"),
+    )
+    n, sx, sy = "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    sxx, syy, sxy = "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)", "CAST(sxy AS DOUBLE)"
+    cov_n = f"({n} * {sxy} - {sx} * {sy})"
+    var_x = f"({n} * {sxx} - {sx} * {sx})"
+    var_y = f"({n} * {syy} - {sy} * {sy})"
+    return mom.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.expr(f"ROUND({cov_n} / sqrt({var_x} * {var_y}), 6)").alias("corr_qty_price"),
+        F.expr(f"ROUND({cov_n} / {var_x}, 6)").alias("slope"),
+        F.expr(f"ROUND(({sy} - ({cov_n} / {var_x}) * {sx}) / {n}, 6)").alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+_RX = "CAST(l_quantity AS DECIMAL(12,2))"
+_RY = "CAST(l_extendedprice AS DECIMAL(12,2))"
+
+SQL_QUANTITY_PRICE_REGRESSION = f"""
+WITH mom AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM({_RX}) AS sx, SUM({_RY}) AS sy,
+         SUM({_RX} * {_RX}) AS sxx, SUM({_RY} * {_RY}) AS syy,
+         SUM({_RX} * {_RY}) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS corr_qty_price,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept
+FROM mom
+ORDER BY l_returnflag
+"""
+
+
+# ------------------------------------------------------- blocked fuzzy match
+FUZZY_MAX_DIST = 4
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs over part names: DISTINCT names
+    blocked on their last word (the head noun), paired within blocks, and
+    gated on Levenshtein ≤ 4. Classic blocking: the quadratic edit-distance
+    predicate runs only inside blocks, so candidates scale with
+    Σ|block|² instead of |names|².
+
+    Scale: the distinct-name collapse happens first (names ≪ rows); the
+    self-join shuffles on the block key; a degenerate hot block is the
+    same failure mode as dedup's hot buckets (guarded there by overflow to
+    sort-merge — here block cardinality is naturally bounded by the name
+    grammar). Levenshtein is unit-cost in both engines → integer-exact."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("block", F.element_at(F.split(F.col("name"), " "), -1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .orderBy("block", "name_a", "name_b")
+    )
+
+
+SQL_FUZZY_NAME_PAIRS = f"""
+WITH names AS (
+  SELECT DISTINCT p_name AS name,
+         list_extract(string_split(p_name, ' '), -1) AS block
+  FROM part
+)
+SELECT a.block AS block, a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS edit_dist
+FROM names a
+JOIN names b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+ORDER BY block, name_a, name_b
+"""
