@@ -226,3 +226,92 @@ FROM x
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ------------------------------------------------------- rate anomaly scan
+ANOM_TRAIL = 24  # trailing hours in the baseline window
+ANOM_MIN_BASELINE = 12  # minimum trailing rows before scoring
+ANOM_Z = 3.0
+
+
+def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring primitive: per-type hourly event counts z-scored against
+    the TRAILING 24 observed hours (rows-frame, so gaps don't stall the
+    baseline), flagging |z| > 3. The streaming twin would maintain the
+    same two running sums in state.
+
+    Determinism: the baseline moments are integer sums over integer hourly
+    counts (order-independent); z is one closed-form double expression,
+    rounded. Hours with a short (<12-row) or zero-variance baseline are
+    excluded rather than emitted as NULLs.
+
+    Scale: one shuffle for the hourly aggregate, one for the per-type
+    window — and event_type is low-cardinality, so at 100 TB the window
+    input is already tiny (types × hours rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_id = F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long")
+    hourly = ev.groupBy("event_type", hour_id.alias("hour_id")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-ANOM_TRAIL, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour_id",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("c"),
+        F.sum("n_events").over(w).alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("s2"),
+    )
+    c, s1, s2 = "CAST(c AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)"
+    var = f"(({c} * {s2} - {s1} * {s1}) / ({c} * ({c} - 1)))"
+    z = f"(CAST(n_events AS DOUBLE) - {s1} / {c}) / sqrt({var})"
+    return (
+        scored.where(
+            (F.col("c") >= ANOM_MIN_BASELINE)
+            & (F.expr(f"{c} * {s2} - {s1} * {s1}") > 0)
+        )
+        .select(
+            "event_type",
+            "hour_id",
+            "n_events",
+            F.expr(f"ROUND({s1} / {c}, 6)").alias("baseline_mean"),
+            F.expr(f"ROUND({z}, 6)").alias("z_score"),
+            F.expr(f"ABS({z}) > {ANOM_Z}").alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_id")
+    )
+
+
+_AC, _AS1, _AS2 = "CAST(c AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)"
+_AVAR = f"(({_AC} * {_AS2} - {_AS1} * {_AS1}) / ({_AC} * ({_AC} - 1)))"
+_AZ = f"(CAST(n_events AS DOUBLE) - {_AS1} / {_AC}) / sqrt({_AVAR})"
+
+SQL_EVENT_RATE_ANOMALIES = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY event_type, hour_id
+),
+scored AS (
+  SELECT event_type, hour_id, n_events,
+         COUNT(*) OVER w AS c,
+         SUM(n_events) OVER w AS s1,
+         SUM(n_events * n_events) OVER w AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+               ROWS BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_id, n_events,
+       ROUND({_AS1} / {_AC}, 6) AS baseline_mean,
+       ROUND({_AZ}, 6) AS z_score,
+       ABS({_AZ}) > {ANOM_Z} AS is_anomaly
+FROM scored
+WHERE c >= {ANOM_MIN_BASELINE} AND {_AC} * {_AS2} - {_AS1} * {_AS1} > 0
+ORDER BY event_type, hour_id
+"""

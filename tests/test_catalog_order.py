@@ -1,0 +1,53 @@
+"""Catalog-ordering contract test (process rule from round 2's verdict):
+the external driver snapshots only the FIRST 50 entries of
+queries/catalog.py for its rows+schema+hash CORRECTNESS check, so any
+query that has never earned a green driver row MUST sit inside that
+window. This test reads the repo's CORRECTNESS_r*.json history and fails
+if an unverified query would silently escape the driver's gate — the
+automated form of catalog.py's ordering rules."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from seo_audit_etl_actor_spark.queries import QUERIES
+
+REPO = Path(__file__).resolve().parent.parent
+DRIVER_WINDOW = 50
+
+
+def _driver_green_names() -> set[str]:
+    green: set[str] = set()
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(f.read_text()).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and not row.get("err")
+            ):
+                green.add(name)
+    return green
+
+
+def test_unverified_queries_inside_driver_window():
+    green = _driver_green_names()
+    assert green, "CORRECTNESS history missing — cannot validate ordering"
+    names = [q.name for q in QUERIES]
+    escaped = [n for n in names[DRIVER_WINDOW:] if n not in green]
+    assert not escaped, (
+        f"queries with no green driver row sit below position {DRIVER_WINDOW} "
+        f"and will never be checked: {escaped} — move them to the top of "
+        "queries/catalog.py"
+    )
+
+
+def test_catalog_names_unique_and_oracled():
+    names = [q.name for q in QUERIES]
+    assert len(names) == len(set(names))
+    # every entry ships oracle SQL (rows-only checks are a weaker signal;
+    # adding one back should be a deliberate, visible choice)
+    missing = [q.name for q in QUERIES if q.sql is None]
+    assert not missing, f"oracle-less catalog entries: {missing}"

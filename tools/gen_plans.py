@@ -75,6 +75,37 @@ COMMENT = {
         "explosion is bounded per key by order size), and the final top-20 is "
         "TakeOrderedAndProject, not a global sort."
     ),
+    "tpch_q1_pricing_summary": (
+        "TPC-H Q1 (round 3). What to check: the date filter is in PushedFilters, "
+        "ReadSchema carries only the 7 referenced columns, and all 8 aggregates fuse into "
+        "one partial/final HashAggregate pair inside WholeStageCodegen — the shuffle "
+        "carries one DECIMAL-moment row per (task, returnflag, linestatus)."
+    ),
+    "conversion_funnel": (
+        "Ordered funnel (round 3). What to check: ONE hashpartitioning(user_id) Exchange "
+        "feeds all three chained step-MIN Window operators AND the per-user aggregate; "
+        "the final global rollup is a single-row partial/final pair."
+    ),
+    "heavy_hitter_tokens": (
+        "Misra-Gries heavy hitters (round 3). What to check: the corpus is scanned ONCE "
+        "(the ensure_parallelism exchange is shared via ReusedExchange by the MapInPandas "
+        "candidate pass, the exploded recount, and the map-side token total — and is a "
+        "plan-time no-op on an already-split input at scale); the candidate set re-enters "
+        "as BroadcastHashJoin LeftSemi BEFORE the token aggregate's exchange, so the only "
+        "full shuffle moves candidate-matched tokens."
+    ),
+    "passage_dedup_stats": (
+        "Span-level dedup (round 3). What to check: ONE parquet scan and ONE "
+        "hashpartitioning(pfp) Exchange — the passage frequency is a COUNT window on the "
+        "md5 partition key (the join form would scan+explode the corpus twice); the "
+        "per-source rollup shuffles quantized integers."
+    ),
+    "event_rate_anomalies": (
+        "Trailing z-score anomaly scan (round 3). What to check: the hourly aggregate "
+        "shuffles once on (event_type, hour_id); the trailing-24 ROWS frame runs on the "
+        "per-type window partitioning; moments are integer sums so the plan has zero "
+        "Python and one closed-form projection."
+    ),
 }
 
 
