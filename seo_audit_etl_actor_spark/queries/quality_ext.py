@@ -29,9 +29,11 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     range violations, and freshness — the dbt-test set, computed as native
     aggregates so a 100 TB audit costs a few pruned scans.
 
-    Scale: each check is either a map-side-combined aggregate or (for the
-    FK orphan check) a shuffle on the uniform orderkey; the union of
-    1-row results is plan-trivial."""
+    Scale: the three row-level checks (null, range, freshness) FUSE into
+    one pruned scan + one aggregate, then unpivot via `stack` — a 100 TB
+    audit should not pay one pass per check. The PK check is a groupBy on
+    the key; the FK check is an anti-join shuffled on the uniform
+    orderkey. The union of 1-row branches is plan-trivial."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
@@ -50,27 +52,36 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("v"))
     )
-    null_price = orders.agg(
-        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("v")
-    )
-    range_viol = orders.agg(
+    fused = orders.agg(
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nulls"),
         F.sum(
             F.when(
                 (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > QUALITY_PRICE_MAX), 1
             ).otherwise(0)
-        ).alias("v")
-    )
-    freshness = orders.agg(
+        )
+        .cast("long")
+        .alias("range_viol"),
         F.datediff(
             F.max(F.col("o_orderdate")).cast("date"), F.to_date(F.lit("1970-01-01"))
-        ).alias("v")
+        )
+        .cast("long")
+        .alias("fresh"),
+    )
+    row_checks = fused.select(
+        F.expr(
+            "stack(3,"
+            " 'null_rows', 'orders.o_totalprice', nulls,"
+            " 'range_violations', 'orders.o_totalprice', range_viol,"
+            " 'freshness_epoch_days', 'orders.o_orderdate', fresh)"
+            " AS (check_name, target, value)"
+        )
     )
     return (
         row("pk_duplicate_rows", "orders.o_orderkey", pk_dups)
         .unionAll(row("fk_orphan_rows", "lineitem.l_orderkey", fk_orphans))
-        .unionAll(row("null_rows", "orders.o_totalprice", null_price))
-        .unionAll(row("range_violations", "orders.o_totalprice", range_viol))
-        .unionAll(row("freshness_epoch_days", "orders.o_orderdate", freshness))
+        .unionAll(row_checks)
         .orderBy("check_name")
     )
 
