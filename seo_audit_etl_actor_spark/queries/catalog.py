@@ -43,6 +43,7 @@ class QuerySpec:
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
     # --- round-3 additions (no driver evidence yet) ---
+    QuerySpec("gap_fill_hourly", ev.q_gap_fill_hourly, ev.SQL_GAP_FILL_HOURLY),
     QuerySpec("event_rate_anomalies", ev.q_event_rate_anomalies, ev.SQL_EVENT_RATE_ANOMALIES),
     QuerySpec("data_quality_checks", qx.q_data_quality_checks, qx.SQL_DATA_QUALITY_CHECKS),
     QuerySpec("quantity_price_regression", qx.q_quantity_price_regression, qx.SQL_QUANTITY_PRICE_REGRESSION),

@@ -315,3 +315,70 @@ FROM scored
 WHERE c >= {ANOM_MIN_BASELINE} AND {_AC} * {_AS2} - {_AS1} * {_AS1} > 0
 ORDER BY event_type, hour_id
 """
+
+
+# ----------------------------------------------------------- hourly gap fill
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with carry-forward interpolation (the
+    hypertable `time_bucket_gapfill` + `locf` shape): per event type, a
+    complete hour spine from the type's first to last observed hour, the
+    observed hourly count left-joined on, and gaps filled with the last
+    observed value (LAST_VALUE ... IGNORE NULLS over an expanding frame).
+
+    Scale: the spine is generated from a 1-row-per-type aggregate
+    (sequence+explode — rows materialize AFTER the aggregate, so the
+    expensive input is never widened); the spine⨝hourly join and the fill
+    window share the same keys; everything shuffled is (type, hour, count).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour_id = F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long")
+    hourly = ev.groupBy("event_type", hour_id.alias("hour_id")).agg(
+        F.count(F.lit(1)).alias("n_observed")
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hour_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour_id"], "left")
+        .select(
+            "event_type",
+            "hour_id",
+            "n_observed",
+            F.last("n_observed", ignorenulls=True).over(w).alias("n_filled"),
+            F.col("n_observed").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hour_id")
+    )
+
+
+SQL_GAP_FILL_HOURLY = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,
+         CAST(COUNT(*) AS BIGINT) AS n_observed
+  FROM events
+  GROUP BY event_type, hour_id
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS hour_id
+  FROM (SELECT event_type, MIN(hour_id) AS lo, MAX(hour_id) AS hi
+        FROM hourly GROUP BY event_type)
+)
+SELECT s.event_type, s.hour_id, h.n_observed,
+       LAST_VALUE(h.n_observed IGNORE NULLS)
+           OVER (PARTITION BY s.event_type ORDER BY s.hour_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled,
+       h.n_observed IS NULL AS is_gap
+FROM spine s LEFT JOIN hourly h USING (event_type, hour_id)
+ORDER BY event_type, hour_id
+"""
