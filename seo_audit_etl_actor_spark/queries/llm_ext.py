@@ -765,11 +765,21 @@ def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k variant in test_ann_recall)."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     assigned = similarity.assign_ivf_cells(emb, n_cells=16)
-    v = assigned.select(
-        "vec_id",
-        F.col("__cell").alias("cell"),
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("n", similarity.norm(F.col("v")))
+    # Materialize the assignment once: the inner join's isnotnull(cell)
+    # pushdown plus per-side projection would otherwise re-run the Arrow
+    # assignment UDF 3× over the corpus. At production scale this
+    # localCheckpoint IS the persisted cell-partitioned corpus
+    # (write_lsh_bucketed_corpus's IVF analog) — assignment is write-once
+    # either way.
+    v = (
+        assigned.select(
+            "vec_id",
+            F.col("__cell").alias("cell"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("n", similarity.norm(F.col("v")))
+        .localCheckpoint(eager=True)
+    )
     a, b = v.alias("a"), v.alias("b")
     sim = similarity.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
     return (
