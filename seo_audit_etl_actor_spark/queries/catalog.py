@@ -43,6 +43,8 @@ class QuerySpec:
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
     # --- round-3 additions (no driver evidence yet) ---
+    QuerySpec("dedup_within_window", ev.q_dedup_within_window, ev.SQL_DEDUP_WITHIN_WINDOW),
+    QuerySpec("balance_outliers", qx.q_balance_outliers, qx.SQL_BALANCE_OUTLIERS),
     QuerySpec("gap_fill_hourly", ev.q_gap_fill_hourly, ev.SQL_GAP_FILL_HOURLY),
     QuerySpec("event_rate_anomalies", ev.q_event_rate_anomalies, ev.SQL_EVENT_RATE_ANOMALIES),
     QuerySpec("data_quality_checks", qx.q_data_quality_checks, qx.SQL_DATA_QUALITY_CHECKS),

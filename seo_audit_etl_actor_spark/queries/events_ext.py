@@ -382,3 +382,54 @@ SELECT s.event_type, s.hour_id, h.n_observed,
 FROM spine s LEFT JOIN hourly h USING (event_type, hour_id)
 ORDER BY event_type, hour_id
 """
+
+
+# ------------------------------------------------------ time-bounded dedup
+DEDUP_WINDOW_S = 300
+
+
+def q_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded duplicate detection: an event is a duplicate if the
+    SAME (user, type) occurred within the preceding 300 s — the batch twin
+    of the streaming dedup-within-watermark operator
+    (streaming/events.py), giving that semantics a hash-matched oracle.
+
+    Scale: one LAG window on the (user, type) partitioning, then a
+    tiny-key rollup; duplicate state never exceeds one timestamp per
+    partition row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.select(
+            "event_type",
+            (gap_us <= DEDUP_WINDOW_S * 1_000_000).alias("is_dup"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dups"),
+            F.round(
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DEDUP_WITHIN_WINDOW = f"""
+WITH flagged AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+             <= {DEDUP_WINDOW_S * 1_000_000} AS is_dup
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       ROUND(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_ratio
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""

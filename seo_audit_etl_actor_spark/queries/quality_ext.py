@@ -14,7 +14,7 @@ Edit distances are integers; check results are counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seo_audit_etl_actor_spark.session import load_table
@@ -230,4 +230,81 @@ FROM names a
 JOIN names b ON a.block = b.block AND a.name < b.name
 WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
 ORDER BY block, name_a, name_b
+"""
+
+
+# ------------------------------------------------------------ IQR outliers
+def q_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per nation: Q1/Q3 of customer account
+    balance via the engine's lower-nearest-rank percentile (A8 semantics —
+    actual data values, no interpolation, so the fences are exact
+    cross-engine), outliers beyond 1.5×IQR counted per nation.
+
+    Scale: BOTH quartiles come from ONE rank window over the per-nation
+    partitioning (two conditional picks on the same pass, not two sorts);
+    the fence check is a broadcast join of 25 quartile rows back onto the
+    customer scan."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal").isNotNull())
+    w_order = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").asc())
+    w_all = Window.partitionBy("c_nationkey")
+    cnt = F.count(F.lit(1)).over(w_all)
+    ranked = cust.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w_order).alias("rn"),
+        (F.floor(0.25 * (cnt - 1)) + 1).alias("t25"),
+        (F.floor(0.75 * (cnt - 1)) + 1).alias("t75"),
+    )
+    quart = ranked.groupBy("c_nationkey").agg(
+        F.max(F.when(F.col("rn") == F.col("t25"), F.col("c_acctbal"))).alias("q1"),
+        F.max(F.when(F.col("rn") == F.col("t75"), F.col("c_acctbal"))).alias("q3"),
+    )
+    fenced = cust.join(F.broadcast(quart), "c_nationkey").select(
+        "c_nationkey",
+        "q1",
+        "q3",
+        (
+            (F.col("c_acctbal") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+            | (F.col("c_acctbal") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        ).alias("is_outlier"),
+    )
+    return (
+        fenced.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.max("q1").alias("q1"),
+            F.max("q3").alias("q3"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_BALANCE_OUTLIERS = """
+WITH ranked AS (
+  SELECT c_nationkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC) AS rn,
+         CAST(floor(0.25 * (COUNT(*) OVER (PARTITION BY c_nationkey) - 1)) AS BIGINT) + 1 AS t25,
+         CAST(floor(0.75 * (COUNT(*) OVER (PARTITION BY c_nationkey) - 1)) AS BIGINT) + 1 AS t75
+  FROM customer WHERE c_acctbal IS NOT NULL
+),
+quart AS (
+  SELECT c_nationkey,
+         MAX(CASE WHEN rn = t25 THEN c_acctbal END) AS q1,
+         MAX(CASE WHEN rn = t75 THEN c_acctbal END) AS q3
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       MAX(q.q1) AS q1,
+       MAX(q.q3) AS q3,
+       CAST(SUM(CASE WHEN c.c_acctbal < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR c.c_acctbal > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM customer c JOIN quart q ON c.c_nationkey = q.c_nationkey
+WHERE c.c_acctbal IS NOT NULL
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
 """
