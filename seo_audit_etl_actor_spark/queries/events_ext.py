@@ -59,8 +59,10 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).cast("long").alias("step_click"),
         F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).cast("long").alias("step_purchase"),
         F.round(
-            F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0))
-            / F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)),
+            F.try_divide(
+                F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)),
+                F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)),
+            ),
             6,
         ).alias("view_to_purchase_rate"),
     )
@@ -202,8 +204,12 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("k") > JSON_K_THRESHOLD, 1).otherwise(0))
             .cast("long")
             .alias(f"n_k_over_{JSON_K_THRESHOLD}"),
-            F.round(F.sum("k") / F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)), 6)
-            .alias("avg_k"),
+            F.round(
+                F.try_divide(
+                    F.sum("k"), F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+                ),
+                6,
+            ).alias("avg_k"),
         )
         .orderBy("event_type")
     )

@@ -192,9 +192,9 @@ def q_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "total_tokens",
-            F.round(F.col("total_tokens") / F.col("__g"), 6).alias("token_share"),
+            F.round(F.try_divide(F.col("total_tokens"), F.col("__g")), 6).alias("token_share"),
             F.round(
-                (F.col("__g") / F.col("__n_sources")) / F.col("total_tokens"), 6
+                F.try_divide(F.col("__g") / F.col("__n_sources"), F.col("total_tokens")), 6
             ).alias("mix_weight"),
         )
         .orderBy("source")
@@ -297,8 +297,10 @@ def q_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
             F.sum("n_tokens").cast("long").alias("sum_tokens"),
             F.round(
-                (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens"))
-                / (F.max("n_tokens") * F.count(F.lit(1))),
+                F.try_divide(
+                    F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens"),
+                    F.max("n_tokens") * F.count(F.lit(1)),
+                ),
                 6,
             ).alias("padding_frac"),
         )

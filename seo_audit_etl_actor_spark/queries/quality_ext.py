@@ -139,12 +139,18 @@ def q_quantity_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = f"({n} * {sxy} - {sx} * {sy})"
     var_x = f"({n} * {sxx} - {sx} * {sx})"
     var_y = f"({n} * {syy} - {sy} * {sy})"
+    # NULLIF on the variance denominators: a zero-variance group must yield
+    # NULL (DuckDB's x/0) rather than IEEE Infinity
     return mom.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
-        F.expr(f"ROUND({cov_n} / sqrt({var_x} * {var_y}), 6)").alias("corr_qty_price"),
-        F.expr(f"ROUND({cov_n} / {var_x}, 6)").alias("slope"),
-        F.expr(f"ROUND(({sy} - ({cov_n} / {var_x}) * {sx}) / {n}, 6)").alias("intercept"),
+        F.expr(
+            f"ROUND({cov_n} / NULLIF(sqrt({var_x} * {var_y}), 0.0D), 6)"
+        ).alias("corr_qty_price"),
+        F.expr(f"ROUND({cov_n} / NULLIF({var_x}, 0.0D), 6)").alias("slope"),
+        F.expr(
+            f"ROUND(({sy} - ({cov_n} / NULLIF({var_x}, 0.0D)) * {sx}) / {n}, 6)"
+        ).alias("intercept"),
     ).orderBy("l_returnflag")
 
 
