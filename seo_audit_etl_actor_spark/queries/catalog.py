@@ -42,61 +42,15 @@ class QuerySpec:
 # Never append below position 50 — that silently exempts the entry from the
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
-    # --- round-3 additions (no driver evidence yet) ---
-    QuerySpec("dedup_within_window", ev.q_dedup_within_window, ev.SQL_DEDUP_WITHIN_WINDOW),
-    QuerySpec("balance_outliers", qx.q_balance_outliers, qx.SQL_BALANCE_OUTLIERS),
-    QuerySpec("gap_fill_hourly", ev.q_gap_fill_hourly, ev.SQL_GAP_FILL_HOURLY),
-    QuerySpec("event_rate_anomalies", ev.q_event_rate_anomalies, ev.SQL_EVENT_RATE_ANOMALIES),
-    QuerySpec("data_quality_checks", qx.q_data_quality_checks, qx.SQL_DATA_QUALITY_CHECKS),
-    QuerySpec("quantity_price_regression", qx.q_quantity_price_regression, qx.SQL_QUANTITY_PRICE_REGRESSION),
-    QuerySpec("fuzzy_name_pairs", qx.q_fuzzy_name_pairs, qx.SQL_FUZZY_NAME_PAIRS),
-    QuerySpec("tpch_q1_pricing_summary", rel.q_tpch_q1_pricing_summary, rel.SQL_TPCH_Q1_PRICING_SUMMARY),
-    QuerySpec("tpch_q3_shipping_priority", rel.q_tpch_q3_shipping_priority, rel.SQL_TPCH_Q3_SHIPPING_PRIORITY),
-    QuerySpec("conversion_funnel", ev.q_conversion_funnel, ev.SQL_CONVERSION_FUNNEL),
-    QuerySpec("weekly_retention_cohorts", ev.q_weekly_retention_cohorts, ev.SQL_WEEKLY_RETENTION_COHORTS),
-    QuerySpec("event_transitions", ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
-    QuerySpec("json_props_stats", ev.q_json_props_stats, ev.SQL_JSON_PROPS_STATS),
-    QuerySpec("heavy_hitter_tokens", sx.q_heavy_hitter_tokens, sx.SQL_HEAVY_HITTER_TOKENS),
-    QuerySpec("median_bound_check", sx.q_median_bound_check, sx.SQL_MEDIAN_BOUND_CHECK),
-    QuerySpec("incremental_agg_merge", sx.q_incremental_agg_merge, sx.SQL_INCREMENTAL_AGG_MERGE),
-    QuerySpec("nation_pagerank", sx.q_nation_pagerank, sx.SQL_NATION_PAGERANK),
-    QuerySpec("embedding_near_dup_ivf", ext.q_embedding_near_dup_ivf, ext.SQL_EMBEDDING_NEAR_DUP_IVF),
-    QuerySpec("cosine_topk_rerank", ext.q_cosine_topk_rerank, ext.SQL_COSINE_TOPK_RERANK),
-    QuerySpec("passage_dedup_stats", px.q_passage_dedup_stats, px.SQL_PASSAGE_DEDUP_STATS),
-    QuerySpec("incremental_admission", px.q_incremental_admission, px.SQL_INCREMENTAL_ADMISSION),
-    QuerySpec("source_mixing_weights", px.q_source_mixing_weights, px.SQL_SOURCE_MIXING_WEIGHTS),
-    QuerySpec("bpe_pair_stats", px.q_bpe_pair_stats, px.SQL_BPE_PAIR_STATS),
-    QuerySpec("length_bucket_packing", px.q_length_bucket_packing, px.SQL_LENGTH_BUCKET_PACKING),
-    QuerySpec("token_rarity_stats", px.q_token_rarity_stats, px.SQL_TOKEN_RARITY_STATS),
-    # --- never driver-verified before round 3 (rounds 1-2 window misses) ---
-    QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
-    QuerySpec("hash_split_stats", ext.q_hash_split_stats, ext.SQL_HASH_SPLIT_STATS),
-    QuerySpec("stratified_sample_stats", ext.q_stratified_sample_stats, ext.SQL_STRATIFIED_SAMPLE_STATS),
-    QuerySpec("chunk_stats", ext.q_chunk_stats, ext.SQL_CHUNK_STATS),
-    QuerySpec("packing_stats", ext.q_packing_stats, ext.SQL_PACKING_STATS),
-    QuerySpec("tfidf_top_terms", ext.q_tfidf_top_terms, ext.SQL_TFIDF_TOP_TERMS),
-    QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),
-    QuerySpec("approx_distinct_users", ext.q_approx_distinct_users, ext.SQL_APPROX_DISTINCT_USERS),
-    # --- green in r01 only (rotated out of the r02 window) ---
-    QuerySpec("cosine_topk_lsh", ext.q_cosine_topk_lsh, ext.SQL_COSINE_TOPK_LSH),
-    QuerySpec("doc_fingerprints", ext.q_doc_fingerprints, ext.SQL_DOC_FINGERPRINTS),
-    QuerySpec("token_histogram", ext.q_token_histogram, ext.SQL_TOKEN_HISTOGRAM),
-    QuerySpec("dedup_keep_first", ext.q_dedup_keep_first, ext.SQL_DEDUP_KEEP_FIRST),
-    QuerySpec("embedding_near_dup", ext.q_embedding_near_dup, ext.SQL_EMBEDDING_NEAR_DUP),
-    QuerySpec("skewsafe_distinct_users", ext.q_skewsafe_distinct_users, ext.SQL_SKEWSAFE_DISTINCT_USERS),
-    QuerySpec("bpe_token_stats", ext.q_bpe_token_stats, ext.SQL_BPE_TOKEN_STATS),
-    # --- green in r02 only (first driver row last round) ---
-    QuerySpec("near_dup_clusters", ext.q_near_dup_clusters, ext.SQL_NEAR_DUP_CLUSTERS),
-    QuerySpec("contamination_by_source", ext.q_contamination_by_source, ext.SQL_CONTAMINATION_BY_SOURCE),
-    QuerySpec("repetition_stats", ext.q_repetition_stats, ext.SQL_REPETITION_STATS),
-    QuerySpec("vocab_oov_stats", ext.q_vocab_oov_stats, ext.SQL_VOCAB_OOV_STATS),
-    QuerySpec("customer_rank_stats", rel.q_customer_rank_stats, rel.SQL_CUSTOMER_RANK_STATS),
-    QuerySpec("trailing_hour_value", rel.q_trailing_hour_value, rel.SQL_TRAILING_HOUR_VALUE),
-    QuerySpec("order_count_distribution", rel.q_order_count_distribution, rel.SQL_ORDER_COUNT_DISTRIBUTION),
-    QuerySpec("part_cooccurrence", rel.q_part_cooccurrence, rel.SQL_PART_COOCCURRENCE),
-    QuerySpec("segment_user_reconciliation", rel.q_segment_user_reconciliation, rel.SQL_SEGMENT_USER_RECONCILIATION),
-    # --- green in r01 AND r02 (two rounds of evidence; fill the window) ---
-    QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
+    # --- round-4 additions (no driver evidence yet) ---
+    # prod form of the HLL distinct: estimate-only, implementation-defined
+    # values => rows-only driver check by design; the audit form
+    # (approx_distinct_users, below) keeps the hashed exactness bound.
+    QuerySpec("approx_distinct_users_prod", ext.q_approx_distinct_users_prod, None),
+    # --- round-4 rotation: these 40 queries' newest green evidence is r1/r2,
+    # predating the r3 session.py executor-shipping and ANSI-ratio changes —
+    # promoted into the 50-entry window so r4 re-verifies them on current code
+    # (VERDICT r3 task 1). New r4 queries insert ABOVE this block. ---
     QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),
     QuerySpec("doc_quality_by_source", ext.q_doc_quality_by_source, ext.SQL_DOC_QUALITY_BY_SOURCE),
     QuerySpec("exact_dedup_stats", ext.q_exact_dedup_stats, ext.SQL_EXACT_DEDUP_STATS),
@@ -125,7 +79,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("price_histogram", rs.q_price_histogram, rs.SQL_PRICE_HISTOGRAM),
     QuerySpec("above_nation_avg_balance", rs.q_above_nation_avg_balance, rs.SQL_ABOVE_NATION_AVG_BALANCE),
     QuerySpec("event_promo_windows", rs.q_event_promo_windows, rs.SQL_EVENT_PROMO_WINDOWS),
-    # --- below the 50-entry window: two rounds of green evidence each ---
     QuerySpec("keyword_position_buckets", r.q_keyword_position_buckets, r.SQL_KEYWORD_POSITION_BUCKETS),
     QuerySpec("numeric_coercion", r.q_numeric_coercion, r.SQL_NUMERIC_COERCION),
     QuerySpec("status_code_bands", r.q_status_code_bands, r.SQL_STATUS_CODE_BANDS),
@@ -138,6 +91,57 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("liveness_ratio", r.q_liveness_ratio, r.SQL_LIVENESS_RATIO),
     QuerySpec("cwv_pass_rate", r.q_cwv_pass_rate, r.SQL_CWV_PASS_RATE),
     QuerySpec("coverage_weighted_score", r.q_coverage_weighted_score, r.SQL_COVERAGE_WEIGHTED_SCORE),
+    # --- below/straddling the window: green in r3 on current code ---
+    QuerySpec("dedup_within_window", ev.q_dedup_within_window, ev.SQL_DEDUP_WITHIN_WINDOW),
+    QuerySpec("balance_outliers", qx.q_balance_outliers, qx.SQL_BALANCE_OUTLIERS),
+    QuerySpec("gap_fill_hourly", ev.q_gap_fill_hourly, ev.SQL_GAP_FILL_HOURLY),
+    QuerySpec("event_rate_anomalies", ev.q_event_rate_anomalies, ev.SQL_EVENT_RATE_ANOMALIES),
+    QuerySpec("data_quality_checks", qx.q_data_quality_checks, qx.SQL_DATA_QUALITY_CHECKS),
+    QuerySpec("quantity_price_regression", qx.q_quantity_price_regression, qx.SQL_QUANTITY_PRICE_REGRESSION),
+    QuerySpec("fuzzy_name_pairs", qx.q_fuzzy_name_pairs, qx.SQL_FUZZY_NAME_PAIRS),
+    QuerySpec("tpch_q1_pricing_summary", rel.q_tpch_q1_pricing_summary, rel.SQL_TPCH_Q1_PRICING_SUMMARY),
+    QuerySpec("tpch_q3_shipping_priority", rel.q_tpch_q3_shipping_priority, rel.SQL_TPCH_Q3_SHIPPING_PRIORITY),
+    QuerySpec("conversion_funnel", ev.q_conversion_funnel, ev.SQL_CONVERSION_FUNNEL),
+    QuerySpec("weekly_retention_cohorts", ev.q_weekly_retention_cohorts, ev.SQL_WEEKLY_RETENTION_COHORTS),
+    QuerySpec("event_transitions", ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
+    QuerySpec("json_props_stats", ev.q_json_props_stats, ev.SQL_JSON_PROPS_STATS),
+    QuerySpec("heavy_hitter_tokens", sx.q_heavy_hitter_tokens, sx.SQL_HEAVY_HITTER_TOKENS),
+    QuerySpec("median_bound_check", sx.q_median_bound_check, sx.SQL_MEDIAN_BOUND_CHECK),
+    QuerySpec("incremental_agg_merge", sx.q_incremental_agg_merge, sx.SQL_INCREMENTAL_AGG_MERGE),
+    QuerySpec("nation_pagerank", sx.q_nation_pagerank, sx.SQL_NATION_PAGERANK),
+    QuerySpec("embedding_near_dup_ivf", ext.q_embedding_near_dup_ivf, ext.SQL_EMBEDDING_NEAR_DUP_IVF),
+    QuerySpec("cosine_topk_rerank", ext.q_cosine_topk_rerank, ext.SQL_COSINE_TOPK_RERANK),
+    QuerySpec("passage_dedup_stats", px.q_passage_dedup_stats, px.SQL_PASSAGE_DEDUP_STATS),
+    QuerySpec("incremental_admission", px.q_incremental_admission, px.SQL_INCREMENTAL_ADMISSION),
+    QuerySpec("source_mixing_weights", px.q_source_mixing_weights, px.SQL_SOURCE_MIXING_WEIGHTS),
+    QuerySpec("bpe_pair_stats", px.q_bpe_pair_stats, px.SQL_BPE_PAIR_STATS),
+    QuerySpec("length_bucket_packing", px.q_length_bucket_packing, px.SQL_LENGTH_BUCKET_PACKING),
+    QuerySpec("token_rarity_stats", px.q_token_rarity_stats, px.SQL_TOKEN_RARITY_STATS),
+    QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
+    QuerySpec("hash_split_stats", ext.q_hash_split_stats, ext.SQL_HASH_SPLIT_STATS),
+    QuerySpec("stratified_sample_stats", ext.q_stratified_sample_stats, ext.SQL_STRATIFIED_SAMPLE_STATS),
+    QuerySpec("chunk_stats", ext.q_chunk_stats, ext.SQL_CHUNK_STATS),
+    QuerySpec("packing_stats", ext.q_packing_stats, ext.SQL_PACKING_STATS),
+    QuerySpec("tfidf_top_terms", ext.q_tfidf_top_terms, ext.SQL_TFIDF_TOP_TERMS),
+    QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),
+    QuerySpec("approx_distinct_users", ext.q_approx_distinct_users, ext.SQL_APPROX_DISTINCT_USERS),
+    QuerySpec("cosine_topk_lsh", ext.q_cosine_topk_lsh, ext.SQL_COSINE_TOPK_LSH),
+    QuerySpec("doc_fingerprints", ext.q_doc_fingerprints, ext.SQL_DOC_FINGERPRINTS),
+    QuerySpec("token_histogram", ext.q_token_histogram, ext.SQL_TOKEN_HISTOGRAM),
+    QuerySpec("dedup_keep_first", ext.q_dedup_keep_first, ext.SQL_DEDUP_KEEP_FIRST),
+    QuerySpec("embedding_near_dup", ext.q_embedding_near_dup, ext.SQL_EMBEDDING_NEAR_DUP),
+    QuerySpec("skewsafe_distinct_users", ext.q_skewsafe_distinct_users, ext.SQL_SKEWSAFE_DISTINCT_USERS),
+    QuerySpec("bpe_token_stats", ext.q_bpe_token_stats, ext.SQL_BPE_TOKEN_STATS),
+    QuerySpec("near_dup_clusters", ext.q_near_dup_clusters, ext.SQL_NEAR_DUP_CLUSTERS),
+    QuerySpec("contamination_by_source", ext.q_contamination_by_source, ext.SQL_CONTAMINATION_BY_SOURCE),
+    QuerySpec("repetition_stats", ext.q_repetition_stats, ext.SQL_REPETITION_STATS),
+    QuerySpec("vocab_oov_stats", ext.q_vocab_oov_stats, ext.SQL_VOCAB_OOV_STATS),
+    QuerySpec("customer_rank_stats", rel.q_customer_rank_stats, rel.SQL_CUSTOMER_RANK_STATS),
+    QuerySpec("trailing_hour_value", rel.q_trailing_hour_value, rel.SQL_TRAILING_HOUR_VALUE),
+    QuerySpec("order_count_distribution", rel.q_order_count_distribution, rel.SQL_ORDER_COUNT_DISTRIBUTION),
+    QuerySpec("part_cooccurrence", rel.q_part_cooccurrence, rel.SQL_PART_COOCCURRENCE),
+    QuerySpec("segment_user_reconciliation", rel.q_segment_user_reconciliation, rel.SQL_SEGMENT_USER_RECONCILIATION),
+    QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
 ]
 
 

@@ -1078,6 +1078,26 @@ FROM events
 """
 
 
+def q_approx_distinct_users_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of A2's 100 TB variant: HLL estimate ONLY.
+
+    `approx_distinct_users` (above) is the CALIBRATION/AUDIT form — it
+    carries the exact COUNT(DISTINCT) alongside the sketch so the driver
+    can hash-verify the 2% bound, at the price of an exact-distinct
+    Expand+double-exchange that would dominate at 100 TB. This form is
+    what production ships: one scan, partial HLL sketches merged in a
+    single exchange, no Expand, no exact distinct anywhere in the plan
+    (asserted by tests/test_plans.py::test_approx_distinct_prod_plan).
+    The estimate is implementation-defined (Spark's sketch != DuckDB's),
+    so no value-hash oracle is possible — the driver records the weaker
+    rows-only check, and the audit form retains the hashed bound.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    ).orderBy("event_type")
+
+
 # ------------------------------------------------------------- curation funnel
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation funnel (operators/curation.py):

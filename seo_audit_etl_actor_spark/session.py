@@ -61,11 +61,18 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     newest = max(os.path.getmtime(p) for p in sources)
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
         os.makedirs(os.path.dirname(zip_path), exist_ok=True)
-        tmp = zip_path + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as zf:
-            for p in sorted(sources):
-                zf.write(p, os.path.relpath(p, parent))
-        os.replace(tmp, zip_path)
+        # Per-process tmp name: two concurrent drivers (parallel pytest +
+        # bench) must not interleave writes into one tmp file and os.replace
+        # a corrupted zip; each writes its own tmp, replace stays atomic.
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
+        try:
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for p in sorted(sources):
+                    zf.write(p, os.path.relpath(p, parent))
+            os.replace(tmp, zip_path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     sc.addPyFile(zip_path)
     sc._seo_pkg_shipped = True
 

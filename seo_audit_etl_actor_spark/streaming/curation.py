@@ -74,6 +74,38 @@ def read_document_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return spark.readStream.schema(DOCS_SCHEMA).parquet(source_dir)
 
 
+def mark_duplicates(key, pdfs, state):
+    """applyInPandasWithState fn: keep-first dedup keyed by fingerprint.
+
+    `pdfs` is an ITERATOR of Arrow chunks for one key within one
+    micro-batch; a fingerprint group can span chunks, so all chunks are
+    concatenated BEFORE the doc_id sort — keep-first must pick the group's
+    GLOBAL min doc_id, matching the batch funnel's window-rank contract
+    (`operators/curation.py`), not the first chunk's local min.
+    """
+    import pandas as pd
+
+    seen = state.exists
+    frames = list(pdfs)
+    batch = (pd.concat(frames) if len(frames) > 1 else frames[0]).sort_values(
+        "doc_id"
+    )
+    is_dup = [True] * len(batch)
+    if not seen and len(batch) > 0:
+        is_dup[0] = False  # first arrival for this fingerprint wins
+    state.update((True,))
+    yield pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(),
+            "source": batch["source"].to_numpy(),
+            "pred_lang": batch["pred_lang"].to_numpy(),
+            "n_tokens": batch["n_tokens"].to_numpy(),
+            "q4": batch["q4"].to_numpy(),
+            "is_dup": is_dup,
+        }
+    )
+
+
 def curate_document_stream(stream: DataFrame) -> DataFrame:
     """Per-document curation verdicts over an unbounded stream (append
     mode): (doc_id, source, stage) with the batch funnel's priority
@@ -87,28 +119,7 @@ def curate_document_stream(stream: DataFrame) -> DataFrame:
         .select("fp", "doc_id", "source", "pred_lang", "n_tokens", "q4")
     )
 
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def mark_duplicates(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        seen = state.exists
-        frames = [pdf.sort_values("doc_id") for pdf in pdfs]
-        batch = pd.concat(frames) if len(frames) > 1 else frames[0]
-        is_dup = [True] * len(batch)
-        if not seen and len(batch) > 0:
-            is_dup[0] = False  # first arrival for this fingerprint wins
-        state.update((True,))
-        yield pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].to_numpy(),
-                "source": batch["source"].to_numpy(),
-                "pred_lang": batch["pred_lang"].to_numpy(),
-                "n_tokens": batch["n_tokens"].to_numpy(),
-                "q4": batch["q4"].to_numpy(),
-                "is_dup": is_dup,
-            }
-        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     verdicts = enriched.groupBy("fp").applyInPandasWithState(
         mark_duplicates,

@@ -194,3 +194,19 @@ def test_tpch_q3_broadcasts_customer_and_takeordered(spark, sf_dir):
     df = SPECS["tpch_q3_shipping_priority"].fn(spark, sf_dir)
     assert audit.has_broadcast_join(df)
     assert "TakeOrderedAndProject" in audit.plan_string(df)
+
+
+def test_approx_distinct_prod_plan_has_no_exact_distinct(spark, sf_dir):
+    """The production HLL form must plan as one partial+merge aggregate
+    pair — no Expand node and no exact count(distinct) double-exchange
+    anywhere (that cost is exactly what the prod split removes; the audit
+    form approx_distinct_users deliberately keeps it)."""
+    prod = SPECS["approx_distinct_users_prod"].fn(spark, sf_dir)
+    plan = prod._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    assert "count(distinct" not in plan.lower(), plan
+    assert "approx_count_distinct" in plan.lower(), plan
+    # audit form is the negative control: it DOES carry the exact distinct
+    audit_df = SPECS["approx_distinct_users"].fn(spark, sf_dir)
+    audit_plan = audit_df._jdf.queryExecution().executedPlan().toString()
+    assert "count(distinct" in audit_plan.lower() or "Expand" in audit_plan

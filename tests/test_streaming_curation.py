@@ -112,3 +112,43 @@ def test_resent_documents_flag_duplicate_across_restarts(spark, doc_stream_dir, 
     dup_only = {k: v for k, v in totals2.items() if k[1] == "duplicate"}
     assert sum(v[0] for v in totals2.values()) == n_docs
     assert sum(v[0] for v in dup_only.values()) == n_docs
+
+
+def test_mark_duplicates_group_spanning_chunks():
+    """Regression (ADVICE r3): a fingerprint group spanning multiple Arrow
+    chunks within one micro-batch must keep the GLOBAL min doc_id, not the
+    first chunk's local min. Feed the state fn two chunks where the
+    group's true min lives in the SECOND chunk."""
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.updated = v
+
+    def chunk(ids):
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": ["s"] * len(ids),
+                "pred_lang": ["en"] * len(ids),
+                "n_tokens": [10] * len(ids),
+                "q4": [100] * len(ids),
+            }
+        )
+
+    state = FakeState()
+    (out,) = list(
+        sc.mark_duplicates(("fp",), iter([chunk([50, 70]), chunk([10, 60])]), state)
+    )
+    kept = out.loc[~out["is_dup"], "doc_id"].tolist()
+    assert kept == [10]  # global min across chunks, not 50
+    assert out["is_dup"].sum() == 3
+    assert state.updated == (True,)
+
+    # already-seen fingerprint: everything is a duplicate
+    state2 = FakeState()
+    state2.exists = True
+    (out2,) = list(sc.mark_duplicates(("fp",), iter([chunk([1, 2])]), state2))
+    assert out2["is_dup"].all()
