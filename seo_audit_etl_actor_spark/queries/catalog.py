@@ -43,6 +43,8 @@ class QuerySpec:
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
     # --- round-4 additions (no driver evidence yet) ---
+    QuerySpec("tpch_q18_large_volume_customer", rel.q_tpch_q18_large_volume_customer, rel.SQL_TPCH_Q18_LARGE_VOLUME_CUSTOMER),
+    QuerySpec("tpch_q21_waiting_supplier", rel.q_tpch_q21_waiting_supplier, rel.SQL_TPCH_Q21_WAITING_SUPPLIER),
     # prod form of the HLL distinct: estimate-only, implementation-defined
     # values => rows-only driver check by design; the audit form
     # (approx_distinct_users, below) keeps the hashed exactness bound.

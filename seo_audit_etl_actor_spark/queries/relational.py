@@ -815,3 +815,148 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
+
+
+def q_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer) shape: find orders whose total
+    quantity exceeds a threshold, then attach customer/order attributes.
+
+    The textbook formulation scans lineitem TWICE (HAVING subquery + outer
+    re-aggregate). This plan reuses the HAVING aggregate as the output sum
+    — one lineitem scan, one shuffle on the uniform l_orderkey, and the
+    surviving big orders (<1% of orders after the threshold) broadcast to
+    the orders/customer probe, so neither orders nor customer reshuffles.
+    At 100 TB the threshold filter runs map-side after partial aggregation
+    and AQE's skew-join split covers pathological single-order hot keys.
+    Synthetic schema: no o_shippriority/o_clerk; threshold 300 matches the
+    data's qty-sum tail (p99 ~265, max ~475).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec"))
+        .where(F.col("qty_dec") > 300)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_totalprice").cast(DEC).cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18_LARGE_VOLUME_CUSTOMER = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) shape: the
+    multi-semi-join chain — for each LATE line of a finished order, EXISTS
+    another supplier on the same order (semi) and NOT EXISTS another LATE
+    supplier on the same order (anti), i.e. the supplier was the sole
+    bottleneck. Adapted to the synthetic schema: no
+    l_receiptdate/l_commitdate, so "late" = shipped more than 90 days
+    after the order date; region filter (nations of region 0) stands in
+    for Q21's single-nation filter at this supplier cardinality.
+
+    Scale: all three lineitem legs hash on the SAME l_orderkey key — the
+    semi and anti joins reuse the late-leg exchange rather than adding new
+    shuffle keys; supplier⨝nation is a broadcast; final count shuffles 100
+    supplier rows. The late predicate needs o_orderdate, so the orders
+    join (status filter pushed to scan) runs before the self-joins and the
+    self-join legs are derived from ONE late-lines frame.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
+
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("is_late"),
+    )
+    late = lines.where(F.col("is_late"))
+    other_sup = lines.select("l_orderkey", "l_suppkey")
+    other_late = late.select("l_orderkey", "l_suppkey")
+
+    l1 = late.alias("l1")
+    sole_late = (
+        l1.join(
+            other_sup.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        ).join(
+            other_late.alias("l3"),
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(
+            F.broadcast(sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)),
+            F.col("l1.l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q21_WAITING_SUPPLIER = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_regionkey = 0
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+      AND o2.o_orderstatus = 'F'
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND o3.o_orderstatus = 'F'
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""

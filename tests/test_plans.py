@@ -210,3 +210,26 @@ def test_approx_distinct_prod_plan_has_no_exact_distinct(spark, sf_dir):
     audit_df = SPECS["approx_distinct_users"].fn(spark, sf_dir)
     audit_plan = audit_df._jdf.queryExecution().executedPlan().toString()
     assert "count(distinct" in audit_plan.lower() or "Expand" in audit_plan
+
+
+def test_tpch_q18_single_lineitem_scan_and_broadcast(spark, sf_dir):
+    """Q18's plan contract: ONE lineitem scan (the HAVING aggregate is
+    reused as the output sum — no textbook double scan), big-orders and
+    customer broadcast so orders never reshuffles."""
+    df = SPECS["tpch_q18_large_volume_customer"].fn(spark, sf_dir)
+    plan = audit.plan_string(df)
+    assert plan.lower().count("lineitem.parquet") == 1, plan
+    assert audit.has_broadcast_join(df)
+
+
+def test_tpch_q21_semi_anti_chain(spark, sf_dir):
+    """Q21's plan contract: the EXISTS/NOT EXISTS chain plans as real
+    semi + anti joins (not rewritten to aggregates), and the
+    supplier⨝nation dimension is broadcast."""
+    df = SPECS["tpch_q21_waiting_supplier"].fn(spark, sf_dir)
+    plan = audit.plan_string(df)
+    low = plan.lower()
+    assert "leftsemi" in low or "left semi" in low, plan
+    assert "leftanti" in low or "left anti" in low, plan
+    assert audit.has_broadcast_join(df)
+    assert not audit.uses_python_udf(df)
