@@ -26,7 +26,14 @@ from seo_audit_etl_actor_spark.operators.text import fingerprint, md5_long, toke
 N_HASHES = 16
 N_BANDS = 8  # rows-per-band r = 2 → LSH s-curve threshold ≈ (1/b)^(1/r) ≈ 0.35
 SHINGLE_K = 3
-SIMHASH_BITS = 48  # 48 bits keeps the fingerprint a positive BIGINT in every engine
+# 60 bits = the full md5_long width; fingerprint < 2^60 stays a positive
+# BIGINT in every engine. Raised from 48 in round 4: with 4 bands the band
+# key widens 12 -> 15 bits, which cut measured LSH candidate-pair volume 3x
+# (80.3M -> 27.0M at 50k low-entropy-vocab docs) — band width is THE scale
+# lever for simhash banding, since per-bucket pair generation is
+# Σ bucket_size² and bucket occupancy is data-dependent (see SURVEY §6
+# round-4 scaling study).
+SIMHASH_BITS = 60
 
 
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:

@@ -1,0 +1,104 @@
+"""Generate scaled-up synthetic tables for the super-sf0.1 scaling study
+(round-4 verdict task 3): documents at m x sf0.1 by FRESH sampling from
+the sf0.1 generator's empirical distributions (vocab, per-doc word-count,
+lang/source marginals) — so exact/near-dup density arises by chance at
+the same rate as the original generator, instead of the m^2 clone
+clusters a naive replicate-with-suffix scheme would create — and lineitem
+at m x sf0.1 by orderkey-shifted replication (pair structure per order is
+preserved; keyspace grows linearly, exactly how TPC-H itself scales).
+
+Other tables are symlinked from the base dir so query callables that load
+dimensions keep working.
+
+Usage: python tools/gen_scale.py OUT_DIR MULTIPLIER [BASE_DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = "/root/testdata/sf0.1"
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def gen_documents(out_dir: str, m: float, base_dir: str, seed: int = 7) -> int:
+    t = pq.read_table(f"{base_dir}/documents.parquet")
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    sources = t.column("source").to_pylist()
+    vocab = sorted({w for s in texts for w in s.split()})
+    lens = np.array([len(s.split()) for s in texts])
+    n_out = int(round(len(texts) * m))
+    rng = np.random.default_rng(seed)
+    out_lens = rng.choice(lens, size=n_out, replace=True)
+    out_langs = rng.choice(np.array(langs), size=n_out, replace=True)
+    out_sources = rng.choice(np.array(sources), size=n_out, replace=True)
+    vocab_arr = np.array(vocab)
+    docs = []
+    for ln in out_lens:
+        docs.append(" ".join(vocab_arr[rng.integers(0, len(vocab_arr), int(ln))]))
+    out = pa.table(
+        {
+            "doc_id": pa.array(range(n_out), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(out_langs.tolist()),
+            "source": pa.array(out_sources.tolist()),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(out, f"{out_dir}/documents.parquet")
+    return n_out
+
+
+def gen_lineitem(out_dir: str, m: float, base_dir: str) -> int:
+    t = pq.read_table(f"{base_dir}/lineitem.parquet")
+    reps = int(np.ceil(m))
+    okey = t.column("l_orderkey").to_numpy()
+    shift = int(okey.max()) + 1
+    pieces = []
+    total_target = int(round(len(t) * m))
+    for r in range(reps):
+        piece = t.set_column(
+            t.schema.get_field_index("l_orderkey"),
+            "l_orderkey",
+            pa.array(okey + r * shift, pa.int64()),
+        )
+        pieces.append(piece)
+    out = pa.concat_tables(pieces).slice(0, total_target)
+    pq.write_table(out, f"{out_dir}/lineitem.parquet")
+    return len(out)
+
+
+def main() -> None:
+    out_dir, m = sys.argv[1], float(sys.argv[2])
+    base_dir = sys.argv[3] if len(sys.argv) > 3 else BASE
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        dst = f"{out_dir}/{name}.parquet"
+        if name in ("documents", "lineitem"):
+            continue
+        if not os.path.exists(dst):
+            os.symlink(f"{base_dir}/{name}.parquet", dst)
+    nd = gen_documents(out_dir, m, base_dir)
+    nl = gen_lineitem(out_dir, m, base_dir)
+    print(f"{out_dir}: documents={nd} lineitem={nl} (m={m})")
+
+
+if __name__ == "__main__":
+    main()
