@@ -43,6 +43,7 @@ class QuerySpec:
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
     # --- round-4 additions (no driver evidence yet) ---
+    QuerySpec("bigram_lm_scores", px.q_bigram_lm_scores, px.SQL_BIGRAM_LM_SCORES),
     QuerySpec("tpch_q18_large_volume_customer", rel.q_tpch_q18_large_volume_customer, rel.SQL_TPCH_Q18_LARGE_VOLUME_CUSTOMER),
     QuerySpec("tpch_q21_waiting_supplier", rel.q_tpch_q21_waiting_supplier, rel.SQL_TPCH_Q21_WAITING_SUPPLIER),
     # prod form of the HLL distinct: estimate-only, implementation-defined

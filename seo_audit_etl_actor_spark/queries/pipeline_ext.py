@@ -384,3 +384,91 @@ FROM doc_rarity
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------- bigram LM scoring
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model document scoring — the rational stand-in for
+    CCNet/KenLM perplexity filtering (the standard LLM-pipeline quality
+    gate; extension surface, the reference has no text analytics). Each
+    doc's score is the mean add-one-smoothed bigram probability
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), integer-quantized to 1e-6 BEFORE
+    the per-doc mean so every aggregate is order-independent and the
+    DuckDB oracle hash-matches (no transcendental logprob — same
+    discipline as token_rarity_stats). Low score = surprising/unnatural
+    text; output is the 20 most surprising docs.
+
+    Scale: documents is scanned exactly twice (the exploded bigram frame
+    feeds both the count build and the scoring join); prefix counts c1 and
+    the vocabulary size derive from the SMALL bigram-counts table (GROUP BY
+    on split_part), never from a corpus rescan. The two corpus shuffles
+    key on Zipf-skewed bigram/prefix strings — AQE skew splitting covers
+    the head, and the standard 100 TB refinement is broadcasting the top-K
+    hot keys' counts as a two-tier join. The per-doc rollup shuffles on
+    uniform doc_id; V is a 1-row broadcast."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("t")
+    ).where(F.size("t") >= 2)
+    ex = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                " concat(element_at(t, i), chr(31), element_at(t, i+1)) AS bg))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "source", "p.w1", "p.bg")
+    c2 = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        c2.withColumn("w1", F.expr("split_part(bg, chr(31), 1)"))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    return (
+        ex.join(c2, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr(
+                "CAST(sum(((c2 + 1) * 1000000) DIV (c1 + v)) DIV count(*) AS BIGINT)"
+            ).alias("lm_q6"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+        .orderBy(F.col("lm_q6").asc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "source", "n_bigrams", "lm_q6")
+    )
+
+
+_BIGRAM_TOKS = _TOKS.format(c="text")
+
+SQL_BIGRAM_LM_SCORES = f"""
+WITH base AS (
+  SELECT doc_id, source, {_BIGRAM_TOKS} AS t FROM documents
+),
+ex AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || chr(31) || t[i+1])) AS bg
+  FROM base WHERE len(t) >= 2
+),
+c2 AS (SELECT bg, COUNT(*) AS c2 FROM ex GROUP BY bg),
+c1 AS (SELECT split_part(bg, chr(31), 1) AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+vocab AS (SELECT COUNT(*) AS v FROM c1),
+scored AS (
+  SELECT doc_id, source,
+         CAST(SUM(((c2 + 1) * 1000000) // (c1 + v)) // COUNT(*) AS BIGINT) AS lm_q6,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM ex JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN vocab
+  GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_bigrams, lm_q6
+FROM scored
+ORDER BY lm_q6 ASC, doc_id ASC
+LIMIT 20
+"""
