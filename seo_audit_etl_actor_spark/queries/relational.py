@@ -360,10 +360,14 @@ def q_price_band_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            # decimal-exact sum, then one double division: no float-sum
-            # associativity drift between engines
+            # exact-sum without the decimal adder: retail prices are 2dp, so
+            # sum integer cents in a plain BIGINT (long adder, codegen-fast)
+            # and divide once — measured 2x faster than the DECIMAL(18,2)
+            # accumulate at sf0.1 (r3 regression, diagnosed r4), identical
+            # values. Cent sums stay far below 2^63 even at 100 TB.
             F.round(
-                F.sum(F.col("p_retailprice").cast(DEC)).cast("double")
+                F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint"))
+                / 100.0
                 / F.count(F.lit(1)),
                 2,
             ).alias("avg_price"),
@@ -374,7 +378,7 @@ def q_price_band_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICE_BAND_THETA_JOIN = """
 SELECT band, CAST(COUNT(*) AS BIGINT) AS n_parts,
-       ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_price
+       ROUND(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 2) AS avg_price
 FROM part
 JOIN (VALUES ('budget', 0.0, 910.0), ('mid', 910.0, 1500.0), ('premium', 1500.0, 1e9))
      AS bands(band, lo, hi)
