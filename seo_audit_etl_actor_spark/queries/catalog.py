@@ -20,6 +20,7 @@ from seo_audit_etl_actor_spark.queries import relational as rel
 from seo_audit_etl_actor_spark.queries import quality_ext as qx
 from seo_audit_etl_actor_spark.queries import reshape as rs
 from seo_audit_etl_actor_spark.queries import scale_ext as sx
+from seo_audit_etl_actor_spark.queries import tpch_ext as tq
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -43,6 +44,22 @@ class QuerySpec:
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
     # --- round-4 additions (no driver evidence yet) ---
+    QuerySpec("tpch_q4_order_priority", tq.q_tpch_q4_order_priority, tq.SQL_TPCH_Q4_ORDER_PRIORITY),
+    QuerySpec("tpch_q5_local_supplier_volume", tq.q_tpch_q5_local_supplier_volume, tq.SQL_TPCH_Q5_LOCAL_SUPPLIER_VOLUME),
+    QuerySpec("tpch_q6_forecast_revenue", tq.q_tpch_q6_forecast_revenue, tq.SQL_TPCH_Q6_FORECAST_REVENUE),
+    QuerySpec("tpch_q7_volume_shipping", tq.q_tpch_q7_volume_shipping, tq.SQL_TPCH_Q7_VOLUME_SHIPPING),
+    QuerySpec("tpch_q8_market_share", tq.q_tpch_q8_market_share, tq.SQL_TPCH_Q8_MARKET_SHARE),
+    QuerySpec("tpch_q9_product_type_profit", tq.q_tpch_q9_product_type_profit, tq.SQL_TPCH_Q9_PRODUCT_TYPE_PROFIT),
+    QuerySpec("tpch_q10_returned_items", tq.q_tpch_q10_returned_items, tq.SQL_TPCH_Q10_RETURNED_ITEMS),
+    QuerySpec("tpch_q12_ship_priority_classes", tq.q_tpch_q12_ship_priority_classes, tq.SQL_TPCH_Q12_SHIP_PRIORITY_CLASSES),
+    QuerySpec("tpch_q13_customer_distribution", tq.q_tpch_q13_customer_distribution, tq.SQL_TPCH_Q13_CUSTOMER_DISTRIBUTION),
+    QuerySpec("tpch_q14_promo_effect", tq.q_tpch_q14_promo_effect, tq.SQL_TPCH_Q14_PROMO_EFFECT),
+    QuerySpec("tpch_q15_top_supplier", tq.q_tpch_q15_top_supplier, tq.SQL_TPCH_Q15_TOP_SUPPLIER),
+    QuerySpec("tpch_q16_parts_supplier_relationship", tq.q_tpch_q16_parts_supplier_relationship, tq.SQL_TPCH_Q16_PARTS_SUPPLIER_RELATIONSHIP),
+    QuerySpec("tpch_q17_small_quantity_revenue", tq.q_tpch_q17_small_quantity_revenue, tq.SQL_TPCH_Q17_SMALL_QUANTITY_REVENUE),
+    QuerySpec("tpch_q19_discounted_revenue", tq.q_tpch_q19_discounted_revenue, tq.SQL_TPCH_Q19_DISCOUNTED_REVENUE),
+    QuerySpec("tpch_q20_potential_promotion", tq.q_tpch_q20_potential_promotion, tq.SQL_TPCH_Q20_POTENTIAL_PROMOTION),
+    QuerySpec("tpch_q22_sales_opportunity", tq.q_tpch_q22_sales_opportunity, tq.SQL_TPCH_Q22_SALES_OPPORTUNITY),
     QuerySpec("bigram_lm_scores", px.q_bigram_lm_scores, px.SQL_BIGRAM_LM_SCORES),
     QuerySpec("tpch_q18_large_volume_customer", rel.q_tpch_q18_large_volume_customer, rel.SQL_TPCH_Q18_LARGE_VOLUME_CUSTOMER),
     QuerySpec("tpch_q21_waiting_supplier", rel.q_tpch_q21_waiting_supplier, rel.SQL_TPCH_Q21_WAITING_SUPPLIER),

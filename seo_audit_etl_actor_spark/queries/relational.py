@@ -889,12 +889,15 @@ def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the order date; region filter (nations of region 0) stands in
     for Q21's single-nation filter at this supplier cardinality.
 
-    Scale: all three lineitem legs hash on the SAME l_orderkey key — the
-    semi and anti joins reuse the late-leg exchange rather than adding new
-    shuffle keys; supplier⨝nation is a broadcast; final count shuffles 100
-    supplier rows. The late predicate needs o_orderdate, so the orders
-    join (status filter pushed to scan) runs before the self-joins and the
-    self-join legs are derived from ONE late-lines frame.
+    Scale: SINGLE lineitem scan (r4 rewrite; the textbook semi+anti chain
+    re-scanned lineitem 3x — flagged by tools/audit_catalog.py). The
+    EXISTS/NOT-EXISTS pair is equivalent to per-order supplier stats: a
+    late line is a "sole bottleneck" iff its order has >= 2 distinct
+    suppliers (EXISTS another supplier) and exactly 1 distinct LATE
+    supplier (NOT EXISTS another late one). Both stats come from
+    collect_set windows over the one orderkey shuffle — per-order line
+    counts are bounded (<= 7 in TPC-H), so the window sets are O(1).
+    supplier⨝nation is a broadcast; final count shuffles ~100 rows.
     """
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
@@ -906,23 +909,19 @@ def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("is_late"),
     )
-    late = lines.where(F.col("is_late"))
-    other_sup = lines.select("l_orderkey", "l_suppkey")
-    other_late = late.select("l_orderkey", "l_suppkey")
-
-    l1 = late.alias("l1")
+    w = Window.partitionBy("l_orderkey")
     sole_late = (
-        l1.join(
-            other_sup.alias("l2"),
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        ).join(
-            other_late.alias("l3"),
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
+        lines.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
         )
+        .where(F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .alias("l1")
     )
     return (
         sole_late.join(
