@@ -67,38 +67,18 @@ QUERIES: list[QuerySpec] = [
     # values => rows-only driver check by design; the audit form
     # (approx_distinct_users, below) keeps the hashed exactness bound.
     QuerySpec("approx_distinct_users_prod", ext.q_approx_distinct_users_prod, None),
-    # --- round-4 rotation: these 40 queries' newest green evidence is r1/r2,
-    # predating the r3 session.py executor-shipping and ANSI-ratio changes —
-    # promoted into the 50-entry window so r4 re-verifies them on current code
-    # (VERDICT r3 task 1). New r4 queries insert ABOVE this block. ---
-    QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),
-    QuerySpec("doc_quality_by_source", ext.q_doc_quality_by_source, ext.SQL_DOC_QUALITY_BY_SOURCE),
-    QuerySpec("exact_dedup_stats", ext.q_exact_dedup_stats, ext.SQL_EXACT_DEDUP_STATS),
-    QuerySpec("minhash_near_dup", ext.q_minhash_near_dup, ext.SQL_MINHASH_NEAR_DUP),
+    # --- r4-changed code with only r1/r2 driver evidence: the theta join's
+    # sum was rewritten to BIGINT cents and SIMHASH_BITS moved 48 -> 60 this
+    # round, so these three MUST sit inside the window. ---
+    QuerySpec("price_band_theta_join", rel.q_price_band_theta_join, rel.SQL_PRICE_BAND_THETA_JOIN),
     QuerySpec("simhash_fingerprints", ext.q_simhash_fingerprints, ext.SQL_SIMHASH_FINGERPRINTS),
     QuerySpec("simhash_near_dup", ext.q_simhash_near_dup, ext.SQL_SIMHASH_NEAR_DUP),
-    QuerySpec("ngram_jaccard_sample", ext.q_ngram_jaccard_sample, ext.SQL_NGRAM_JACCARD_SAMPLE),
-    QuerySpec("cosine_topk_bruteforce", ext.q_cosine_topk_bruteforce, ext.SQL_COSINE_TOPK),
-    QuerySpec("revenue_by_nation", rel.q_revenue_by_nation, rel.SQL_REVENUE_BY_NATION),
-    QuerySpec("topk_parts_per_brand", rel.q_topk_parts_per_brand, rel.SQL_TOPK_PARTS_PER_BRAND),
-    QuerySpec("rollup_region_nation", rel.q_rollup_region_nation, rel.SQL_ROLLUP_REGION_NATION),
-    QuerySpec("running_order_totals", rel.q_running_order_totals, rel.SQL_RUNNING_ORDER_TOTALS),
-    QuerySpec("set_ops_customers", rel.q_set_ops_customers, rel.SQL_SET_OPS_CUSTOMERS),
-    QuerySpec("monthly_order_stats", rel.q_monthly_order_stats, rel.SQL_MONTHLY_ORDER_STATS),
-    QuerySpec("hourly_event_windows", rel.q_hourly_event_windows, rel.SQL_HOURLY_EVENT_WINDOWS),
-    QuerySpec("asof_join_enrichment", rel.q_asof_join_enrichment, rel.SQL_ASOF_JOIN_ENRICHMENT),
-    QuerySpec("semi_anti_customers", rel.q_semi_anti_customers, rel.SQL_SEMI_ANTI_CUSTOMERS),
-    QuerySpec("cube_order_stats", rel.q_cube_order_stats, rel.SQL_CUBE_ORDER_STATS),
-    QuerySpec("user_event_deltas", rel.q_user_event_deltas, rel.SQL_USER_EVENT_DELTAS),
-    QuerySpec("price_band_theta_join", rel.q_price_band_theta_join, rel.SQL_PRICE_BAND_THETA_JOIN),
-    QuerySpec("grouping_sets_supplier", rel.q_grouping_sets_supplier, rel.SQL_GROUPING_SETS_SUPPLIER),
-    QuerySpec("price_percentiles", rel.q_price_percentiles, rel.SQL_PRICE_PERCENTILES),
-    QuerySpec("sessionize_events", rs.q_sessionize_events, rs.SQL_SESSIONIZE_EVENTS),
-    QuerySpec("pivot_status_priority", rs.q_pivot_status_priority, rs.SQL_PIVOT_STATUS_PRIORITY),
-    QuerySpec("unpivot_lineitem_metrics", rs.q_unpivot_lineitem_metrics, rs.SQL_UNPIVOT_LINEITEM_METRICS),
-    QuerySpec("price_histogram", rs.q_price_histogram, rs.SQL_PRICE_HISTOGRAM),
-    QuerySpec("above_nation_avg_balance", rs.q_above_nation_avg_balance, rs.SQL_ABOVE_NATION_AVG_BALANCE),
-    QuerySpec("event_promo_windows", rs.q_event_promo_windows, rs.SQL_EVENT_PROMO_WINDOWS),
+    # --- round-4 rotation, ordered by evidence risk (VERDICT r3 task 1): the
+    # reference_ops parity family first (the r3 ANSI-ratio hardening touched
+    # its ratio emissions), then the dedup/text family, then the relational
+    # block (only session.py churn). Entries that no longer fit the 50-slot
+    # window (tail of this list) keep r1/r2 evidence + local oracle tests and
+    # rotate into the r5 window. ---
     QuerySpec("keyword_position_buckets", r.q_keyword_position_buckets, r.SQL_KEYWORD_POSITION_BUCKETS),
     QuerySpec("numeric_coercion", r.q_numeric_coercion, r.SQL_NUMERIC_COERCION),
     QuerySpec("status_code_bands", r.q_status_code_bands, r.SQL_STATUS_CODE_BANDS),
@@ -111,6 +91,31 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("liveness_ratio", r.q_liveness_ratio, r.SQL_LIVENESS_RATIO),
     QuerySpec("cwv_pass_rate", r.q_cwv_pass_rate, r.SQL_CWV_PASS_RATE),
     QuerySpec("coverage_weighted_score", r.q_coverage_weighted_score, r.SQL_COVERAGE_WEIGHTED_SCORE),
+    QuerySpec("minhash_near_dup", ext.q_minhash_near_dup, ext.SQL_MINHASH_NEAR_DUP),
+    QuerySpec("exact_dedup_stats", ext.q_exact_dedup_stats, ext.SQL_EXACT_DEDUP_STATS),
+    QuerySpec("ngram_jaccard_sample", ext.q_ngram_jaccard_sample, ext.SQL_NGRAM_JACCARD_SAMPLE),
+    QuerySpec("cosine_topk_bruteforce", ext.q_cosine_topk_bruteforce, ext.SQL_COSINE_TOPK),
+    QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),
+    QuerySpec("doc_quality_by_source", ext.q_doc_quality_by_source, ext.SQL_DOC_QUALITY_BY_SOURCE),
+    QuerySpec("revenue_by_nation", rel.q_revenue_by_nation, rel.SQL_REVENUE_BY_NATION),
+    QuerySpec("topk_parts_per_brand", rel.q_topk_parts_per_brand, rel.SQL_TOPK_PARTS_PER_BRAND),
+    QuerySpec("rollup_region_nation", rel.q_rollup_region_nation, rel.SQL_ROLLUP_REGION_NATION),
+    QuerySpec("running_order_totals", rel.q_running_order_totals, rel.SQL_RUNNING_ORDER_TOTALS),
+    QuerySpec("set_ops_customers", rel.q_set_ops_customers, rel.SQL_SET_OPS_CUSTOMERS),
+    QuerySpec("monthly_order_stats", rel.q_monthly_order_stats, rel.SQL_MONTHLY_ORDER_STATS),
+    QuerySpec("hourly_event_windows", rel.q_hourly_event_windows, rel.SQL_HOURLY_EVENT_WINDOWS),
+    QuerySpec("asof_join_enrichment", rel.q_asof_join_enrichment, rel.SQL_ASOF_JOIN_ENRICHMENT),
+    QuerySpec("semi_anti_customers", rel.q_semi_anti_customers, rel.SQL_SEMI_ANTI_CUSTOMERS),
+    QuerySpec("cube_order_stats", rel.q_cube_order_stats, rel.SQL_CUBE_ORDER_STATS),
+    QuerySpec("user_event_deltas", rel.q_user_event_deltas, rel.SQL_USER_EVENT_DELTAS),
+    QuerySpec("grouping_sets_supplier", rel.q_grouping_sets_supplier, rel.SQL_GROUPING_SETS_SUPPLIER),
+    QuerySpec("price_percentiles", rel.q_price_percentiles, rel.SQL_PRICE_PERCENTILES),
+    QuerySpec("sessionize_events", rs.q_sessionize_events, rs.SQL_SESSIONIZE_EVENTS),
+    QuerySpec("pivot_status_priority", rs.q_pivot_status_priority, rs.SQL_PIVOT_STATUS_PRIORITY),
+    QuerySpec("unpivot_lineitem_metrics", rs.q_unpivot_lineitem_metrics, rs.SQL_UNPIVOT_LINEITEM_METRICS),
+    QuerySpec("price_histogram", rs.q_price_histogram, rs.SQL_PRICE_HISTOGRAM),
+    QuerySpec("above_nation_avg_balance", rs.q_above_nation_avg_balance, rs.SQL_ABOVE_NATION_AVG_BALANCE),
+    QuerySpec("event_promo_windows", rs.q_event_promo_windows, rs.SQL_EVENT_PROMO_WINDOWS),
     # --- below/straddling the window: green in r3 on current code ---
     QuerySpec("dedup_within_window", ev.q_dedup_within_window, ev.SQL_DEDUP_WITHIN_WINDOW),
     QuerySpec("balance_outliers", qx.q_balance_outliers, qx.SQL_BALANCE_OUTLIERS),
