@@ -20,6 +20,7 @@ from seo_audit_etl_actor_spark.queries import relational as rel
 from seo_audit_etl_actor_spark.queries import quality_ext as qx
 from seo_audit_etl_actor_spark.queries import reshape as rs
 from seo_audit_etl_actor_spark.queries import scale_ext as sx
+from seo_audit_etl_actor_spark.queries import curation_ext as cx
 from seo_audit_etl_actor_spark.queries import tpch_ext as tq
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -44,6 +45,9 @@ class QuerySpec:
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
     # --- round-4 additions (no driver evidence yet) ---
+    QuerySpec("gopher_quality_rules", cx.q_gopher_quality_rules, cx.SQL_GOPHER_QUALITY_RULES),
+    QuerySpec("dup_ngram_span_ratio", cx.q_dup_ngram_span_ratio, cx.SQL_DUP_NGRAM_SPAN_RATIO),
+    QuerySpec("embedding_quantization_error", cx.q_embedding_quantization_error, cx.SQL_EMBEDDING_QUANTIZATION_ERROR),
     QuerySpec("tpch_q4_order_priority", tq.q_tpch_q4_order_priority, tq.SQL_TPCH_Q4_ORDER_PRIORITY),
     QuerySpec("tpch_q5_local_supplier_volume", tq.q_tpch_q5_local_supplier_volume, tq.SQL_TPCH_Q5_LOCAL_SUPPLIER_VOLUME),
     QuerySpec("tpch_q6_forecast_revenue", tq.q_tpch_q6_forecast_revenue, tq.SQL_TPCH_Q6_FORECAST_REVENUE),

@@ -1,0 +1,306 @@
+"""Corpus-curation rule queries (LLM-pipeline extension surface): Gopher-style
+quality-rule funnels, cross-document duplicated-span measurement, and
+embedding quantization QA. The reference has no text analytics (its quality
+notion is the coverage-weighted score, src/scoring.js:1-77); these are the
+document-curation counterparts a 100 TB training pipeline runs before/after
+that kind of scoring.
+
+Determinism discipline (same as the rest of the catalog): every per-doc
+metric that feeds a cross-row aggregate is either an exact integer or an
+integer-quantized rational, and every RANGE test on a rational mean is done
+by integer cross-multiplication (chars >= 4*n instead of chars/n >= 4) so no
+float boundary can flip between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seo_audit_etl_actor_spark.operators.text import STOPWORDS, tokens
+from seo_audit_etl_actor_spark.queries.llm_ext import _TOKS, _sql_md5_long
+from seo_audit_etl_actor_spark.session import ensure_parallelism, load_table
+
+# ------------------------------------------------- Gopher-style rule funnel
+#
+# Rules (Gopher / RedPajama-style repetition+shape gates, thresholds tuned to
+# the synthetic corpus so every rule is non-vacuous — see probe numbers in
+# the docstring):
+#   word_count     30 <= n_tokens <= 100000
+#   mean_word_len  4 <= total_chars/n_tokens <= 10   (as 4n <= chars <= 10n)
+#   unique_frac    distinct/n >= 0.4                 (as 10d >= 4n)
+#   top_token_frac max token count <= 0.2*n          (as 5*maxcnt <= n)
+#   stopwords      >= 2 distinct EN stopwords present
+
+_RULES = ["mean_word_len", "stopwords", "top_token_frac", "unique_frac", "word_count"]
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule pass/fail funnel over the documents table (plus the all-rules
+    conjunction), the shape of a Gopher quality gate at corpus scale.
+
+    Scale: ONE token explode -> (doc, token) partial-agg counts -> per-doc
+    stats -> 5 boolean rules -> a tiny unpivoted funnel. Two shuffles (the
+    (doc_id, tok) agg and the doc_id rollup); the rule evaluation itself is
+    pure integer expression work on one row per doc. Corpus-probe at
+    sf0.01: token count 10-99 (median 56), unique-frac 0.28-1.0, mean word
+    length 3.7-5.3, top-token-frac 0.05-0.30 — every rule splits the
+    corpus."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    per_tok = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr("cnt * length(t)")).alias("chars"),
+        F.count(F.lit(1)).alias("d"),
+        F.max("cnt").alias("maxcnt"),
+        F.sum(F.expr(f"CASE WHEN array_contains({stop_arr}, t) THEN 1 ELSE 0 END")).alias(
+            "stop_hits"
+        ),
+    )
+    rules = per_doc.select(
+        F.expr("n >= 30 AND n <= 100000").alias("word_count"),
+        F.expr("chars >= 4 * n AND chars <= 10 * n").alias("mean_word_len"),
+        F.expr("10 * d >= 4 * n").alias("unique_frac"),
+        F.expr("5 * maxcnt <= n").alias("top_token_frac"),
+        F.expr("stop_hits >= 2").alias("stopwords"),
+    ).withColumn(
+        "all_rules",
+        F.expr(" AND ".join(_RULES)),
+    )
+    stacked = rules.select(
+        F.expr(
+            "stack(6, "
+            + ", ".join(f"'{r}', {r}" for r in _RULES + ["all_rules"])
+            + ") AS (rule, pass)"
+        )
+    )
+    return (
+        stacked.groupBy("rule")
+        .agg(
+            F.sum(F.expr("CASE WHEN pass THEN 1 ELSE 0 END")).alias("n_pass"),
+            F.sum(F.expr("CASE WHEN pass THEN 0 ELSE 1 END")).alias("n_fail"),
+        )
+        .orderBy("rule")
+    )
+
+
+def _sql_gopher_quality_rules() -> str:
+    toks = _TOKS.format(c="text")
+    stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    rule_exprs = {
+        "word_count": "n >= 30 AND n <= 100000",
+        "mean_word_len": "chars >= 4 * n AND chars <= 10 * n",
+        "unique_frac": "10 * d >= 4 * n",
+        "top_token_frac": "5 * maxcnt <= n",
+        "stopwords": "stop_hits >= 2",
+    }
+    all_expr = " AND ".join(f"({e})" for e in rule_exprs.values())
+    legs = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, {expr} AS pass FROM per_doc"
+        for name, expr in rule_exprs.items()
+    ) + f"\nUNION ALL\nSELECT 'all_rules' AS rule, {all_expr} AS pass FROM per_doc"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS t FROM documents
+),
+per_tok AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY doc_id, t
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * len(t)) AS BIGINT) AS chars,
+         CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(MAX(cnt) AS BIGINT) AS maxcnt,
+         CAST(SUM(CASE WHEN list_contains({stop_list}, t) THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+  FROM per_tok GROUP BY doc_id
+),
+stacked AS (
+{legs}
+)
+SELECT rule,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+FROM stacked
+GROUP BY rule
+ORDER BY rule
+"""
+
+
+SQL_GOPHER_QUALITY_RULES = _sql_gopher_quality_rules()
+
+
+# --------------------------------------- cross-doc duplicated-span coverage
+#
+# The Lee-et-al / RefinedWeb measurement behind substring-level dedup: what
+# fraction of each document's k-gram shingles also appears in ANOTHER
+# document. Bucketed into deciles -> a corpus "duplication pressure"
+# histogram that tells you whether passage-level dedup is worth running.
+
+_SPAN_K = 8
+
+
+def q_dup_ngram_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-doc duplicated 8-gram coverage.
+
+    Scale: one scan -> distinct hashed shingles per doc (32-bit ints, the
+    strings never shuffle) -> explode -> ONE shuffle on the shingle hash to
+    count distinct docs per gram (uniform key space, no hot keys) -> doc
+    rollup -> 10-bucket histogram. Per-bucket dup fraction is a ratio of
+    exact BIGINT shingle counts, so the oracle hash-matches."""
+    from seo_audit_etl_actor_spark.operators.dedup import hashed_shingle_set
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(hashed_shingle_set(F.col("text"), k=_SPAN_K)).alias("g")
+    )
+    per_gram = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        sh.join(per_gram, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.sum(F.expr("CASE WHEN nd >= 2 THEN 1 ELSE 0 END")).alias("dup_grams"),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.expr("CAST(FLOOR(10.0 * dup_grams / total_grams) AS BIGINT)").alias(
+                "dup_decile"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dup_grams").alias("sum_dup_grams"),
+            F.sum("total_grams").alias("sum_total_grams"),
+            (F.sum("dup_grams") / F.sum("total_grams")).alias("dup_frac"),
+        )
+        .orderBy("dup_decile")
+    )
+
+
+def _sql_dup_ngram_span_ratio(k: int = _SPAN_K) -> str:
+    from seo_audit_etl_actor_spark.operators.dedup import MASK32
+
+    toks = _TOKS.format(c="text")
+    grams = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - {k - 2}),
+                i -> {_sql_md5_long(f'({grams})')} & {MASK32}))) AS g
+  FROM toks WHERE len(t) >= {k}
+),
+per_gram AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY g
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS total_grams,
+         CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+  FROM sh JOIN per_gram USING (g)
+  GROUP BY doc_id
+)
+SELECT CAST(FLOOR(10.0 * dup_grams / total_grams) AS BIGINT) AS dup_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup_grams) AS BIGINT) AS sum_dup_grams,
+       CAST(SUM(total_grams) AS BIGINT) AS sum_total_grams,
+       CAST(SUM(dup_grams) AS BIGINT) / CAST(SUM(total_grams) AS BIGINT) AS dup_frac
+FROM per_doc
+GROUP BY dup_decile
+ORDER BY dup_decile
+"""
+
+
+SQL_DUP_NGRAM_SPAN_RATIO = _sql_dup_ngram_span_ratio()
+
+
+# ------------------------------------------------ embedding quantization QA
+#
+# Symmetric int8 quantization (scale = max|x| / 127 per vector) with
+# reconstruction-error stats per label — the QA step before shipping
+# quantized vectors to an ANN index.
+#
+# Float discipline: a cross-engine float FOLD (list sum) is NOT safe — the
+# engines may sum in different orders/pairings, and a last-ulp difference
+# can flip a downstream ROUND. So every per-ELEMENT error is an identical
+# scalar expression in both engines, quantized to an integer PER ELEMENT
+# (squared error at 1e-12, max-abs at 1e-9), and only integers are ever
+# summed. max() is order-independent, so the max-abs error may stay a
+# double until its own quantization.
+
+def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label int8-quantization reconstruction error (avg max-abs error
+    and avg MSE, integer-quantized per element).
+
+    Scale: map-only per-vector array math (whole-stage codegen, no Python)
+    + one tiny shuffle on label. 100 TB: embarrassingly parallel."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    xs = emb.select(
+        "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("xs")
+    )
+    scaled = xs.select(
+        "label", "xs", F.expr("array_max(transform(xs, x -> abs(x))) / 127.0").alias("s")
+    )
+    errs = scaled.select(
+        "label",
+        F.expr(
+            "CASE WHEN s = 0.0 THEN CAST(array() AS array<double>) "
+            "ELSE transform(xs, x -> x - round(x / s) * s) END"
+        ).alias("e"),
+    )
+    per_vec = errs.select(
+        "label",
+        F.expr(
+            "CAST(ROUND(COALESCE(array_max(transform(e, x -> abs(x))), 0.0) * 1e9) AS BIGINT)"
+        ).alias("maxerr9"),
+        F.expr(
+            "aggregate(e, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(ROUND(x * x * 1e12) AS BIGINT))"
+        ).alias("sse12"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum("maxerr9") / F.count(F.lit(1)) / 1e9).alias("avg_max_err"),
+            (F.sum("sse12") / F.count(F.lit(1)) / 1e12).alias("avg_sse"),
+        )
+        .orderBy("label")
+    )
+
+
+_SQL_XS = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_SQL_AMAX = "list_aggregate(list_transform(xs, x -> abs(x)), 'max')"
+
+SQL_EMBEDDING_QUANTIZATION_ERROR = f"""
+WITH xs AS (
+  SELECT label, {_SQL_XS} AS xs FROM embeddings
+),
+scaled AS (
+  SELECT label, xs, {_SQL_AMAX} / 127.0 AS s FROM xs
+),
+errs AS (
+  SELECT label,
+         CASE WHEN s = 0.0 THEN CAST([] AS DOUBLE[])
+              ELSE list_transform(xs, x -> x - round(x / s) * s) END AS e
+  FROM scaled
+),
+per_vec AS (
+  SELECT label,
+         CAST(ROUND(COALESCE(list_aggregate(list_transform(e, x -> abs(x)), 'max'), 0.0) * 1e9) AS BIGINT) AS maxerr9,
+         CAST(COALESCE(list_aggregate(list_transform(e, x -> CAST(ROUND(x * x * 1e12) AS BIGINT)), 'sum'), 0) AS BIGINT) AS sse12
+  FROM errs
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(maxerr9) AS BIGINT) / COUNT(*) / 1e9 AS avg_max_err,
+       CAST(SUM(sse12) AS BIGINT) / COUNT(*) / 1e12 AS avg_sse
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
