@@ -48,6 +48,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("gopher_quality_rules", cx.q_gopher_quality_rules, cx.SQL_GOPHER_QUALITY_RULES),
     QuerySpec("dup_ngram_span_ratio", cx.q_dup_ngram_span_ratio, cx.SQL_DUP_NGRAM_SPAN_RATIO),
     QuerySpec("embedding_quantization_error", cx.q_embedding_quantization_error, cx.SQL_EMBEDDING_QUANTIZATION_ERROR),
+    QuerySpec("embedding_centroid_outliers", cx.q_embedding_centroid_outliers, cx.SQL_EMBEDDING_CENTROID_OUTLIERS),
     QuerySpec("tpch_q4_order_priority", tq.q_tpch_q4_order_priority, tq.SQL_TPCH_Q4_ORDER_PRIORITY),
     QuerySpec("tpch_q5_local_supplier_volume", tq.q_tpch_q5_local_supplier_volume, tq.SQL_TPCH_Q5_LOCAL_SUPPLIER_VOLUME),
     QuerySpec("tpch_q6_forecast_revenue", tq.q_tpch_q6_forecast_revenue, tq.SQL_TPCH_Q6_FORECAST_REVENUE),

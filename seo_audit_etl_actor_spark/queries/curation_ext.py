@@ -274,6 +274,107 @@ def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# ------------------------------------------- label-centroid outlier scan
+#
+# The D4/SemDeDup-style curation prefilter: vectors far from their own
+# label's centroid are mislabeled/noisy candidates. Centroid numerators are
+# per-element 1e-6-quantized BIGINT sums (exact, order-independent); each
+# vector's squared distance is a per-dim 1e-12-quantized BIGINT sum; the
+# outlier cut compares the integer distance against 1.05x the label mean
+# (mean = exact-int sum / count, one deterministic double op per label).
+# Why 1.05x: in 64 dimensions distances CONCENTRATE — the sf0.01 corpus'
+# per-label max/mean ratio is only 1.05-1.12, so the low-dimensional "2x
+# mean" intuition flags nothing; the tail cut must sit inside the
+# concentration band.
+
+def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance stats + >1.05x-mean outlier counts.
+
+    Scale: posexplode (x64 rows) -> partial-agg (label, dim) centroid sums
+    (tiny: labels x dims rows, BROADCAST back — the re-join costs no
+    shuffle) -> per-vec integer distance -> one label window for the mean.
+    At 100 TB the explode factor is the embedding dim; every aggregate is
+    map-side-combining on uniform keys."""
+    from pyspark.sql import Window
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "pos", "x"
+        ),
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("i"), "x")
+    cent = ex.groupBy("label", "i").agg(
+        F.sum(F.expr("CAST(ROUND(x * 1e6) AS BIGINT)")).alias("sumq6"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("label", "i", F.expr("sumq6 / n / 1e6").alias("c"))
+    per_vec = (
+        ex.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.expr("CAST(ROUND((x - c) * (x - c) * 1e12) AS BIGINT)")).alias(
+                "dist2q"
+            )
+        )
+    )
+    w = Window.partitionBy("label")
+    flagged = per_vec.select(
+        "label",
+        "dist2q",
+        (
+            F.col("dist2q").cast("double")
+            > 1.05 * (F.sum("dist2q").over(w) / F.count(F.lit(1)).over(w))
+        ).alias("is_outlier"),
+    )
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum("dist2q") / F.count(F.lit(1)) / 1e12).alias("avg_dist2"),
+            F.sum(F.expr("CASE WHEN is_outlier THEN 1 ELSE 0 END")).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_CENTROID_OUTLIERS = """
+WITH ex AS (
+  SELECT vec_id, label, u.i AS i, u.x AS x FROM (
+    SELECT vec_id, label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {'i': i, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+    FROM embeddings
+  )
+),
+cent AS (
+  SELECT label, i,
+         CAST(SUM(CAST(ROUND(x * 1e6) AS BIGINT)) AS BIGINT) / COUNT(*) / 1e6 AS c
+  FROM ex GROUP BY label, i
+),
+per_vec AS (
+  SELECT vec_id, ex.label AS label,
+         CAST(SUM(CAST(ROUND((x - c) * (x - c) * 1e12) AS BIGINT)) AS BIGINT) AS dist2q
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+  GROUP BY vec_id, ex.label
+),
+flagged AS (
+  SELECT label, dist2q,
+         CAST(dist2q AS DOUBLE)
+           > 1.05 * (SUM(dist2q) OVER (PARTITION BY label)
+                    / COUNT(*) OVER (PARTITION BY label)) AS is_outlier
+  FROM per_vec
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(dist2q) AS BIGINT) / COUNT(*) / 1e12 AS avg_dist2,
+       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM flagged
+GROUP BY label
+ORDER BY label
+"""
+
+
 _SQL_XS = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 _SQL_AMAX = "list_aggregate(list_transform(xs, x -> abs(x)), 'max')"
 
