@@ -32,6 +32,18 @@ HEAVY = [
     "part_cooccurrence",
     "heavy_hitter_tokens",
     "tfidf_top_terms",
+    # round-4 additions: span-dedup + rule funnel + LM scoring (documents),
+    # the heaviest TPC-H joins (orders now replicated alongside lineitem),
+    # and the embedding-explode family (embeddings now replicated).
+    "dup_ngram_span_ratio",
+    "gopher_quality_rules",
+    "bigram_lm_scores",
+    "passage_dedup_stats",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
+    "tpch_q21_waiting_supplier",
+    "embedding_centroid_outliers",
+    "embedding_quantization_error",
 ]
 
 

@@ -66,38 +66,59 @@ def gen_documents(out_dir: str, m: float, base_dir: str, seed: int = 7) -> int:
     return n_out
 
 
-def gen_lineitem(out_dir: str, m: float, base_dir: str) -> int:
-    t = pq.read_table(f"{base_dir}/lineitem.parquet")
+def _replicate_shifted(
+    out_dir: str, m: float, base_dir: str, table: str, key_col: str, shift: int
+) -> int:
+    """Replicate a table ceil(m) times, shifting key_col by r*shift per copy,
+    then slice to round(len*m). Orders and lineitem use the SAME shift so
+    replicated lineitems still join their replicated orders (fractional m
+    orphans a tail sliver — tolerated: a perf probe processes those rows
+    either way). o_custkey is deliberately NOT shifted: customers accrue
+    m x more orders, which keeps the customer join side valid and scales
+    the join the way a growing business (not a growing customer file)
+    would."""
+    t = pq.read_table(f"{base_dir}/{table}.parquet")
     reps = int(np.ceil(m))
-    okey = t.column("l_orderkey").to_numpy()
-    shift = int(okey.max()) + 1
+    key = t.column(key_col).to_numpy()
     pieces = []
     total_target = int(round(len(t) * m))
     for r in range(reps):
         piece = t.set_column(
-            t.schema.get_field_index("l_orderkey"),
-            "l_orderkey",
-            pa.array(okey + r * shift, pa.int64()),
+            t.schema.get_field_index(key_col),
+            key_col,
+            pa.array(key + r * shift, pa.int64()),
         )
         pieces.append(piece)
     out = pa.concat_tables(pieces).slice(0, total_target)
-    pq.write_table(out, f"{out_dir}/lineitem.parquet")
+    pq.write_table(out, f"{out_dir}/{table}.parquet")
     return len(out)
+
+
+def _order_shift(base_dir: str) -> int:
+    lmax = int(pq.read_table(f"{base_dir}/lineitem.parquet", columns=["l_orderkey"])
+               .column("l_orderkey").to_numpy().max())
+    omax = int(pq.read_table(f"{base_dir}/orders.parquet", columns=["o_orderkey"])
+               .column("o_orderkey").to_numpy().max())
+    return max(lmax, omax) + 1
 
 
 def main() -> None:
     out_dir, m = sys.argv[1], float(sys.argv[2])
     base_dir = sys.argv[3] if len(sys.argv) > 3 else BASE
     os.makedirs(out_dir, exist_ok=True)
+    generated = ("documents", "lineitem", "orders", "embeddings")
     for name in TABLES:
         dst = f"{out_dir}/{name}.parquet"
-        if name in ("documents", "lineitem"):
+        if name in generated:
             continue
         if not os.path.exists(dst):
             os.symlink(f"{base_dir}/{name}.parquet", dst)
     nd = gen_documents(out_dir, m, base_dir)
-    nl = gen_lineitem(out_dir, m, base_dir)
-    print(f"{out_dir}: documents={nd} lineitem={nl} (m={m})")
+    shift = _order_shift(base_dir)
+    nl = _replicate_shifted(out_dir, m, base_dir, "lineitem", "l_orderkey", shift)
+    no = _replicate_shifted(out_dir, m, base_dir, "orders", "o_orderkey", shift)
+    ne = _replicate_shifted(out_dir, m, base_dir, "embeddings", "vec_id", 1 << 32)
+    print(f"{out_dir}: documents={nd} lineitem={nl} orders={no} embeddings={ne} (m={m})")
 
 
 if __name__ == "__main__":
