@@ -1,0 +1,115 @@
+"""Lake maintenance: versioned snapshots (time travel) and small-file
+compaction on plain parquet — the operational primitives a 100 TB lake
+needs around the MERGE writer (operators/upsert.py, streaming/lake.py).
+Engine extension surface; the reference's only persistence is whole-value
+KV overwrite (src/main.js:30-38).
+
+Layout (lakehouse-lite, the Iceberg/Delta snapshot idea without a
+manifest format):
+
+    lake_dir/
+      v00000001/  v00000002/  ...   immutable snapshot directories
+      _LATEST                       pointer file: the committed version
+
+Commit protocol: write the snapshot dir fully, then publish by atomically
+replacing `_LATEST` (os.replace of a tmp pointer). Readers resolve the
+pointer FIRST and then read an immutable directory, so:
+- a crash mid-write leaves a garbage un-pointed dir, never a torn table;
+- concurrent readers of version N are unaffected by the commit of N+1
+  (snapshot isolation);
+- time travel = read any retained version explicitly.
+
+`vacuum` deletes versions older than the last `keep` — the retention
+boundary is the time-travel horizon, exactly like Delta's VACUUM.
+
+Compaction: an immutable-snapshot REWRITE (new version, same rows) that
+coalesces many small files into ~`target_rows` files. Small files are the
+top operational tax at scale (every query pays a file-open + footer read
+per file; 10k tiny files can cost more than the scan itself). Compaction
+preserves row content exactly — asserted by the round-trip test — and
+publishes through the same pointer protocol, so readers never see a
+half-compacted table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_LATEST"
+
+
+def _version_dir(lake_dir: str, version: int) -> str:
+    return os.path.join(lake_dir, f"v{version:08d}")
+
+
+def latest_version(lake_dir: str) -> int | None:
+    """Committed version per the pointer file; None for an empty lake."""
+    p = os.path.join(lake_dir, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(fh.read().strip())
+
+
+def list_versions(lake_dir: str) -> list[int]:
+    if not os.path.isdir(lake_dir):
+        return []
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(lake_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def publish_version(df: DataFrame, lake_dir: str) -> int:
+    """Write `df` as the next immutable snapshot and commit it by pointer
+    replace. Returns the new version number."""
+    os.makedirs(lake_dir, exist_ok=True)
+    current = latest_version(lake_dir)
+    version = (current or 0) + 1
+    df.write.mode("overwrite").parquet(_version_dir(lake_dir, version))
+    tmp = os.path.join(lake_dir, f"{_POINTER}.{os.getpid()}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(lake_dir, _POINTER))
+    return version
+
+
+def read_lake(spark: SparkSession, lake_dir: str, version: int | None = None) -> DataFrame:
+    """Read the committed snapshot (or `version` for time travel)."""
+    v = latest_version(lake_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"empty lake: {lake_dir}")
+    path = _version_dir(lake_dir, v)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"version {v} not retained in {lake_dir}")
+    return spark.read.parquet(path)
+
+
+def vacuum(lake_dir: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest `keep` versions (never the committed one).
+    Returns the versions removed."""
+    committed = latest_version(lake_dir)
+    versions = list_versions(lake_dir)
+    keep_set = set(versions[-keep:]) | ({committed} if committed is not None else set())
+    removed = []
+    for v in versions:
+        if v not in keep_set:
+            shutil.rmtree(_version_dir(lake_dir, v), ignore_errors=True)
+            removed.append(v)
+    return removed
+
+
+def compact(spark: SparkSession, lake_dir: str, target_rows: int = 1_000_000) -> int:
+    """Rewrite the committed snapshot into ceil(rows/target_rows) files and
+    publish as a NEW version (content unchanged). Uses repartition, not
+    coalesce: coalesce(1) would also collapse the WRITE parallelism of the
+    upstream scan; repartition keeps the read parallel and only narrows at
+    the exchange. Returns the new version."""
+    df = read_lake(spark, lake_dir)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows))
+    return publish_version(df.repartition(n_files), lake_dir)

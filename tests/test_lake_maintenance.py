@@ -1,0 +1,78 @@
+"""Versioned-lake maintenance: snapshot isolation, time travel, vacuum
+retention, and content-preserving compaction (operators/lake_maintenance)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from seo_audit_etl_actor_spark.operators import lake_maintenance as lm
+from seo_audit_etl_actor_spark.operators.upsert import merge_upsert
+from seo_audit_etl_actor_spark.session import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def lake(spark, sf_dir, tmp_path):
+    lake_dir = str(tmp_path / "lake")
+    nation = load_table(spark, sf_dir, "nation")
+    v1 = lm.publish_version(nation, lake_dir)
+    assert v1 == 1
+    return lake_dir, nation
+
+
+def test_time_travel_reads_old_snapshot(spark, sf_dir, lake):
+    lake_dir, nation = lake
+    updates = nation.limit(5).withColumn("n_name", F.lit("RENAMED")).withColumn(
+        "__version", F.lit(1).cast("long")
+    )
+    base = lm.read_lake(spark, lake_dir).withColumn(
+        "__version", F.lit(0).cast("long")
+    )
+    merged = merge_upsert(base, updates, ["n_nationkey"], "__version")
+    v2 = lm.publish_version(merged.drop("__version"), lake_dir)
+    assert v2 == 2
+    assert lm.latest_version(lake_dir) == 2
+
+    latest = lm.read_lake(spark, lake_dir)
+    assert latest.where(F.col("n_name") == "RENAMED").count() == 5
+    # time travel: version 1 is untouched
+    assert _rows(lm.read_lake(spark, lake_dir, version=1)) == _rows(nation)
+
+
+def test_vacuum_retains_horizon(spark, lake):
+    lake_dir, nation = lake
+    for _ in range(3):
+        lm.publish_version(nation, lake_dir)
+    assert lm.list_versions(lake_dir) == [1, 2, 3, 4]
+    removed = lm.vacuum(lake_dir, keep=2)
+    assert removed == [1, 2]
+    assert lm.list_versions(lake_dir) == [3, 4]
+    with pytest.raises(FileNotFoundError):
+        lm.read_lake(spark, lake_dir, version=1)
+    assert _rows(lm.read_lake(spark, lake_dir)) == _rows(nation)
+
+
+def test_compact_preserves_content_and_reduces_files(spark, sf_dir, tmp_path):
+    lake_dir = str(tmp_path / "lake2")
+    orders = load_table(spark, sf_dir, "orders").repartition(16)
+    lm.publish_version(orders, lake_dir)
+    v1_dir = os.path.join(lake_dir, "v00000001")
+    n_before = len([f for f in os.listdir(v1_dir) if f.endswith(".parquet")])
+    assert n_before == 16
+
+    v2 = lm.compact(spark, lake_dir, target_rows=10**9)
+    v2_dir = os.path.join(lake_dir, f"v{v2:08d}")
+    n_after = len([f for f in os.listdir(v2_dir) if f.endswith(".parquet")])
+    assert n_after == 1
+    assert _rows(lm.read_lake(spark, lake_dir)) == _rows(orders)
+
+
+def test_empty_lake_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        lm.read_lake(spark, str(tmp_path / "nope"))
