@@ -405,3 +405,205 @@ FROM per_vec
 GROUP BY label
 ORDER BY label
 """
+
+
+# ------------------------------------------------ DSIR importance weights
+#
+# Data Selection via Importance Resampling (Xie et al. 2023), rational form:
+# treat two sources as the TARGET domain, score every document by the mean
+# per-token importance ratio
+#   r(w) = p_target(w) / p_raw(w)
+#        = (c_t(w)+1)(N_r+V) / ((c_r(w)+1)(N_t+V))   (add-one smoothing)
+# and report per-source selection stats (a doc "resamples in" when its mean
+# ratio > 1). Same rational discipline as bigram_lm_scores: the ratio is
+# integer-quantized to 1e-6 PER TOKEN before the per-doc mean, and the
+# select cut is an integer cross-multiplication — no float boundary.
+
+_DSIR_TARGET = ("src0", "src1")
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DSIR selection stats: mean importance weight and the
+    count of docs whose mean ratio exceeds 1 (the resampling keep set).
+
+    Scale: one token explode -> ONE (token) shuffle computing raw+target
+    counts in the same pass (conditional sums — no second scan for the
+    target distribution) -> broadcast of the vocab-sized stats frame back
+    onto the token stream (bounded vocab; open-vocab corpora flip this to
+    a shuffle join) -> doc rollup -> source rollup."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    in_target = "source IN ({})".format(
+        ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    )
+    stats = tok.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.expr(f"CASE WHEN {in_target} THEN 1 ELSE 0 END")).alias("c_t"),
+    )
+    totals = stats.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    rq = (
+        "CAST(ROUND(1e6 * ((c_t + 1) * (n_r + v)) / ((c_r + 1) * (n_t + v))) AS BIGINT)"
+    )
+    per_doc = (
+        tok.join(F.broadcast(stats), "t")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.expr(rq)).alias("sum_rq"), F.count(F.lit(1)).alias("n_tok"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("sum_rq") / F.sum("n_tok") / 1e6).alias("mean_importance"),
+            F.sum(F.expr("CASE WHEN sum_rq > 1000000 * n_tok THEN 1 ELSE 0 END")).alias(
+                "n_selected"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_dsir_importance_weights() -> str:
+    toks = _TOKS.format(c="text")
+    in_target = "source IN ({})".format(", ".join(f"'{s}'" for s in _DSIR_TARGET))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({toks}) AS t FROM documents
+),
+stats AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c_r,
+         CAST(SUM(CASE WHEN {in_target} THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM tok GROUP BY t
+),
+totals AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(SUM(c_t) AS BIGINT) AS n_t,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM stats
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(SUM(CAST(ROUND(1e6 * ((c_t + 1) * (n_r + v)) / ((c_r + 1) * (n_t + v))) AS BIGINT)) AS BIGINT) AS sum_rq,
+         CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tok JOIN stats USING (t) CROSS JOIN totals
+  GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sum_rq) AS BIGINT) / CAST(SUM(n_tok) AS BIGINT) / 1e6 AS mean_importance,
+       CAST(SUM(CASE WHEN sum_rq > 1000000 * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+SQL_DSIR_IMPORTANCE_WEIGHTS = _sql_dsir_importance_weights()
+
+
+# ----------------------------------------------- sparse retrieval (IDF set)
+#
+# Inverted-index sparse retrieval — the BM25-shaped RAG primitive, in the
+# catalog's rational form: the indexing unit is the distinct word BIGRAM
+# (single tokens are degenerate on this corpus: 30 of 31 tokens appear in
+# >70% of docs), a posting list is pruned when its df exceeds N/2 (the
+# classic stop-posting cut that bounds the index join's fan-out at scale),
+# and each query-doc score is the integer sum of quantized IDF weights
+#   w(t) = ROUND(1e6 * (N - df + 0.5) / (df + 0.5))
+# over SHARED distinct bigrams. No tf saturation term -> every score is an
+# exact BIGINT and the top-k cut is deterministic with the doc_id tiebreak.
+
+_RETRIEVAL_N_QUERIES = 5  # docs 0..4 double as the query set
+_RETRIEVAL_TOPK = 3
+
+
+def q_sparse_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 corpus docs per query doc by shared-bigram IDF weight.
+
+    Scale: ONE scan builds distinct bigram sets; df counts shuffle on the
+    bigram; the query side is a pruned 5-doc slice broadcast onto the
+    posting lists; candidate scoring shuffles on (query, doc). Self-matches
+    excluded; window top-k, (score desc, doc_id) total order."""
+    from seo_audit_etl_actor_spark.operators.dedup import hashed_shingle_set
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", F.explode(hashed_shingle_set(F.col("text"), k=2)).alias("g")
+    )
+    n_docs = docs.count()  # scalar: one count job on a cached-schema scan
+    df_counts = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    postings = (
+        grams.join(df_counts, "g")
+        .where(F.expr(f"2 * df <= {n_docs}"))
+        .withColumn(
+            "w",
+            F.expr(f"CAST(ROUND(1e6 * ({n_docs} - df + 0.5) / (df + 0.5)) AS BIGINT)"),
+        )
+    )
+    queries = postings.where(F.col("doc_id") < _RETRIEVAL_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "g"
+    )
+    scored = (
+        postings.join(F.broadcast(queries), "g")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _RETRIEVAL_TOPK)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_sparse_retrieval_topk() -> str:
+    from seo_audit_etl_actor_spark.operators.dedup import MASK32
+
+    toks = _TOKS.format(c="text")
+    gram = "t[i] || ' ' || t[i+1]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t)),
+                i -> {_sql_md5_long(f'({gram})')} & {MASK32}))) AS g
+  FROM toks WHERE len(t) >= 2
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+dfc AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+postings AS (
+  SELECT doc_id, g,
+         CAST(ROUND(1e6 * (n_docs - df + 0.5) / (df + 0.5)) AS BIGINT) AS w
+  FROM grams JOIN dfc USING (g) CROSS JOIN n
+  WHERE 2 * df <= n_docs
+),
+queries AS (
+  SELECT doc_id AS query_id, g FROM postings WHERE doc_id < {_RETRIEVAL_N_QUERIES}
+),
+scored AS (
+  SELECT query_id, p.doc_id AS doc_id, CAST(SUM(w) AS BIGINT) AS score
+  FROM postings p JOIN queries q USING (g)
+  WHERE p.doc_id <> q.query_id
+  GROUP BY query_id, p.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+WHERE rank <= {_RETRIEVAL_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+SQL_SPARSE_RETRIEVAL_TOPK = _sql_sparse_retrieval_topk()
