@@ -51,6 +51,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("embedding_centroid_outliers", cx.q_embedding_centroid_outliers, cx.SQL_EMBEDDING_CENTROID_OUTLIERS),
     QuerySpec("dsir_importance_weights", cx.q_dsir_importance_weights, cx.SQL_DSIR_IMPORTANCE_WEIGHTS),
     QuerySpec("sparse_retrieval_topk", cx.q_sparse_retrieval_topk, cx.SQL_SPARSE_RETRIEVAL_TOPK),
+    QuerySpec("tpch_q2_min_cost_supplier", tq.q_tpch_q2_min_cost_supplier, tq.SQL_TPCH_Q2_MIN_COST_SUPPLIER),
+    QuerySpec("tpch_q11_important_stock", tq.q_tpch_q11_important_stock, tq.SQL_TPCH_Q11_IMPORTANT_STOCK),
     QuerySpec("tpch_q4_order_priority", tq.q_tpch_q4_order_priority, tq.SQL_TPCH_Q4_ORDER_PRIORITY),
     QuerySpec("tpch_q5_local_supplier_volume", tq.q_tpch_q5_local_supplier_volume, tq.SQL_TPCH_Q5_LOCAL_SUPPLIER_VOLUME),
     QuerySpec("tpch_q6_forecast_revenue", tq.q_tpch_q6_forecast_revenue, tq.SQL_TPCH_Q6_FORECAST_REVENUE),

@@ -4,10 +4,13 @@ the engine-completeness block the driver grades as first-class).
 
 The driver's tables are TPC-H-ish but REDUCED: there is no `partsupp`, and
 several columns are absent (l_shipmode/l_commitdate/l_receiptdate, p_container/
-p_mfgr, c_phone/c_address, o_shippriority/o_clerk). Q2 and Q11 are therefore
-structurally impossible; every other query ships with its predicate adapted to
-surviving columns — the JOIN/SUBQUERY SHAPE (the thing that matters for the
-planner) is preserved and each docstring says what was substituted.
+p_mfgr, c_phone/c_address, o_shippriority/o_clerk). Q2 and Q11 substitute a
+supply relation DERIVED from lineitem history (min unit price per
+part-supplier pair — see their sections); every other query ships with its
+predicate adapted to surviving columns — the JOIN/SUBQUERY SHAPE (the thing
+that matters for the planner) is preserved and each docstring says what was
+substituted. All 21 feasible TPC-H queries are covered (Q1-Q22 with Q2/Q11
+in derived form).
 
 Determinism contract (the catalog's integer-quantization idiom): every money
 aggregate sums integer-quantized units in BIGINT — `ROUND(expr * 10^k)` where
@@ -704,4 +707,85 @@ WHERE {BAL2} > (
   )
 GROUP BY cntrycode
 ORDER BY cntrycode
+"""
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier. The real Q2 needs partsupp; the synthetic
+# schema has none, so the supply relation is DERIVED from lineitem history:
+# supply_cents(part, supplier) = MIN over their lineitems of the unit price
+# ROUND(100 * l_extendedprice / l_quantity) — an exact BIGINT, so the
+# correlated "= (SELECT MIN ...)" comparison is integer-exact. The shape
+# under test (correlated scalar MIN subquery over the supply relation,
+# region-filtered dimension chain, acctbal-ranked top-100) is Q2's.
+# --------------------------------------------------------------------------
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted): cheapest EUROPE supplier per size-15 part.
+
+    100 TB shape: the supply relation aggregates lineitem once (partkey,
+    suppkey — uniform keys); Catalyst decorrelates the per-part MIN into
+    an aggregate + self-join on partkey; supplier/nation/region broadcast."""
+    _register_tpch_views(spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"])
+    return spark.sql(SQL_TPCH_Q2_MIN_COST_SUPPLIER)
+
+
+SQL_TPCH_Q2_MIN_COST_SUPPLIER = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(MIN(CAST(ROUND(100 * l_extendedprice / l_quantity) AS BIGINT)) AS BIGINT) AS ps_cents
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, CAST(ps_cents AS DOUBLE) / 100.0 AS supplycost
+FROM part
+JOIN supply   ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND r_name = 'EUROPE'
+  AND ps_cents = (
+    SELECT MIN(ps_cents) FROM supply s2
+    JOIN supplier sp ON s2.ps_suppkey = sp.s_suppkey
+    JOIN nation n2   ON sp.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE s2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock. Adapted the same way: "stock value" of a part for
+# region-0 suppliers = exact cents sum of their lineitem extended prices;
+# HAVING value > 0.1% of the global region-0 value (ungrouped scalar
+# subquery over the same grouped relation — Q11's signature shape).
+# --------------------------------------------------------------------------
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted): parts whose region-0 supply value exceeds
+    0.1% of the total. Exact BIGINT cent sums; the fraction-of-total cut is
+    one deterministic double comparison.
+
+    100 TB shape: lineitem aggregates once on partkey after a broadcast
+    supplier/nation filter; the global total is a 1-row broadcast."""
+    _register_tpch_views(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    return spark.sql(SQL_TPCH_Q11_IMPORTANT_STOCK)
+
+
+SQL_TPCH_Q11_IMPORTANT_STOCK = f"""
+WITH r0 AS (
+  SELECT l_partkey, {PRICE2} AS cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_regionkey = 0
+),
+by_part AS (
+  SELECT l_partkey AS ps_partkey, CAST(SUM(cents) AS BIGINT) AS value_cents
+  FROM r0 GROUP BY l_partkey
+)
+SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS part_value
+FROM by_part
+WHERE CAST(value_cents AS DOUBLE) > 0.001 * (SELECT CAST(SUM(value_cents) AS DOUBLE) FROM by_part)
+ORDER BY part_value DESC, ps_partkey
 """
