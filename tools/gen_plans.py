@@ -106,6 +106,42 @@ COMMENT = {
         "per-type window partitioning; moments are integer sums so the plan has zero "
         "Python and one closed-form projection."
     ),
+    "tpch_q21_waiting_supplier": (
+        "Q21 single-scan window form (round 4 rewrite). What to check: ONE lineitem "
+        "scan; both collect_set windows (distinct suppliers / distinct LATE suppliers "
+        "per order) ride one hashpartitioning(l_orderkey) exchange; supplier+nation "
+        "enter as a BroadcastHashJoin after the window filter."
+    ),
+    "tpch_q5_local_supplier_volume": (
+        "Q5 six-table join (round 4). What to check: lineitem-orders is the only "
+        "big-big SortMergeJoin/shuffle; supplier, nation, region are "
+        "BroadcastHashJoins (the co-nation equality is part of the broadcast join "
+        "condition, applied map-side); the revenue aggregate is a BIGINT sum."
+    ),
+    "tpch_q17_small_quantity_revenue": (
+        "Q17 correlated scalar subquery (round 4). What to check: Catalyst "
+        "decorrelates the per-part AVG into an Aggregate + join on partkey — no "
+        "per-row subquery re-execution; the brand filter prunes part before its "
+        "shuffle join with lineitem."
+    ),
+    "dup_ngram_span_ratio": (
+        "Cross-doc duplicated-span histogram (round 4). What to check: one documents "
+        "scan; shingles are 32-bit hashed BEFORE the explode so the per-gram shuffle "
+        "carries longs; the per-gram COUNT(DISTINCT doc) and the join back both hash "
+        "on the uniform gram key; final histogram shuffles ten rows."
+    ),
+    "dsir_importance_weights": (
+        "DSIR importance weights (round 4). What to check: raw and target token "
+        "counts come from ONE conditional-sum pass over one explode (no second scan "
+        "for the target distribution); the vocab-stats frame re-enters as a "
+        "BroadcastHashJoin; all ratio math is integer-quantized projection work."
+    ),
+    "embedding_centroid_outliers": (
+        "Label-centroid outlier scan (round 4). What to check: posexplode x64, "
+        "partial-agg (label, dim) centroid sums, and the centroid's re-join as a "
+        "BroadcastHashJoin — the big exploded side never reshuffles for the join; "
+        "one label window for the mean cut."
+    ),
 }
 
 
