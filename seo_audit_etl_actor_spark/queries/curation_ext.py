@@ -525,10 +525,15 @@ _RETRIEVAL_TOPK = 3
 def q_sparse_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 corpus docs per query doc by shared-bigram IDF weight.
 
-    Scale: ONE scan builds distinct bigram sets; df counts shuffle on the
-    bigram; the query side is a pruned 5-doc slice broadcast onto the
-    posting lists; candidate scoring shuffles on (query, doc). Self-matches
-    excluded; window top-k, (score desc, doc_id) total order."""
+    Scale: the posting frame is built from ONE gram explode — per-doc grams
+    are already DISTINCT, so df is a plain COUNT(*) window over the gram
+    key (O(1) window state; no groupBy+re-join, which would re-scan the
+    corpus — the first draft did and the plan audit flagged documents x3).
+    N comes in as a 1-row broadcast (no driver-side count action). The
+    query side is a filter of the same posting frame (exchange-reused, not
+    re-scanned), broadcast onto the postings; candidate scoring shuffles on
+    (query, doc). Self-matches excluded; window top-k, (score desc,
+    doc_id) total order."""
     from seo_audit_etl_actor_spark.operators.dedup import hashed_shingle_set
     from pyspark.sql import Window
 
@@ -536,15 +541,17 @@ def q_sparse_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id", F.explode(hashed_shingle_set(F.col("text"), k=2)).alias("g")
     )
-    n_docs = docs.count()  # scalar: one count job on a cached-schema scan
-    df_counts = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    n_frame = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    wdf = Window.partitionBy("g")
     postings = (
-        grams.join(df_counts, "g")
-        .where(F.expr(f"2 * df <= {n_docs}"))
+        grams.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .crossJoin(F.broadcast(n_frame))
+        .where(F.expr("2 * df <= n_docs"))
         .withColumn(
             "w",
-            F.expr(f"CAST(ROUND(1e6 * ({n_docs} - df + 0.5) / (df + 0.5)) AS BIGINT)"),
+            F.expr("CAST(ROUND(1e6 * (n_docs - df + 0.5) / (df + 0.5)) AS BIGINT)"),
         )
+        .select("doc_id", "g", "w")
     )
     queries = postings.where(F.col("doc_id") < _RETRIEVAL_N_QUERIES).select(
         F.col("doc_id").alias("query_id"), "g"
