@@ -47,6 +47,12 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     length 3.7-5.3, top-token-frac 0.05-0.30 — every rule splits the
     corpus."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return gopher_rule_funnel(docs)
+
+
+def gopher_rule_funnel(docs: DataFrame) -> DataFrame:
+    """Frame-level form over any (doc_id, text) frame — property-tested
+    against an independent Python model (tests/test_curation_properties)."""
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     per_tok = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("cnt"))
     stop_arr = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
@@ -150,11 +156,17 @@ def q_dup_ngram_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     count distinct docs per gram (uniform key space, no hot keys) -> doc
     rollup -> 10-bucket histogram. Per-bucket dup fraction is a ratio of
     exact BIGINT shingle counts, so the oracle hash-matches."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return dup_span_histogram(docs)
+
+
+def dup_span_histogram(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """Frame-level form over any (doc_id, text) frame — property-tested
+    against an independent Python model (tests/test_curation_properties)."""
     from seo_audit_etl_actor_spark.operators.dedup import hashed_shingle_set
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
-        "doc_id", F.explode(hashed_shingle_set(F.col("text"), k=_SPAN_K)).alias("g")
+        "doc_id", F.explode(hashed_shingle_set(F.col("text"), k=k)).alias("g")
     )
     per_gram = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
     per_doc = (
