@@ -1,11 +1,17 @@
 """Binary-column (image/audio/video) plumbing for LLM-data pipelines.
 
 The Spark-side design is fully real — schemas, partitioning, Arrow batch
-shapes, mapInPandas signatures; only the codec inner loop is a
-deterministic fake (Pillow/ffmpeg are not in this container):
-`decode_image_meta` does real header parsing for PNG/JPEG dimensions, and
-`decode_image_thumbs` substitutes a byte-sampling fake for pixel decode
-(clearly marked; swap points documented at each function).
+shapes, mapInPandas signatures. The codec story (round 4) is split by
+format:
+
+- UNCOMPRESSED formats decode FOR REAL: BMP (24-bit BI_RGB) and PPM/PGM
+  (P6/P5 binary) need no codec library — pure struct + numpy byte math —
+  so `decode_image_thumbs` produces true pixels, integer-exact luma, and
+  a real area-averaged 8x8 thumbnail for them (`real_decode = true`);
+- COMPRESSED formats (PNG/JPEG) still use the deterministic byte-sampling
+  fake (Pillow is not in this container): header parsing for dimensions is
+  real, the pixel inner loop is the documented stand-in
+  (`real_decode = false`; swap point noted at the function).
 
 Scale design:
 - binary payloads ride `spark.read.format("binaryFile")` (one row per
@@ -51,8 +57,9 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
 
 
 def _sniff_image_header(data: bytes) -> tuple[str | None, int | None, int | None]:
-    """Deterministic header-only dimension sniff for PNG and baseline JPEG.
-    This is real parsing of the container header, not a decode stub."""
+    """Deterministic header-only dimension sniff for PNG, baseline JPEG,
+    BMP, and binary PPM/PGM. This is real parsing of the container header,
+    not a decode stub."""
     if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
         w, h = struct.unpack(">II", data[16:24])
         return "png", int(w), int(h)
@@ -68,7 +75,119 @@ def _sniff_image_header(data: bytes) -> tuple[str | None, int | None, int | None
                 return "jpeg", int(w), int(h)
             i += 2 + seg_len
         return "jpeg", None, None
+    if data[:2] == b"BM" and len(data) >= 30:
+        w = struct.unpack("<i", data[18:22])[0]
+        h = struct.unpack("<i", data[22:26])[0]
+        return "bmp", int(w), abs(int(h))  # negative height = top-down rows
+    if data[:2] in (b"P5", b"P6"):
+        parsed = _parse_pnm_header(data)
+        if parsed is not None:
+            fmt = "pgm" if data[:2] == b"P5" else "ppm"
+            return fmt, parsed[0], parsed[1]
     return None, None, None
+
+
+def _parse_pnm_header(data: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a binary PNM (P5/P6) header: returns (width, height, maxval,
+    pixel_data_offset) or None. Handles '#' comments and arbitrary
+    whitespace, per the netpbm spec."""
+    i, fields = 2, []
+    n = len(data)
+    while len(fields) < 3 and i < n:
+        while i < n and data[i : i + 1].isspace():
+            i += 1
+        if i < n and data[i : i + 1] == b"#":
+            while i < n and data[i] != 0x0A:
+                i += 1
+            continue
+        start = i
+        while i < n and not data[i : i + 1].isspace():
+            i += 1
+        if i == start:
+            return None
+        try:
+            fields.append(int(data[start:i]))
+        except ValueError:
+            return None
+    if len(fields) < 3 or i >= n:
+        return None
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 255:
+        return None
+    return w, h, maxval, i
+
+
+def _decode_gray_pixels(data: bytes):
+    """REAL pixel decode for the uncompressed formats: returns an (H, W)
+    uint8 grayscale numpy array, or None when the format needs a codec.
+
+    - PGM (P5): raster IS the grayscale plane.
+    - PPM (P6): RGB raster -> integer BT.601 luma (r*299+g*587+b*114)//1000.
+    - BMP: 24-bit uncompressed BI_RGB only — BGR pixels, rows padded to 4
+      bytes, bottom-up unless height is negative.
+    """
+    import numpy as np
+
+    if data[:2] in (b"P5", b"P6"):
+        parsed = _parse_pnm_header(data)
+        if parsed is None:
+            return None
+        w, h, _maxval, off = parsed
+        ch = 1 if data[:2] == b"P5" else 3
+        need = w * h * ch
+        raster = data[off : off + need]
+        if len(raster) < need:
+            return None
+        a = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, ch)
+        if ch == 1:
+            return a[:, :, 0]
+        r, g, b = a[:, :, 0].astype(np.int64), a[:, :, 1].astype(np.int64), a[:, :, 2].astype(np.int64)
+        return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+    if data[:2] == b"BM" and len(data) >= 54:
+        pix_off = struct.unpack("<I", data[10:14])[0]
+        w = struct.unpack("<i", data[18:22])[0]
+        h_signed = struct.unpack("<i", data[22:26])[0]
+        bpp = struct.unpack("<H", data[28:30])[0]
+        compression = struct.unpack("<I", data[30:34])[0]
+        if bpp != 24 or compression != 0 or w <= 0 or h_signed == 0:
+            return None  # only uncompressed 24-bit decodes without a codec
+        h = abs(h_signed)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        need = stride * h
+        raster = data[pix_off : pix_off + need]
+        if len(raster) < need:
+            return None
+        rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+        a = rows.reshape(h, w, 3)
+        if h_signed > 0:
+            a = a[::-1]  # bottom-up storage -> top-down image
+        b, g, r = a[:, :, 0].astype(np.int64), a[:, :, 1].astype(np.int64), a[:, :, 2].astype(np.int64)
+        return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+    return None
+
+
+def _area_mean_thumb(gray, side: int):
+    """Area-averaged side x side thumbnail from an (H, W) uint8 plane:
+    integer block sums // counts — exact and partition-independent."""
+    import numpy as np
+
+    h, w = gray.shape
+    out = []
+    row_edges = [round(i * h / side) for i in range(side + 1)]
+    col_edges = [round(j * w / side) for j in range(side + 1)]
+    g = gray.astype(np.int64)
+    for i in range(side):
+        r0, r1 = row_edges[i], max(row_edges[i + 1], row_edges[i] + 1)
+        r0 = min(r0, h - 1); r1 = min(r1, h)
+        for j in range(side):
+            c0, c1 = col_edges[j], max(col_edges[j + 1], col_edges[j] + 1)
+            c0 = min(c0, w - 1); c1 = min(c1, w)
+            block = g[r0:r1, c0:c1]
+            out.append(int(block.sum()) // int(block.size))
+    return out
 
 
 def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -110,22 +229,28 @@ IMAGE_THUMB_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("thumb", T.ArrayType(T.IntegerType()), True),
         T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("real_decode", T.BooleanType(), False),
     ]
 )
 
 
 def decode_image_thumbs(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Resize/feature-extract step with a DETERMINISTIC FAKE decoder (no
-    image codec ships in this container — the brief's sanctioned stand-in).
+    """Resize/feature-extract step. Round-4 split:
 
-    The Spark side is the real contract: mapInPandas over Arrow batches,
-    one fixed-width row per image (8×8 "grayscale thumbnail" + mean luma),
-    bounded output regardless of blob size. The fake decode samples
-    `THUMB_SIDE²` evenly spaced payload bytes — deterministic per content,
-    so downstream tests (thumb-distance dedup, feature joins) behave like a
-    real decoder's output. Swap `_fake_gray_thumb` for
-    `PIL.Image.open(...).convert("L").resize(...)` when a codec exists;
-    schema and batch shape do not change.
+    - BMP (24-bit BI_RGB) and binary PPM/PGM decode FOR REAL
+      (`_decode_gray_pixels` — pure struct+numpy, no codec needed): true
+      integer BT.601 luma plane, area-averaged 8x8 thumbnail, exact
+      integer block means. `real_decode = true`.
+    - PNG/JPEG (and anything unrecognized) keep the DETERMINISTIC FAKE
+      byte-sampling decode (no codec in this container): deterministic per
+      content so downstream thumb-distance dedup behaves like a real
+      decoder's output. Swap the `_fake_gray_thumb` branch for
+      `PIL.Image.open(...).convert("L").resize(...)` when a codec exists;
+      schema and batch shape do not change. `real_decode = false`.
+
+    The Spark side is one contract for both: mapInPandas over Arrow
+    batches, one fixed-width row per image, bounded output regardless of
+    blob size.
     """
     ensure_package_on_executors(df.sparkSession)
 
@@ -145,7 +270,13 @@ def decode_image_thumbs(df: DataFrame, content_col: str = "content") -> DataFram
             for path, data in zip(pdf["path"], pdf[content_col]):
                 b = bytes(data) if data is not None else b""
                 fmt, w, h = _sniff_image_header(b)
-                thumb = _fake_gray_thumb(b)
+                gray = _decode_gray_pixels(b) if b else None
+                if gray is not None:
+                    thumb = _area_mean_thumb(gray, THUMB_SIDE)
+                    real = True
+                else:
+                    thumb = _fake_gray_thumb(b)
+                    real = False
                 rows.append(
                     {
                         "path": path,
@@ -154,6 +285,7 @@ def decode_image_thumbs(df: DataFrame, content_col: str = "content") -> DataFram
                         "height": h,
                         "thumb": thumb,
                         "mean_luma": sum(thumb) / len(thumb),
+                        "real_decode": real,
                     }
                 )
             yield pd.DataFrame(rows, columns=cols)

@@ -74,3 +74,96 @@ def test_thumb_decode_deterministic_fake(spark, blob_dir):
     # rerun → identical output (deterministic fake decoder)
     again = {r["path"].rsplit("/", 1)[-1]: r for r in B.decode_image_thumbs(df).collect()}
     assert {k: v["thumb"] for k, v in rows.items()} == {k: v["thumb"] for k, v in again.items()}
+
+
+# ---------------------------------------------------------------------------
+# round 4: REAL decode for uncompressed formats (BMP 24-bit, binary PPM/PGM)
+
+
+def _pgm(w: int, h: int, pixels: bytes) -> bytes:
+    assert len(pixels) == w * h
+    return b"P5\n# comment\n%d %d\n255\n" % (w, h) + pixels
+
+
+def _ppm(w: int, h: int, rgb: bytes) -> bytes:
+    assert len(rgb) == w * h * 3
+    return b"P6 %d %d 255\n" % (w, h) + rgb
+
+
+def _bmp24(w: int, h: int, rows_topdown: list[bytes]) -> bytes:
+    """Minimal bottom-up 24-bit BI_RGB BMP; rows_topdown[i] is row i's BGR
+    bytes (len = 3*w)."""
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    raster = b"".join(r + pad for r in reversed(rows_topdown))
+    pix_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", pix_off + len(raster), 0, 0, pix_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    )
+    return header + raster
+
+
+def test_pgm_real_decode_exact():
+    """A 16x16 gradient PGM must decode to its true area-averaged 8x8
+    thumbnail: every 2x2 block's integer mean."""
+    import numpy as np
+
+    g = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    data = _pgm(16, 16, g.tobytes())
+    gray = B._decode_gray_pixels(data)
+    assert gray is not None and (gray == g).all()
+    thumb = B._area_mean_thumb(gray, B.THUMB_SIDE)
+    expected = [
+        int(g[2 * i : 2 * i + 2, 2 * j : 2 * j + 2].sum()) // 4
+        for i in range(8)
+        for j in range(8)
+    ]
+    assert thumb == expected
+
+
+def test_ppm_luma_is_integer_bt601():
+    import numpy as np
+
+    rgb = bytes([200, 100, 50] * 4)  # 2x2 solid color
+    data = _ppm(2, 2, rgb)
+    gray = B._decode_gray_pixels(data)
+    expected = (200 * 299 + 100 * 587 + 50 * 114) // 1000
+    assert gray is not None and (gray == expected).all()
+
+
+def test_bmp_bottom_up_and_padding():
+    """3x2 BMP (stride padding exercised): top row white, bottom row black,
+    stored bottom-up — decode must flip back to top-down."""
+    white, black = b"\xff\xff\xff" * 3, b"\x00\x00\x00" * 3
+    data = _bmp24(3, 2, [white, black])
+    gray = B._decode_gray_pixels(data)
+    assert gray is not None and gray.shape == (2, 3)
+    assert set(gray[0].tolist()) == {255} and set(gray[1].tolist()) == {0}
+    fmt, w, h = B._sniff_image_header(data)
+    assert (fmt, w, h) == ("bmp", 3, 2)
+
+
+def test_thumbs_real_flag_by_format(spark, tmp_path):
+    """End-to-end through mapInPandas: uncompressed formats report
+    real_decode=true with true means; PNG stays the documented fake."""
+    import numpy as np
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    g = np.full((16, 16), 77, dtype=np.uint8)
+    (d / "flat.pgm").write_bytes(_pgm(16, 16, g.tobytes()))
+    (d / "grad.bmp").write_bytes(
+        _bmp24(3, 2, [b"\xff\xff\xff" * 3, b"\x00\x00\x00" * 3])
+    )
+    (d / "fake.png").write_bytes(_png(32, 32))
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in B.decode_image_thumbs(B.read_binary_dir(spark, str(d))).collect()
+    }
+    assert rows["flat.pgm"]["real_decode"] is True
+    assert set(rows["flat.pgm"]["thumb"]) == {77}
+    assert rows["flat.pgm"]["mean_luma"] == 77.0
+    assert rows["grad.bmp"]["real_decode"] is True
+    assert rows["fake.png"]["real_decode"] is False
