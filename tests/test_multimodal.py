@@ -167,3 +167,60 @@ def test_thumbs_real_flag_by_format(spark, tmp_path):
     assert rows["flat.pgm"]["mean_luma"] == 77.0
     assert rows["grad.bmp"]["real_decode"] is True
     assert rows["fake.png"]["real_decode"] is False
+
+
+def _wav(rate: int, ch: int, samples) -> bytes:
+    """Minimal 16-bit PCM WAV: RIFF + fmt + data."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_real_decode_exact_features(spark, tmp_path):
+    """A synthesized square wave decodes to exact integer features:
+    duration, RMS (constant amplitude -> amplitude), zero crossings."""
+    import math
+
+    d = tmp_path / "audio"
+    d.mkdir()
+    # 100 frames of +1000/-1000 alternating every 10 frames, mono 8 kHz
+    samples = [1000 if (i // 10) % 2 == 0 else -1000 for i in range(100)]
+    (d / "sq.wav").write_bytes(_wav(8000, 1, samples))
+    (d / "not_audio.bin").write_bytes(b"\x01\x02\x03" * 50)
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in B.decode_audio_meta(B.read_binary_dir(spark, str(d))).collect()
+    }
+    w = rows["sq.wav"]
+    assert w["real_decode"] is True and w["format"] == "wav"
+    assert (w["sample_rate"], w["channels"], w["n_samples"]) == (8000, 1, 100)
+    assert w["duration_ms"] == 100 * 1000 // 8000
+    assert w["rms_q"] == 1000  # constant |amplitude|
+    assert w["zero_crossings"] == 9  # sign flips at each 10-frame boundary
+    assert rows["not_audio.bin"]["real_decode"] is False
+    assert rows["not_audio.bin"]["sample_rate"] is None
+
+
+def test_wav_stereo_and_odd_chunk_alignment(spark, tmp_path):
+    """Stereo interleave + an odd-sized leading chunk (word alignment)."""
+    import numpy as np
+
+    rate, frames = 4000, 40
+    left = [500] * frames
+    right = [-500] * frames
+    inter = [v for pair in zip(left, right) for v in pair]
+    raw = _wav(rate, 2, inter)
+    # splice an odd-length LIST chunk between WAVE and fmt to test alignment
+    head, rest = raw[:12], raw[12:]
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded to even
+    d = tmp_path / "audio2"
+    d.mkdir()
+    (d / "st.wav").write_bytes(head + odd + rest)
+    r = B.decode_audio_meta(B.read_binary_dir(spark, str(d))).collect()[0]
+    assert r["real_decode"] is True
+    assert (r["channels"], r["n_samples"]) == (2, frames)
+    assert r["rms_q"] == 500
+    assert r["zero_crossings"] == 0  # channel 0 never changes sign
