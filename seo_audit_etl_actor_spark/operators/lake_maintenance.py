@@ -113,3 +113,31 @@ def compact(spark: SparkSession, lake_dir: str, target_rows: int = 1_000_000) ->
     n = df.count()
     n_files = max(1, -(-n // target_rows))
     return publish_version(df.repartition(n_files), lake_dir)
+
+
+def diff_versions(
+    spark: SparkSession, lake_dir: str, v_old: int, v_new: int, keys: list[str]
+) -> "DataFrame":
+    """Row-level change feed between two retained snapshots (the CDC read a
+    downstream incremental consumer wants from a versioned lake): one row
+    per key present in either version, classified added / removed /
+    changed / unchanged. Non-key columns are compared as a null-safe
+    struct, so NULL-vs-NULL is 'unchanged' and NULL-vs-value is 'changed'.
+
+    Scale: ONE full-outer shuffle on the key — the same single-exchange
+    shape as the MERGE writer; no driver-side row handling."""
+    from pyspark.sql import functions as F
+
+    old = read_lake(spark, lake_dir, v_old)
+    new = read_lake(spark, lake_dir, v_new)
+    non_keys = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*non_keys).alias("__o"))
+    n = new.select(*keys, F.struct(*non_keys).alias("__n"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("__o").isNull(), "added")
+        .when(F.col("__n").isNull(), "removed")
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(*keys, change.alias("change"))

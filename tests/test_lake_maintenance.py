@@ -76,3 +76,34 @@ def test_compact_preserves_content_and_reduces_files(spark, sf_dir, tmp_path):
 def test_empty_lake_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         lm.read_lake(spark, str(tmp_path / "nope"))
+
+
+def test_diff_versions_classifies_changes(spark, sf_dir, tmp_path):
+    lake_dir = str(tmp_path / "lake3")
+    nation = load_table(spark, sf_dir, "nation")
+    lm.publish_version(nation, lake_dir)
+    # v2: rename nation 0, drop nation 1, add key 99
+    v2 = (
+        nation.where(F.col("n_nationkey") != 1)
+        .withColumn(
+            "n_name",
+            F.when(F.col("n_nationkey") == 0, F.lit("RENAMED")).otherwise(
+                F.col("n_name")
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(99, "NEWLAND", 0)], "n_nationkey long, n_name string, n_regionkey long"
+            )
+        )
+    )
+    lm.publish_version(v2, lake_dir)
+    diff = {
+        r["n_nationkey"]: r["change"]
+        for r in lm.diff_versions(spark, lake_dir, 1, 2, ["n_nationkey"]).collect()
+    }
+    assert diff[0] == "changed"
+    assert diff[1] == "removed"
+    assert diff[99] == "added"
+    assert diff[5] == "unchanged"
+    assert len(diff) == 26  # 25 original keys + the added one
