@@ -116,13 +116,20 @@ def compact(spark: SparkSession, lake_dir: str, target_rows: int = 1_000_000) ->
 
 
 def diff_versions(
-    spark: SparkSession, lake_dir: str, v_old: int, v_new: int, keys: list[str]
+    spark: SparkSession,
+    lake_dir: str,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+    include_values: bool = False,
 ) -> "DataFrame":
     """Row-level change feed between two retained snapshots (the CDC read a
     downstream incremental consumer wants from a versioned lake): one row
     per key present in either version, classified added / removed /
     changed / unchanged. Non-key columns are compared as a null-safe
     struct, so NULL-vs-NULL is 'unchanged' and NULL-vs-value is 'changed'.
+    With `include_values` the old/new row structs ride along (what an
+    incremental view maintainer consumes — operators/mv.py).
 
     Scale: ONE full-outer shuffle on the key — the same single-exchange
     shape as the MERGE writer; no driver-side row handling."""
@@ -140,4 +147,7 @@ def diff_versions(
         .when(~F.col("__o").eqNullSafe(F.col("__n")), "changed")
         .otherwise("unchanged")
     )
-    return j.select(*keys, change.alias("change"))
+    cols = [*keys, change.alias("change")]
+    if include_values:
+        cols += [F.col("__o").alias("old"), F.col("__n").alias("new")]
+    return j.select(*cols)
