@@ -52,6 +52,9 @@ def main() -> None:
     assert len(dirs) >= 2, "need >=2 scale dirs"
     ms = [float(d.rsplit("_m", 1)[1]) for d in dirs]
 
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    heavy = [q for q in HEAVY if q in only.split(",")] if only else HEAVY
+
     from seo_audit_etl_actor_spark.queries.catalog import QUERIES
     from seo_audit_etl_actor_spark.session import get_spark
 
@@ -60,7 +63,7 @@ def main() -> None:
     specs = {q.name: q for q in QUERIES}
 
     results: dict[str, dict] = {}
-    for name in HEAVY:
+    for name in heavy:
         fn = specs[name].fn
         warm: list[float] = []
         for d in dirs:
