@@ -188,7 +188,14 @@ def lsh_candidate_pairs(
     )
 
 
-MAX_BUCKET_MEMBERS = 10_000
+# Bounds the HOF pair path's IN-MEMORY pair array, which is O(members²)/2
+# structs built as ONE GenericArrayData per bucket before the explode —
+# the binding constraint is pairs, not members. 1024 members → ≤ ~524k
+# pair structs (~25 MB) per bucket row; the old 10_000 cap allowed ~50M
+# structs (multi-GB) and OOM'd the 31.6×-sf0.1 scale run (r4 scale study,
+# stage: simhash band shuffle). Bigger buckets stream through the
+# sort-merge self-join branch below — identical output, spillable.
+MAX_BUCKET_MEMBERS = 1_024
 
 
 def _bucket_pairs(
