@@ -82,6 +82,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("price_band_theta_join", rel.q_price_band_theta_join, rel.SQL_PRICE_BAND_THETA_JOIN),
     QuerySpec("simhash_fingerprints", ext.q_simhash_fingerprints, ext.SQL_SIMHASH_FINGERPRINTS),
     QuerySpec("simhash_near_dup", ext.q_simhash_near_dup, ext.SQL_SIMHASH_NEAR_DUP),
+    # near_dup_clusters composes _bucket_pairs, whose hot-bucket cap changed
+    # mid-r4 (MAX_BUCKET_MEMBERS 10000 -> 1024) — promoted into the window
+    # alongside minhash_near_dup so BOTH consumers of the changed code get
+    # fresh driver evidence this round.
+    QuerySpec("near_dup_clusters", ext.q_near_dup_clusters, ext.SQL_NEAR_DUP_CLUSTERS),
     # --- round-4 rotation, ordered by evidence risk (VERDICT r3 task 1): the
     # reference_ops parity family first (the r3 ANSI-ratio hardening touched
     # its ratio emissions), then the dedup/text family, then the relational
@@ -166,7 +171,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("embedding_near_dup", ext.q_embedding_near_dup, ext.SQL_EMBEDDING_NEAR_DUP),
     QuerySpec("skewsafe_distinct_users", ext.q_skewsafe_distinct_users, ext.SQL_SKEWSAFE_DISTINCT_USERS),
     QuerySpec("bpe_token_stats", ext.q_bpe_token_stats, ext.SQL_BPE_TOKEN_STATS),
-    QuerySpec("near_dup_clusters", ext.q_near_dup_clusters, ext.SQL_NEAR_DUP_CLUSTERS),
     QuerySpec("contamination_by_source", ext.q_contamination_by_source, ext.SQL_CONTAMINATION_BY_SOURCE),
     QuerySpec("repetition_stats", ext.q_repetition_stats, ext.SQL_REPETITION_STATS),
     QuerySpec("vocab_oov_stats", ext.q_vocab_oov_stats, ext.SQL_VOCAB_OOV_STATS),
