@@ -64,7 +64,11 @@ def _gopher_model(texts: list[str]) -> dict[str, tuple[int, int]]:
         cnt = Counter(toks)
         d = len(cnt)
         maxcnt = max(cnt.values()) if cnt else 0
-        stop_hits = sum(c for t, c in cnt.items() if t in STOPWORDS)
+        # DISTINCT stopword types, not occurrences — the rule is "at least
+        # 2 distinct EN stopwords present" (engine counts one vote per
+        # (doc, token) group; hypothesis caught the multiplicity version
+        # diverging on texts like 'the the')
+        stop_hits = sum(1 for t in cnt if t in STOPWORDS)
         rules = {
             "word_count": 30 <= n <= 100000,
             "mean_word_len": 4 * n <= chars <= 10 * n,
