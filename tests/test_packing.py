@@ -85,3 +85,43 @@ def test_pack_matches_python_model_per_bucket(spark, sf_dir):
         for d, _ in items:
             want[d] = (b << 40) + assign[d]
     assert got == want
+
+
+def test_ffd_properties_hypothesis():
+    """Pure-FFD invariants on adversarial size lists: exact-once
+    assignment, capacity respected except single-item overflow, and the
+    classic FFD bound bins <= ceil(11/9 * OPT_lower) + 1."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10**6), st.integers(1, 200)),
+            min_size=0,
+            max_size=60,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def check(items):
+        cap = 128
+        assign = ffd_pack(items, cap)
+        assert set(assign) == {d for d, _ in items}
+        fills = {}
+        sizes = dict(items)
+        for d, s in assign.items():
+            fills.setdefault(s, []).append(d)
+        for s, members in fills.items():
+            tot = sum(sizes[d] for d in members)
+            if tot > cap:
+                assert len(members) == 1 and sizes[members[0]] >= cap
+        packable = [n for _, n in items if n < cap]
+        overflow = len(items) - len(packable)
+        if packable:
+            opt_lower = -(-sum(packable) // cap)
+            used = len(fills) - overflow
+            assert used <= -(-11 * opt_lower // 9) + 1
+        # deterministic under permutation
+        assert ffd_pack(list(reversed(items)), cap) == assign
+
+    check()
