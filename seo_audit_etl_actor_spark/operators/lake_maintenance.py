@@ -66,15 +66,42 @@ def list_versions(lake_dir: str) -> list[int]:
 
 def publish_version(df: DataFrame, lake_dir: str) -> int:
     """Write `df` as the next immutable snapshot and commit it by pointer
-    replace. Returns the new version number."""
+    replace. Returns the new version number.
+
+    Multi-writer safety: the snapshot is first written to a unique staging
+    directory (pid + uuid) and then claimed via os.rename into the version
+    slot — rename onto an EXISTING directory fails on POSIX, so two
+    concurrent publishers can never both own vN: the loser gets
+    FileExistsError/ENOTEMPTY and retries with the next number. A version
+    directory is therefore immutable from the instant it appears, and the
+    pointer only ever advances (a stale racer never moves it backwards).
+    This is optimistic concurrency a la Delta's commit protocol, on plain
+    directories."""
+    import uuid
+
     os.makedirs(lake_dir, exist_ok=True)
-    current = latest_version(lake_dir)
-    version = (current or 0) + 1
-    df.write.mode("overwrite").parquet(_version_dir(lake_dir, version))
-    tmp = os.path.join(lake_dir, f"{_POINTER}.{os.getpid()}.tmp")
+    staging = os.path.join(lake_dir, f"_staging.{os.getpid()}.{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    version = (latest_version(lake_dir) or 0) + 1
+    while True:
+        try:
+            os.rename(staging, _version_dir(lake_dir, version))
+            break
+        except OSError:
+            if not os.path.isdir(_version_dir(lake_dir, version)):
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            version += 1  # lost the race for this slot; claim the next
+    # Advance the pointer monotonically: never overwrite a higher committed
+    # version (a slower racer must not roll the lake back).
+    tmp = os.path.join(lake_dir, f"{_POINTER}.{os.getpid()}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(version))
-    os.replace(tmp, os.path.join(lake_dir, _POINTER))
+    committed = latest_version(lake_dir)
+    if committed is None or committed < version:
+        os.replace(tmp, os.path.join(lake_dir, _POINTER))
+    else:
+        os.remove(tmp)
     return version
 
 

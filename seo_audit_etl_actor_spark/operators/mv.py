@@ -110,8 +110,15 @@ def _prefix_expr(expr: str, struct_name: str) -> str:
 
     def repl(m: "re.Match[str]") -> str:
         tok = m.group(0)
+        # A '...'-quoted literal (first alternative below) passes through
+        # verbatim: identifiers inside string literals must NOT be qualified
+        # (e.g. CASE WHEN lang = 'en' ... must keep 'en' intact).
+        if tok.startswith("'"):
+            return tok
         if tok.upper() in keywords or tok[0].isdigit():
             return tok
         return f"{struct_name}.{tok}"
 
-    return re.sub(r"[A-Za-z_][A-Za-z0-9_]*", repl, expr)
+    # Match string literals (with '' escapes) before identifiers so quoted
+    # regions are never rewritten.
+    return re.sub(r"'(?:[^']|'')*'|[A-Za-z_][A-Za-z0-9_]*", repl, expr)

@@ -58,4 +58,20 @@ def profile_table(df: DataFrame) -> DataFrame:
                 avg_len=row[f"{c}__len"],
             )
         )
-    return spark.createDataFrame(out)
+    # Explicit schema: with n=0 (or all-MapType columns) every stat is None
+    # and inference would fail with CANNOT_DETERMINE_TYPE — an intake
+    # profiler must degrade gracefully on an empty feed.
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType(), False),
+            T.StructField("dtype", T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("n_nulls", T.LongType(), True),
+            T.StructField("null_pct", T.DoubleType(), True),
+            T.StructField("approx_distinct", T.LongType(), True),
+            T.StructField("min_repr", T.StringType(), True),
+            T.StructField("max_repr", T.StringType(), True),
+            T.StructField("avg_len", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)

@@ -45,6 +45,25 @@ def test_time_travel_reads_old_snapshot(spark, sf_dir, lake):
     assert _rows(lm.read_lake(spark, lake_dir, version=1)) == _rows(nation)
 
 
+def test_publish_race_claims_next_slot(spark, lake):
+    """ADVICE r4: two concurrent publishers must never both own a version
+    slot. Simulate the loser by pre-occupying v2 with a rival snapshot
+    (what the winner of the race would have renamed into place): the
+    publisher must claim v3, leave v2 untouched, and advance the pointer."""
+    lake_dir, nation = lake
+    rival = os.path.join(lake_dir, "v00000002")
+    os.makedirs(rival)
+    with open(os.path.join(rival, "_SUCCESS"), "w") as fh:
+        fh.write("")
+    v = lm.publish_version(nation, lake_dir)
+    assert v == 3
+    assert sorted(os.listdir(rival)) == ["_SUCCESS"]  # rival dir untouched
+    assert lm.latest_version(lake_dir) == 3
+    assert _rows(lm.read_lake(spark, lake_dir, version=3)) == _rows(nation)
+    # no staging residue
+    assert not [d for d in os.listdir(lake_dir) if d.startswith("_staging")]
+
+
 def test_vacuum_retains_horizon(spark, lake):
     lake_dir, nation = lake
     for _ in range(3):

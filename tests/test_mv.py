@@ -61,6 +61,29 @@ def test_incremental_merge_equals_recompute(spark, sf_dir, tmp_path):
     assert {"moved_source", "new_source"} <= sources
 
 
+def test_string_literal_measures_survive_prefixing(spark, sf_dir, tmp_path):
+    """ADVICE r4: _prefix_expr must not rewrite identifiers inside '...'
+    literals (CASE WHEN lang = 'en' must not become new.lang = 'new.en')."""
+    measures = {
+        "en_chars": "CASE WHEN lang = 'en' THEN CAST(n_chars AS BIGINT) ELSE 0 END"
+    }
+    lake_dir = str(tmp_path / "lake_mv_lit")
+    docs = load_table(spark, sf_dir, "documents")
+    lm.publish_version(docs, lake_dir)
+    view1 = grouped_sum_view(lm.read_lake(spark, lake_dir, 1), "source", MEASURES | measures)
+    v2 = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("en")).otherwise(F.col("lang")),
+    ).where(F.col("doc_id") % 11 != 3)
+    lm.publish_version(v2, lake_dir)
+    cdc = lm.diff_versions(spark, lake_dir, 1, 2, ["doc_id"], include_values=True)
+    incremental = apply_cdc_to_view(view1, cdc, "source", MEASURES | measures)
+    recomputed = grouped_sum_view(
+        lm.read_lake(spark, lake_dir, 2), "source", MEASURES | measures
+    )
+    assert _rows(incremental) == _rows(recomputed)
+
+
 def test_noop_cdc_leaves_view_unchanged(spark, sf_dir, tmp_path):
     lake_dir = str(tmp_path / "lake_mv2")
     docs = load_table(spark, sf_dir, "documents")

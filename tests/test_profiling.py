@@ -35,3 +35,14 @@ def test_profile_handles_arrays_and_nulls(spark, sf_dir):
     df = spark.createDataFrame([(1, None), (2, "x")], "id long, s string")
     p = {r["column"]: r for r in profile_table(df).collect()}
     assert p["s"]["n_nulls"] == 1 and p["s"]["null_pct"] == 50.0
+
+
+def test_profile_empty_table_degrades_gracefully(spark):
+    """ADVICE r4: an empty feed must profile, not crash on schema
+    inference (every stat is None at n=0)."""
+    df = spark.createDataFrame([], "id long, s string, m map<string,string>")
+    p = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(p) == {"id", "s", "m"}
+    for c in p.values():
+        assert c["n_rows"] == 0
+        assert c["null_pct"] is None and c["min_repr"] is None
