@@ -14,9 +14,10 @@ caches, then $SPARK_GRAFT_BENCH_RUNS (default 3) warm passes are measured;
 
 Output capture contract (BENCH_r02 lost its JSON head to a bounded tail
 capture): stdout carries a sentinel line `BENCH_JSON_BELOW` followed by ONE
-compact JSON line as the FINAL line — nothing is printed after it, and the
-per-query spread detail that bloated the r02 line goes to
-bench_detail.json (git-ignored) instead of stdout.
+compact JSON line as the FINAL line — nothing is printed after it. The
+stdout line keeps only the TOP-25 most expensive queries (the full dict
+blew the driver's ~4 KiB tail budget in r04); the complete per-query
+medians + spreads go to bench_detail.json (committed).
 """
 
 from __future__ import annotations
@@ -80,9 +81,21 @@ def main() -> None:
     detail_path.write_text(
         json.dumps({**summary, "queries_spread": spread_q}, indent=1) + "\n"
     )
+    # The driver's tail capture holds ~4 KiB; a 120-query dict blew past it
+    # in r04 ("parsed": null). The stdout line carries totals + only the
+    # TOP_N most expensive queries; the complete per-query medians live in
+    # bench_detail.json (committed per-round as the full record).
+    top_n = 25
+    top = dict(sorted(med_q.items(), key=lambda kv: -kv[1])[:top_n])
+    stdout_summary = {
+        **summary,
+        "queries": top,
+        "queries_truncated_to_top": top_n,
+        "full_detail": "bench_detail.json",
+    }
     sys.stdout.flush()
     print("BENCH_JSON_BELOW", flush=True)
-    print(json.dumps(summary, separators=(",", ":")), flush=True)
+    print(json.dumps(stdout_summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

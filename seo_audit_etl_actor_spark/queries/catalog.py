@@ -12,6 +12,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from seo_audit_etl_actor_spark.queries import audit_ext as ax
 from seo_audit_etl_actor_spark.queries import events_ext as ev
 from seo_audit_etl_actor_spark.queries import llm_ext as ext
 from seo_audit_etl_actor_spark.queries import pipeline_ext as px
@@ -44,7 +45,95 @@ class QuerySpec:
 # Never append below position 50 — that silently exempts the entry from the
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
-    # --- round-4 additions (no driver evidence yet) ---
+    # --- round-5 additions (no driver evidence yet): driver-visible
+    # oracles for the previously operator-only surface (chunker, profiler,
+    # FFD packer) ---
+    QuerySpec("chunk_text_extraction", ax.q_chunk_text_extraction, ax.SQL_CHUNK_TEXT_EXTRACTION),
+    QuerySpec("table_profile_audit", ax.q_table_profile_audit, ax.SQL_TABLE_PROFILE_AUDIT),
+    QuerySpec("ffd_packing_audit", ax.q_ffd_packing_audit, ax.SQL_FFD_PACKING_AUDIT),
+    # --- round-5 rotation (VERDICT r4 task 1): the 19 queries whose latest
+    # driver evidence is r2 — after this round every entry's green evidence
+    # is <= 2 rounds old. Shared code churn since r2: session.py only. ---
+    QuerySpec("revenue_by_nation", rel.q_revenue_by_nation, rel.SQL_REVENUE_BY_NATION),
+    QuerySpec("topk_parts_per_brand", rel.q_topk_parts_per_brand, rel.SQL_TOPK_PARTS_PER_BRAND),
+    QuerySpec("rollup_region_nation", rel.q_rollup_region_nation, rel.SQL_ROLLUP_REGION_NATION),
+    QuerySpec("running_order_totals", rel.q_running_order_totals, rel.SQL_RUNNING_ORDER_TOTALS),
+    QuerySpec("set_ops_customers", rel.q_set_ops_customers, rel.SQL_SET_OPS_CUSTOMERS),
+    QuerySpec("monthly_order_stats", rel.q_monthly_order_stats, rel.SQL_MONTHLY_ORDER_STATS),
+    QuerySpec("hourly_event_windows", rel.q_hourly_event_windows, rel.SQL_HOURLY_EVENT_WINDOWS),
+    QuerySpec("asof_join_enrichment", rel.q_asof_join_enrichment, rel.SQL_ASOF_JOIN_ENRICHMENT),
+    QuerySpec("semi_anti_customers", rel.q_semi_anti_customers, rel.SQL_SEMI_ANTI_CUSTOMERS),
+    QuerySpec("cube_order_stats", rel.q_cube_order_stats, rel.SQL_CUBE_ORDER_STATS),
+    QuerySpec("user_event_deltas", rel.q_user_event_deltas, rel.SQL_USER_EVENT_DELTAS),
+    QuerySpec("grouping_sets_supplier", rel.q_grouping_sets_supplier, rel.SQL_GROUPING_SETS_SUPPLIER),
+    QuerySpec("price_percentiles", rel.q_price_percentiles, rel.SQL_PRICE_PERCENTILES),
+    QuerySpec("sessionize_events", rs.q_sessionize_events, rs.SQL_SESSIONIZE_EVENTS),
+    QuerySpec("pivot_status_priority", rs.q_pivot_status_priority, rs.SQL_PIVOT_STATUS_PRIORITY),
+    QuerySpec("unpivot_lineitem_metrics", rs.q_unpivot_lineitem_metrics, rs.SQL_UNPIVOT_LINEITEM_METRICS),
+    QuerySpec("price_histogram", rs.q_price_histogram, rs.SQL_PRICE_HISTOGRAM),
+    QuerySpec("above_nation_avg_balance", rs.q_above_nation_avg_balance, rs.SQL_ABOVE_NATION_AVG_BALANCE),
+    QuerySpec("event_promo_windows", rs.q_event_promo_windows, rs.SQL_EVENT_PROMO_WINDOWS),
+    # --- r5-changed code: minhash LSH banding goes scale-aware this round
+    # (operators/dedup.py), so its consumers need fresh driver evidence
+    # even though they were green in r4. ---
+    QuerySpec("minhash_near_dup", ext.q_minhash_near_dup, ext.SQL_MINHASH_NEAR_DUP),
+    QuerySpec("near_dup_clusters", ext.q_near_dup_clusters, ext.SQL_NEAR_DUP_CLUSTERS),
+    QuerySpec("simhash_near_dup", ext.q_simhash_near_dup, ext.SQL_SIMHASH_NEAR_DUP),
+    # --- oldest-evidence fill: r3-green entries (25 slots to the window
+    # edge); the remaining r3 block rotates in r6. ---
+    QuerySpec("dedup_within_window", ev.q_dedup_within_window, ev.SQL_DEDUP_WITHIN_WINDOW),
+    QuerySpec("balance_outliers", qx.q_balance_outliers, qx.SQL_BALANCE_OUTLIERS),
+    QuerySpec("gap_fill_hourly", ev.q_gap_fill_hourly, ev.SQL_GAP_FILL_HOURLY),
+    QuerySpec("event_rate_anomalies", ev.q_event_rate_anomalies, ev.SQL_EVENT_RATE_ANOMALIES),
+    QuerySpec("data_quality_checks", qx.q_data_quality_checks, qx.SQL_DATA_QUALITY_CHECKS),
+    QuerySpec("quantity_price_regression", qx.q_quantity_price_regression, qx.SQL_QUANTITY_PRICE_REGRESSION),
+    QuerySpec("fuzzy_name_pairs", qx.q_fuzzy_name_pairs, qx.SQL_FUZZY_NAME_PAIRS),
+    QuerySpec("tpch_q1_pricing_summary", rel.q_tpch_q1_pricing_summary, rel.SQL_TPCH_Q1_PRICING_SUMMARY),
+    QuerySpec("tpch_q3_shipping_priority", rel.q_tpch_q3_shipping_priority, rel.SQL_TPCH_Q3_SHIPPING_PRIORITY),
+    QuerySpec("conversion_funnel", ev.q_conversion_funnel, ev.SQL_CONVERSION_FUNNEL),
+    QuerySpec("weekly_retention_cohorts", ev.q_weekly_retention_cohorts, ev.SQL_WEEKLY_RETENTION_COHORTS),
+    QuerySpec("event_transitions", ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
+    QuerySpec("json_props_stats", ev.q_json_props_stats, ev.SQL_JSON_PROPS_STATS),
+    QuerySpec("heavy_hitter_tokens", sx.q_heavy_hitter_tokens, sx.SQL_HEAVY_HITTER_TOKENS),
+    QuerySpec("median_bound_check", sx.q_median_bound_check, sx.SQL_MEDIAN_BOUND_CHECK),
+    QuerySpec("incremental_agg_merge", sx.q_incremental_agg_merge, sx.SQL_INCREMENTAL_AGG_MERGE),
+    QuerySpec("nation_pagerank", sx.q_nation_pagerank, sx.SQL_NATION_PAGERANK),
+    QuerySpec("embedding_near_dup_ivf", ext.q_embedding_near_dup_ivf, ext.SQL_EMBEDDING_NEAR_DUP_IVF),
+    QuerySpec("cosine_topk_rerank", ext.q_cosine_topk_rerank, ext.SQL_COSINE_TOPK_RERANK),
+    QuerySpec("passage_dedup_stats", px.q_passage_dedup_stats, px.SQL_PASSAGE_DEDUP_STATS),
+    QuerySpec("incremental_admission", px.q_incremental_admission, px.SQL_INCREMENTAL_ADMISSION),
+    QuerySpec("source_mixing_weights", px.q_source_mixing_weights, px.SQL_SOURCE_MIXING_WEIGHTS),
+    QuerySpec("bpe_pair_stats", px.q_bpe_pair_stats, px.SQL_BPE_PAIR_STATS),
+    QuerySpec("length_bucket_packing", px.q_length_bucket_packing, px.SQL_LENGTH_BUCKET_PACKING),
+    QuerySpec("token_rarity_stats", px.q_token_rarity_stats, px.SQL_TOKEN_RARITY_STATS),
+    # ==================== driver window edge (position 50) ====================
+    # --- r3-green remainder (rotates into the r6 window) ---
+    QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
+    QuerySpec("hash_split_stats", ext.q_hash_split_stats, ext.SQL_HASH_SPLIT_STATS),
+    QuerySpec("stratified_sample_stats", ext.q_stratified_sample_stats, ext.SQL_STRATIFIED_SAMPLE_STATS),
+    QuerySpec("chunk_stats", ext.q_chunk_stats, ext.SQL_CHUNK_STATS),
+    QuerySpec("packing_stats", ext.q_packing_stats, ext.SQL_PACKING_STATS),
+    QuerySpec("tfidf_top_terms", ext.q_tfidf_top_terms, ext.SQL_TFIDF_TOP_TERMS),
+    QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),
+    QuerySpec("approx_distinct_users", ext.q_approx_distinct_users, ext.SQL_APPROX_DISTINCT_USERS),
+    QuerySpec("cosine_topk_lsh", ext.q_cosine_topk_lsh, ext.SQL_COSINE_TOPK_LSH),
+    QuerySpec("doc_fingerprints", ext.q_doc_fingerprints, ext.SQL_DOC_FINGERPRINTS),
+    QuerySpec("token_histogram", ext.q_token_histogram, ext.SQL_TOKEN_HISTOGRAM),
+    QuerySpec("dedup_keep_first", ext.q_dedup_keep_first, ext.SQL_DEDUP_KEEP_FIRST),
+    QuerySpec("embedding_near_dup", ext.q_embedding_near_dup, ext.SQL_EMBEDDING_NEAR_DUP),
+    QuerySpec("skewsafe_distinct_users", ext.q_skewsafe_distinct_users, ext.SQL_SKEWSAFE_DISTINCT_USERS),
+    QuerySpec("bpe_token_stats", ext.q_bpe_token_stats, ext.SQL_BPE_TOKEN_STATS),
+    QuerySpec("contamination_by_source", ext.q_contamination_by_source, ext.SQL_CONTAMINATION_BY_SOURCE),
+    QuerySpec("repetition_stats", ext.q_repetition_stats, ext.SQL_REPETITION_STATS),
+    QuerySpec("vocab_oov_stats", ext.q_vocab_oov_stats, ext.SQL_VOCAB_OOV_STATS),
+    QuerySpec("customer_rank_stats", rel.q_customer_rank_stats, rel.SQL_CUSTOMER_RANK_STATS),
+    QuerySpec("trailing_hour_value", rel.q_trailing_hour_value, rel.SQL_TRAILING_HOUR_VALUE),
+    QuerySpec("order_count_distribution", rel.q_order_count_distribution, rel.SQL_ORDER_COUNT_DISTRIBUTION),
+    QuerySpec("part_cooccurrence", rel.q_part_cooccurrence, rel.SQL_PART_COOCCURRENCE),
+    QuerySpec("segment_user_reconciliation", rel.q_segment_user_reconciliation, rel.SQL_SEGMENT_USER_RECONCILIATION),
+    QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
+    # --- r4-green block (freshest evidence; cheapest to keep out of the
+    # window) ---
     QuerySpec("gopher_quality_rules", cx.q_gopher_quality_rules, cx.SQL_GOPHER_QUALITY_RULES),
     QuerySpec("dup_ngram_span_ratio", cx.q_dup_ngram_span_ratio, cx.SQL_DUP_NGRAM_SPAN_RATIO),
     QuerySpec("embedding_quantization_error", cx.q_embedding_quantization_error, cx.SQL_EMBEDDING_QUANTIZATION_ERROR),
@@ -76,23 +165,8 @@ QUERIES: list[QuerySpec] = [
     # values => rows-only driver check by design; the audit form
     # (approx_distinct_users, below) keeps the hashed exactness bound.
     QuerySpec("approx_distinct_users_prod", ext.q_approx_distinct_users_prod, None),
-    # --- r4-changed code with only r1/r2 driver evidence: the theta join's
-    # sum was rewritten to BIGINT cents and SIMHASH_BITS moved 48 -> 60 this
-    # round, so these three MUST sit inside the window. ---
     QuerySpec("price_band_theta_join", rel.q_price_band_theta_join, rel.SQL_PRICE_BAND_THETA_JOIN),
     QuerySpec("simhash_fingerprints", ext.q_simhash_fingerprints, ext.SQL_SIMHASH_FINGERPRINTS),
-    QuerySpec("simhash_near_dup", ext.q_simhash_near_dup, ext.SQL_SIMHASH_NEAR_DUP),
-    # near_dup_clusters composes _bucket_pairs, whose hot-bucket cap changed
-    # mid-r4 (MAX_BUCKET_MEMBERS 10000 -> 1024) — promoted into the window
-    # alongside minhash_near_dup so BOTH consumers of the changed code get
-    # fresh driver evidence this round.
-    QuerySpec("near_dup_clusters", ext.q_near_dup_clusters, ext.SQL_NEAR_DUP_CLUSTERS),
-    # --- round-4 rotation, ordered by evidence risk (VERDICT r3 task 1): the
-    # reference_ops parity family first (the r3 ANSI-ratio hardening touched
-    # its ratio emissions), then the dedup/text family, then the relational
-    # block (only session.py churn). Entries that no longer fit the 50-slot
-    # window (tail of this list) keep r1/r2 evidence + local oracle tests and
-    # rotate into the r5 window. ---
     QuerySpec("keyword_position_buckets", r.q_keyword_position_buckets, r.SQL_KEYWORD_POSITION_BUCKETS),
     QuerySpec("numeric_coercion", r.q_numeric_coercion, r.SQL_NUMERIC_COERCION),
     QuerySpec("status_code_bands", r.q_status_code_bands, r.SQL_STATUS_CODE_BANDS),
@@ -105,81 +179,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("liveness_ratio", r.q_liveness_ratio, r.SQL_LIVENESS_RATIO),
     QuerySpec("cwv_pass_rate", r.q_cwv_pass_rate, r.SQL_CWV_PASS_RATE),
     QuerySpec("coverage_weighted_score", r.q_coverage_weighted_score, r.SQL_COVERAGE_WEIGHTED_SCORE),
-    QuerySpec("minhash_near_dup", ext.q_minhash_near_dup, ext.SQL_MINHASH_NEAR_DUP),
     QuerySpec("exact_dedup_stats", ext.q_exact_dedup_stats, ext.SQL_EXACT_DEDUP_STATS),
     QuerySpec("ngram_jaccard_sample", ext.q_ngram_jaccard_sample, ext.SQL_NGRAM_JACCARD_SAMPLE),
     QuerySpec("cosine_topk_bruteforce", ext.q_cosine_topk_bruteforce, ext.SQL_COSINE_TOPK),
     QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),
     QuerySpec("doc_quality_by_source", ext.q_doc_quality_by_source, ext.SQL_DOC_QUALITY_BY_SOURCE),
-    QuerySpec("revenue_by_nation", rel.q_revenue_by_nation, rel.SQL_REVENUE_BY_NATION),
-    QuerySpec("topk_parts_per_brand", rel.q_topk_parts_per_brand, rel.SQL_TOPK_PARTS_PER_BRAND),
-    QuerySpec("rollup_region_nation", rel.q_rollup_region_nation, rel.SQL_ROLLUP_REGION_NATION),
-    QuerySpec("running_order_totals", rel.q_running_order_totals, rel.SQL_RUNNING_ORDER_TOTALS),
-    QuerySpec("set_ops_customers", rel.q_set_ops_customers, rel.SQL_SET_OPS_CUSTOMERS),
-    QuerySpec("monthly_order_stats", rel.q_monthly_order_stats, rel.SQL_MONTHLY_ORDER_STATS),
-    QuerySpec("hourly_event_windows", rel.q_hourly_event_windows, rel.SQL_HOURLY_EVENT_WINDOWS),
-    QuerySpec("asof_join_enrichment", rel.q_asof_join_enrichment, rel.SQL_ASOF_JOIN_ENRICHMENT),
-    QuerySpec("semi_anti_customers", rel.q_semi_anti_customers, rel.SQL_SEMI_ANTI_CUSTOMERS),
-    QuerySpec("cube_order_stats", rel.q_cube_order_stats, rel.SQL_CUBE_ORDER_STATS),
-    QuerySpec("user_event_deltas", rel.q_user_event_deltas, rel.SQL_USER_EVENT_DELTAS),
-    QuerySpec("grouping_sets_supplier", rel.q_grouping_sets_supplier, rel.SQL_GROUPING_SETS_SUPPLIER),
-    QuerySpec("price_percentiles", rel.q_price_percentiles, rel.SQL_PRICE_PERCENTILES),
-    QuerySpec("sessionize_events", rs.q_sessionize_events, rs.SQL_SESSIONIZE_EVENTS),
-    QuerySpec("pivot_status_priority", rs.q_pivot_status_priority, rs.SQL_PIVOT_STATUS_PRIORITY),
-    QuerySpec("unpivot_lineitem_metrics", rs.q_unpivot_lineitem_metrics, rs.SQL_UNPIVOT_LINEITEM_METRICS),
-    QuerySpec("price_histogram", rs.q_price_histogram, rs.SQL_PRICE_HISTOGRAM),
-    QuerySpec("above_nation_avg_balance", rs.q_above_nation_avg_balance, rs.SQL_ABOVE_NATION_AVG_BALANCE),
-    QuerySpec("event_promo_windows", rs.q_event_promo_windows, rs.SQL_EVENT_PROMO_WINDOWS),
-    # --- below/straddling the window: green in r3 on current code ---
-    QuerySpec("dedup_within_window", ev.q_dedup_within_window, ev.SQL_DEDUP_WITHIN_WINDOW),
-    QuerySpec("balance_outliers", qx.q_balance_outliers, qx.SQL_BALANCE_OUTLIERS),
-    QuerySpec("gap_fill_hourly", ev.q_gap_fill_hourly, ev.SQL_GAP_FILL_HOURLY),
-    QuerySpec("event_rate_anomalies", ev.q_event_rate_anomalies, ev.SQL_EVENT_RATE_ANOMALIES),
-    QuerySpec("data_quality_checks", qx.q_data_quality_checks, qx.SQL_DATA_QUALITY_CHECKS),
-    QuerySpec("quantity_price_regression", qx.q_quantity_price_regression, qx.SQL_QUANTITY_PRICE_REGRESSION),
-    QuerySpec("fuzzy_name_pairs", qx.q_fuzzy_name_pairs, qx.SQL_FUZZY_NAME_PAIRS),
-    QuerySpec("tpch_q1_pricing_summary", rel.q_tpch_q1_pricing_summary, rel.SQL_TPCH_Q1_PRICING_SUMMARY),
-    QuerySpec("tpch_q3_shipping_priority", rel.q_tpch_q3_shipping_priority, rel.SQL_TPCH_Q3_SHIPPING_PRIORITY),
-    QuerySpec("conversion_funnel", ev.q_conversion_funnel, ev.SQL_CONVERSION_FUNNEL),
-    QuerySpec("weekly_retention_cohorts", ev.q_weekly_retention_cohorts, ev.SQL_WEEKLY_RETENTION_COHORTS),
-    QuerySpec("event_transitions", ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
-    QuerySpec("json_props_stats", ev.q_json_props_stats, ev.SQL_JSON_PROPS_STATS),
-    QuerySpec("heavy_hitter_tokens", sx.q_heavy_hitter_tokens, sx.SQL_HEAVY_HITTER_TOKENS),
-    QuerySpec("median_bound_check", sx.q_median_bound_check, sx.SQL_MEDIAN_BOUND_CHECK),
-    QuerySpec("incremental_agg_merge", sx.q_incremental_agg_merge, sx.SQL_INCREMENTAL_AGG_MERGE),
-    QuerySpec("nation_pagerank", sx.q_nation_pagerank, sx.SQL_NATION_PAGERANK),
-    QuerySpec("embedding_near_dup_ivf", ext.q_embedding_near_dup_ivf, ext.SQL_EMBEDDING_NEAR_DUP_IVF),
-    QuerySpec("cosine_topk_rerank", ext.q_cosine_topk_rerank, ext.SQL_COSINE_TOPK_RERANK),
-    QuerySpec("passage_dedup_stats", px.q_passage_dedup_stats, px.SQL_PASSAGE_DEDUP_STATS),
-    QuerySpec("incremental_admission", px.q_incremental_admission, px.SQL_INCREMENTAL_ADMISSION),
-    QuerySpec("source_mixing_weights", px.q_source_mixing_weights, px.SQL_SOURCE_MIXING_WEIGHTS),
-    QuerySpec("bpe_pair_stats", px.q_bpe_pair_stats, px.SQL_BPE_PAIR_STATS),
-    QuerySpec("length_bucket_packing", px.q_length_bucket_packing, px.SQL_LENGTH_BUCKET_PACKING),
-    QuerySpec("token_rarity_stats", px.q_token_rarity_stats, px.SQL_TOKEN_RARITY_STATS),
-    QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
-    QuerySpec("hash_split_stats", ext.q_hash_split_stats, ext.SQL_HASH_SPLIT_STATS),
-    QuerySpec("stratified_sample_stats", ext.q_stratified_sample_stats, ext.SQL_STRATIFIED_SAMPLE_STATS),
-    QuerySpec("chunk_stats", ext.q_chunk_stats, ext.SQL_CHUNK_STATS),
-    QuerySpec("packing_stats", ext.q_packing_stats, ext.SQL_PACKING_STATS),
-    QuerySpec("tfidf_top_terms", ext.q_tfidf_top_terms, ext.SQL_TFIDF_TOP_TERMS),
-    QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),
-    QuerySpec("approx_distinct_users", ext.q_approx_distinct_users, ext.SQL_APPROX_DISTINCT_USERS),
-    QuerySpec("cosine_topk_lsh", ext.q_cosine_topk_lsh, ext.SQL_COSINE_TOPK_LSH),
-    QuerySpec("doc_fingerprints", ext.q_doc_fingerprints, ext.SQL_DOC_FINGERPRINTS),
-    QuerySpec("token_histogram", ext.q_token_histogram, ext.SQL_TOKEN_HISTOGRAM),
-    QuerySpec("dedup_keep_first", ext.q_dedup_keep_first, ext.SQL_DEDUP_KEEP_FIRST),
-    QuerySpec("embedding_near_dup", ext.q_embedding_near_dup, ext.SQL_EMBEDDING_NEAR_DUP),
-    QuerySpec("skewsafe_distinct_users", ext.q_skewsafe_distinct_users, ext.SQL_SKEWSAFE_DISTINCT_USERS),
-    QuerySpec("bpe_token_stats", ext.q_bpe_token_stats, ext.SQL_BPE_TOKEN_STATS),
-    QuerySpec("contamination_by_source", ext.q_contamination_by_source, ext.SQL_CONTAMINATION_BY_SOURCE),
-    QuerySpec("repetition_stats", ext.q_repetition_stats, ext.SQL_REPETITION_STATS),
-    QuerySpec("vocab_oov_stats", ext.q_vocab_oov_stats, ext.SQL_VOCAB_OOV_STATS),
-    QuerySpec("customer_rank_stats", rel.q_customer_rank_stats, rel.SQL_CUSTOMER_RANK_STATS),
-    QuerySpec("trailing_hour_value", rel.q_trailing_hour_value, rel.SQL_TRAILING_HOUR_VALUE),
-    QuerySpec("order_count_distribution", rel.q_order_count_distribution, rel.SQL_ORDER_COUNT_DISTRIBUTION),
-    QuerySpec("part_cooccurrence", rel.q_part_cooccurrence, rel.SQL_PART_COOCCURRENCE),
-    QuerySpec("segment_user_reconciliation", rel.q_segment_user_reconciliation, rel.SQL_SEGMENT_USER_RECONCILIATION),
-    QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
 ]
 
 

@@ -21,13 +21,22 @@ def _driver_green_names() -> set[str]:
     green: set[str] = set()
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
         for name, row in json.loads(f.read_text()).items():
+            if not isinstance(row, dict):
+                continue
             if (
-                isinstance(row, dict)
-                and row.get("rows_match")
+                row.get("rows_match")
                 and row.get("schema_match", True)
                 and row.get("hash_match", True)
                 and not row.get("err")
             ):
+                green.add(name)
+            elif (
+                name in ROWS_ONLY_ALLOWED
+                and row.get("err") == "no_oracle"
+                and row.get("spark_rows")
+            ):
+                # deliberate rows-only entries can never earn a hash row;
+                # a recorded driver execution is their strongest evidence
                 green.add(name)
     return green
 
