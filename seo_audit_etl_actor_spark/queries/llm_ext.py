@@ -171,8 +171,10 @@ ORDER BY source
 
 # ------------------------------------------------------------- MinHash LSH
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16)+LSH(8 bands×2) near-dup pairs, exact-Jaccard-verified at
-    ≥0.5 on 3-word shingle sets (dedup.minhash_near_dup_pairs)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified at ≥0.5 on
+    3-word shingle sets (dedup.minhash_near_dup_pairs). Banding is
+    scale-aware (dedup.BANDING_LADDER); every driver SF sits in tier 0
+    (16 hashes × 8 bands), which is what the static oracle encodes."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return dedup.minhash_near_dup_pairs(docs, threshold=0.5)
 

@@ -1,0 +1,72 @@
+"""Scale-aware MinHash LSH banding (operators/dedup.py round 5): the
+ladder keeps the s-curve midpoint pinned while deepening bands, the
+adaptive default matches the pinned tier-0 result at driver SFs, and the
+deeper tiers still find true near-duplicates (plan + recall guard for the
+corpus sizes the local suite can't reach)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seo_audit_etl_actor_spark.operators import dedup
+
+
+def test_ladder_pins_scurve_midpoint():
+    for lo, n_hashes, n_bands in dedup.BANDING_LADDER:
+        r = n_hashes // n_bands
+        assert n_hashes == n_bands * r  # bands tile the signature exactly
+        t = (1.0 / n_bands) ** (1.0 / r)
+        assert abs(t - 0.35) < 0.01, (lo, n_hashes, n_bands, t)
+
+
+def test_choose_banding_tiers():
+    assert dedup.choose_banding(0) == (16, 8)
+    assert dedup.choose_banding(5_000) == (16, 8)
+    assert dedup.choose_banding(99_999) == (16, 8)
+    assert dedup.choose_banding(100_000) == (72, 24)
+    assert dedup.choose_banding(1_999_999) == (72, 24)
+    assert dedup.choose_banding(2_000_000) == (256, 64)
+    assert dedup.choose_banding(10**9) == (256, 64)
+
+
+def _near_dup_corpus(spark):
+    # 5 groups of 3 true near-duplicates (J >= ~0.8 within a group: long
+    # shared body, one word varies) + unique background docs
+    rows = []
+    for g in range(5):
+        body = " ".join(f"group{g}word{j}" for j in range(30))
+        for v in range(3):
+            rows.append((g * 10 + v, body + f" tail{v}"))
+    for i in range(20):
+        rows.append((1000 + i, " ".join(f"bg{i}tok{j}" for j in range(25))))
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_adaptive_default_matches_pinned_tier0(spark):
+    docs = _near_dup_corpus(spark)
+    auto = dedup.minhash_near_dup_pairs(docs)
+    pinned = dedup.minhash_near_dup_pairs(docs, n_hashes=16, n_bands=8)
+    assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in pinned.collect()]
+
+
+def test_deep_tiers_keep_recall_and_precision(spark):
+    docs = _near_dup_corpus(spark)
+    truth = {
+        (g * 10 + a, g * 10 + b)
+        for g in range(5)
+        for a in range(3)
+        for b in range(a + 1, 3)
+    }
+    for n_hashes, n_bands in [(72, 24), (256, 64)]:
+        got = dedup.minhash_near_dup_pairs(
+            docs, threshold=0.5, n_hashes=n_hashes, n_bands=n_bands
+        )
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
+        # recall: every true near-dup group pair found (miss probability at
+        # J~0.8 is (1-0.8^r)^b < 1e-7; deterministic given the fixed hashes)
+        assert truth <= set(pairs), (n_hashes, n_bands, truth - set(pairs))
+        # precision is exact by construction: every reported pair passed
+        # the exact-Jaccard filter
+        assert all(j >= 0.5 for j in pairs.values())
+        # no background doc ever pairs (their token sets are disjoint)
+        assert all(a < 1000 and b < 1000 for a, b in pairs)
