@@ -4,14 +4,17 @@ The Spark-side design is fully real — schemas, partitioning, Arrow batch
 shapes, mapInPandas signatures. The codec story (round 4) is split by
 format:
 
-- UNCOMPRESSED formats decode FOR REAL: BMP (24-bit BI_RGB) and PPM/PGM
-  (P6/P5 binary) need no codec library — pure struct + numpy byte math —
-  so `decode_image_thumbs` produces true pixels, integer-exact luma, and
-  a real area-averaged 8x8 thumbnail for them (`real_decode = true`);
-- COMPRESSED formats (PNG/JPEG) still use the deterministic byte-sampling
-  fake (Pillow is not in this container): header parsing for dimensions is
-  real, the pixel inner loop is the documented stand-in
-  (`real_decode = false`; swap point noted at the function).
+- CODEC-FREE formats decode FOR REAL: BMP (24-bit BI_RGB) and PPM/PGM
+  (P6/P5 binary) are pure struct + numpy byte math, and PNG (round 5) is
+  fully decoded with stdlib zlib — inflate + all five scanline filters +
+  palette/alpha handling for 8-bit non-interlaced images — so
+  `decode_image_thumbs` produces true pixels, integer-exact luma, and a
+  real area-averaged 8x8 thumbnail for all of them (`real_decode = true`);
+- JPEG (and out-of-scope PNG variants: 1/2/4/16-bit, Adam7) still use the
+  deterministic byte-sampling fake (no DCT/Huffman codec in this
+  container): header parsing for dimensions is real, the pixel inner loop
+  is the documented stand-in (`real_decode = false`; swap point noted at
+  the function).
 
 Scale design:
 - binary payloads ride `spark.read.format("binaryFile")` (one row per
@@ -118,16 +121,136 @@ def _parse_pnm_header(data: bytes) -> tuple[int, int, int, int] | None:
     return w, h, maxval, i
 
 
+def _png_unfilter(raw, height: int, stride: int, bpp: int):
+    """Undo PNG per-scanline filtering (filters 0-4). `raw` is the
+    decompressed IDAT stream: height rows of (1 filter byte + stride
+    bytes). Returns an (height, stride) uint8 array.
+
+    None/Up are whole-row vectorized; Sub is a strided cumulative sum
+    (recon[x] = raw[x] + recon[x-bpp] decomposes into bpp independent
+    prefix sums mod 256); Average/Paeth carry a true sequential left
+    dependency, so those rows fall back to a per-byte loop — correct
+    first, and rare enough in practice that the vectorized filters carry
+    the bulk of real streams."""
+    import numpy as np
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    row_len = stride + 1
+    for y in range(height):
+        row = raw[y * row_len : (y + 1) * row_len]
+        ftype = int(row[0])
+        cur = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y > 0 else np.zeros(stride, np.int64)
+        if ftype == 0:  # None
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype == 1:  # Sub: per-residue-class prefix sum mod 256
+            rec = cur.copy()
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(cur[c::bpp]) & 0xFF
+        elif ftype in (3, 4):  # Average / Paeth: sequential left+up
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                if ftype == 3:
+                    rec[x] = (cur[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            return None  # invalid filter type -> corrupt stream
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def _decode_png_gray(data: bytes):
+    """REAL PNG pixel decode in pure stdlib zlib + numpy (no codec
+    library): walks the chunk list, inflates IDAT, undoes scanline
+    filters, and reduces to an (H, W) uint8 grayscale plane via the same
+    integer BT.601 luma as the other formats.
+
+    Scope (returns None outside it, routing to the documented fake):
+    8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA), non-interlaced. Alpha is ignored (luma of the
+    stored color channels); 1/2/4/16-bit depths and Adam7 interlace are
+    out of scope for this container's decoder."""
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, n = 8, len(data)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while i + 8 <= n:
+        size = struct.unpack(">I", data[i : i + 4])[0]
+        cid = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + size]
+        if len(body) < size:
+            return None  # truncated
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        i += 12 + size  # length + id + body + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None or bit_depth != 8 or interlace != 0 or w <= 0 or h <= 0:
+        return None
+    if color_type == 3 and plte is None:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    plane = _png_unfilter(raw, h, stride, channels)
+    if plane is None:
+        return None
+    px = plane.reshape(h, w, channels)
+    if color_type == 3:
+        px = plte[px[:, :, 0]]  # palette lookup -> (H, W, 3) RGB
+    if px.shape[2] == 1:
+        return px[:, :, 0]
+    if px.shape[2] == 2:  # gray + alpha
+        return px[:, :, 0]
+    r = px[:, :, 0].astype(np.int64)
+    g = px[:, :, 1].astype(np.int64)
+    b = px[:, :, 2].astype(np.int64)
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
 def _decode_gray_pixels(data: bytes):
-    """REAL pixel decode for the uncompressed formats: returns an (H, W)
-    uint8 grayscale numpy array, or None when the format needs a codec.
+    """REAL pixel decode for the codec-free formats: returns an (H, W)
+    uint8 grayscale numpy array, or None when the format needs a codec
+    (JPEG; exotic PNG variants).
 
     - PGM (P5): raster IS the grayscale plane.
     - PPM (P6): RGB raster -> integer BT.601 luma (r*299+g*587+b*114)//1000.
     - BMP: 24-bit uncompressed BI_RGB only — BGR pixels, rows padded to 4
       bytes, bottom-up unless height is negative.
+    - PNG (round 5): full inflate + unfilter decode — stdlib zlib IS the
+      PNG codec, so this needs no external library (_decode_png_gray).
     """
     import numpy as np
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png_gray(data)
 
     if data[:2] in (b"P5", b"P6"):
         parsed = _parse_pnm_header(data)
@@ -235,16 +358,17 @@ IMAGE_THUMB_SCHEMA = T.StructType(
 
 
 def decode_image_thumbs(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Resize/feature-extract step. Round-4 split:
+    """Resize/feature-extract step. Decode split (round 5):
 
-    - BMP (24-bit BI_RGB) and binary PPM/PGM decode FOR REAL
-      (`_decode_gray_pixels` — pure struct+numpy, no codec needed): true
-      integer BT.601 luma plane, area-averaged 8x8 thumbnail, exact
-      integer block means. `real_decode = true`.
-    - PNG/JPEG (and anything unrecognized) keep the DETERMINISTIC FAKE
-      byte-sampling decode (no codec in this container): deterministic per
-      content so downstream thumb-distance dedup behaves like a real
-      decoder's output. Swap the `_fake_gray_thumb` branch for
+    - BMP (24-bit BI_RGB), binary PPM/PGM, and 8-bit non-interlaced PNG
+      decode FOR REAL (`_decode_gray_pixels` — struct+numpy, with stdlib
+      zlib as the PNG inflate): true integer BT.601 luma plane,
+      area-averaged 8x8 thumbnail, exact integer block means.
+      `real_decode = true`.
+    - JPEG (and out-of-scope PNG variants) keep the DETERMINISTIC FAKE
+      byte-sampling decode (no DCT/Huffman codec in this container):
+      deterministic per content so downstream thumb-distance dedup behaves
+      like a real decoder's output. Swap the `_fake_gray_thumb` branch for
       `PIL.Image.open(...).convert("L").resize(...)` when a codec exists;
       schema and batch shape do not change. `real_decode = false`.
 

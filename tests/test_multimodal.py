@@ -1,6 +1,8 @@
 """Multimodal binary-column plumbing tests: binaryFile scan → mapInPandas
-metadata extraction → content dedup. Codec-free: PNG/JPEG headers are
-synthesized byte-exactly; the pixel-decode stub must raise."""
+metadata extraction → content dedup, plus REAL decode for the codec-free
+formats (BMP/PPM/PGM/WAV since round 4; full PNG via stdlib zlib since
+round 5 — encoder helpers below are spec-derived, independent of the
+decoder under test). JPEG remains the deterministic fake."""
 
 from __future__ import annotations
 
@@ -147,7 +149,9 @@ def test_bmp_bottom_up_and_padding():
 
 def test_thumbs_real_flag_by_format(spark, tmp_path):
     """End-to-end through mapInPandas: uncompressed formats report
-    real_decode=true with true means; PNG stays the documented fake."""
+    real_decode=true with true means; the fixture's TRUNCATED png (header
+    only, no IDAT) must route to the fake path — valid PNGs decode for
+    real (test_png_real_flag_end_to_end)."""
     import numpy as np
 
     d = tmp_path / "mixed"
@@ -224,3 +228,151 @@ def test_wav_stereo_and_odd_chunk_alignment(spark, tmp_path):
     assert (r["channels"], r["n_samples"]) == (2, frames)
     assert r["rms_q"] == 500
     assert r["zero_crossings"] == 0  # channel 0 never changes sign
+
+
+# ---------------------------------------------------------------------------
+# round 5: REAL PNG decode (stdlib zlib inflate + scanline unfiltering)
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return struct.pack(">I", len(body)) + cid + body + struct.pack(
+        ">I", zlib.crc32(cid + body) & 0xFFFFFFFF
+    )
+
+
+def _png_filter_row(ftype: int, cur: bytes, prev: bytes, bpp: int) -> bytes:
+    """Reference ENCODER-side filter (PNG spec 9.2), independent of the
+    decoder under test: produces the filtered bytes for one scanline."""
+    out = bytearray()
+    for x in range(len(cur)):
+        a = cur[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            out.append(cur[x])
+        elif ftype == 1:
+            out.append((cur[x] - a) & 0xFF)
+        elif ftype == 2:
+            out.append((cur[x] - b) & 0xFF)
+        elif ftype == 3:
+            out.append((cur[x] - (a + b) // 2) & 0xFF)
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((cur[x] - pred) & 0xFF)
+    return bytes(out)
+
+
+def _encode_png(pixels, color_type: int, filters=None, palette=None) -> bytes:
+    """Minimal valid PNG encoder for the test: 8-bit, non-interlaced.
+    `pixels` is (H, W, channels) uint8 (channels per color_type);
+    `filters` picks the per-row filter type (default all 0)."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y in range(h):
+        cur = px[y].tobytes()
+        raw.append(filters[y])
+        raw += _png_filter_row(filters[y], cur, prev, ch)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", bytes(palette))
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_png_gray_roundtrip_exact():
+    import numpy as np
+
+    g = np.arange(48, dtype=np.uint8).reshape(6, 8, 1)
+    for filters in ([0] * 6, [1] * 6, [2] * 6, [3] * 6, [4] * 6, [0, 1, 2, 3, 4, 1]):
+        data = _encode_png(g, color_type=0, filters=filters)
+        dec = B._decode_gray_pixels(data)
+        assert dec is not None, filters
+        assert np.array_equal(dec, g[:, :, 0]), filters
+
+
+def test_png_rgb_luma_matches_ppm():
+    """Same RGB pixels via PNG and PPM must land on the identical integer
+    BT.601 luma plane — the decoders share one formula."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    png = B._decode_gray_pixels(_encode_png(rgb, color_type=2, filters=[4] * 9))
+    ppm = B._decode_gray_pixels(_ppm(7, 9, rgb.tobytes()))
+    assert png is not None and ppm is not None
+    assert np.array_equal(png, ppm)
+
+
+def test_png_palette_and_alpha():
+    import numpy as np
+
+    # palette: 4 entries; image indexes them
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 100, 100, 100])
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8).reshape(2, 2, 1)
+    dec = B._decode_gray_pixels(_encode_png(idx, color_type=3, palette=palette))
+    assert dec is not None
+    expect = np.array(
+        [[255 * 299 // 1000, 255 * 587 // 1000], [255 * 114 // 1000, 100]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(dec, expect)
+    # RGBA: alpha ignored, luma of RGB channels
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[:, :, 0] = 200  # pure red, varying alpha
+    rgba[:, :, 3] = [[0, 128], [255, 7]]
+    dec4 = B._decode_gray_pixels(_encode_png(rgba, color_type=6))
+    assert dec4 is not None
+    assert set(dec4.flatten().tolist()) == {200 * 299 // 1000}
+    # gray+alpha
+    ga = np.dstack([np.full((3, 3), 42, np.uint8), np.full((3, 3), 9, np.uint8)])
+    dec2 = B._decode_gray_pixels(_encode_png(ga, color_type=4))
+    assert np.array_equal(dec2, np.full((3, 3), 42, np.uint8))
+
+
+def test_png_out_of_scope_variants_route_to_fake():
+    import zlib
+
+    # 16-bit depth: valid container, out-of-scope depth
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * (2 * (2 * 2 + 1)))
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    assert B._decode_gray_pixels(deep) is None
+    # truncated IDAT (corrupt zlib stream)
+    trunc = _encode_png([[[1, 2, 3]]], color_type=2)
+    trunc = trunc.replace(b"IDAT", b"IDAX")  # drop the IDAT chunk entirely
+    assert B._decode_gray_pixels(trunc) is None
+
+
+def test_png_real_flag_end_to_end(spark, tmp_path):
+    import numpy as np
+
+    d = tmp_path / "png_real"
+    d.mkdir()
+    flat = np.full((16, 16, 1), 77, dtype=np.uint8)
+    (d / "flat.png").write_bytes(_encode_png(flat, color_type=0, filters=[2] * 16))
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in B.decode_image_thumbs(B.read_binary_dir(spark, str(d))).collect()
+    }
+    r = rows["flat.png"]
+    assert r["real_decode"] is True
+    assert r["format"] == "png" and (r["width"], r["height"]) == (16, 16)
+    assert set(r["thumb"]) == {77} and r["mean_luma"] == 77.0
