@@ -156,34 +156,64 @@ def hashed_shingle_set(text_col, k: int = SHINGLE_K):
     )
 
 
+def shingle_projection(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingles) with the 32-bit hashed shingle set — the one
+    md5-bearing pass every minhash consumer shares. Docs with no shingles
+    are dropped (they can't be near-duplicates of anything).
+
+    The drop predicate is the CHEAP equivalent `size(tokens) >= k` —
+    shingles are non-empty iff the doc has at least k tokens — NOT
+    `size(shingles) > 0`: a filter on the derived column gets its full
+    md5-chain expression re-inlined into the condition and pushed below
+    the repartition to the scan, recomputing every shingle hash at scan
+    parallelism (measured 10× the whole pass's cost at m=10; the
+    filter-over-derived-column trap from the verify notes)."""
+    sh = hashed_shingle_set(F.col(text_col))
+    return docs.where(F.size(tokens(F.col(text_col))) >= SHINGLE_K).select(
+        F.col(id_col), sh.alias("shingles")
+    )
+
+
+def _signatures_from_shingles(
+    base: DataFrame, id_col: str = "doc_id", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(id, mh0..mhN) from a (id, shingles) frame: ONE explode of the
+    hashed-shingle set, then n_hashes MIN aggregates of the affine maps
+    (a_i·h + b_i) mod 2^32.
+
+    Why explode+agg and not per-signature array_min(transform(...)) HOFs:
+    higher-order functions are CodegenFallback — interpreted, one boxed
+    lambda eval per element per signature — which the round-5 probe
+    measured at ~320 s for 500k docs × 72 signatures; the same math as
+    plain-arithmetic MIN aggregates rides whole-stage codegen and map-side
+    partial aggregation (the explode collapses to ~one row per doc per
+    partition before the shuffle, so the exchange carries
+    n_docs × n_hashes longs, not the exploded stream). Same pattern as
+    simhash_fingerprints' vote sums."""
+    exploded = base.select(F.col(id_col), F.explode("shingles").alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD32)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_affine_constants(n_hashes))
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = N_HASHES,
 ) -> DataFrame:
-    """Per-doc MinHash signature via universal hashing: one md5 per shingle
-    giving a 32-bit base hash, then sig[i] = min over shingles of
-    (a_i·h + b_i) mod 2^32 — n_hashes cheap affine maps instead of n_hashes
-    md5 passes (16× less hash work; md5 dominates the signature cost).
-
-    All array-min HOFs over the hashed-shingle array — one narrow
-    projection, zero shuffles; docs with no shingles are dropped (they
-    can't be near-duplicates of anything). `shingles` carries the 32-bit
-    hash set (see hashed_shingle_set), which downstream Jaccard
-    verification intersects directly.
-    """
-    sh = hashed_shingle_set(F.col(text_col))
-    staged = docs.select(F.col(id_col), sh.alias("shingles")).where(F.size("shingles") > 0)
-    # one F.expr per signature keeps plan build O(n_hashes) cheap py4j
-    # calls even at the 256-hash top banding tier
-    sig_cols = [
-        F.expr(
-            f"array_min(transform(shingles, h -> ({a} * h + {b}) % {MOD32}))"
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_affine_constants(n_hashes))
-    ]
-    return staged.select(id_col, "shingles", *sig_cols)
+    """Per-doc MinHash signature (id, mh0..mhN) via universal hashing: one
+    md5 per shingle giving a 32-bit base hash, then sig[i] = min over
+    shingles of (a_i·h + b_i) mod 2^32 — n_hashes cheap affine maps
+    instead of n_hashes md5 passes (md5 dominates the hash work).
+    See _signatures_from_shingles for the codegen-friendly shape."""
+    return _signatures_from_shingles(
+        shingle_projection(docs, text_col, id_col), id_col, n_hashes
+    )
 
 
 def lsh_candidate_pairs(
@@ -286,8 +316,10 @@ def _bucket_pairs(
     cond = F.lit(True)
     for c in bucket_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    # struct < struct is lexicographic on fields; `id` comes first and is
-    # unique, so the orientation matches the array_sort order above
+    # members are either plain unique ids (minhash) or structs whose FIRST
+    # field is the unique id (simhash): `<` is value order for the former
+    # and field-lexicographic for the latter, so in both cases the
+    # orientation matches the array_sort order above
     cond = cond & (F.col(f"a.{member_col}") < F.col(f"b.{member_col}"))
     big_pairs = a.join(b, cond).select(
         F.col(f"a.{member_col}").alias("a"), F.col(f"b.{member_col}").alias("b")
@@ -310,9 +342,22 @@ def minhash_near_dup_pairs(
     (array_intersect/union on the distinct shingle sets) → pairs with
     jaccard ≥ threshold.
 
-    Single scan of the corpus for the pipeline itself (bucket-grouping, no
-    self-join — see _bucket_pairs); Jaccard is a ratio of integer set
-    sizes — exact, engine-portable.
+    The corpus is scanned/shingled ONCE into a persisted (id, shingles)
+    frame (MEMORY_AND_DISK — spillable), which feeds both consumers: the
+    codegen'd signature aggregation and the verification join. Jaccard is
+    a ratio of integer set sizes — exact, engine-portable.
+
+    Shuffle discipline (round 5 — measured, not guessed): the band explode
+    carries ONLY (doc_id, band_idx, band_key) — ~24 bytes/row — and
+    candidate pairs dedupe as two BIGINTs; the kilobyte-scale shingle
+    arrays never ride the band shuffle or the pair distinct. Verification
+    joins the deduped (small) pair set back to the persisted signatures on
+    each side — two id-keyed exchanges of arrays sized by DOCS, not by
+    docs × bands. The previous design shuffled the shingle array inside
+    every band member and every pair struct, which at 100× sf0.1 made the
+    band shuffle (n_bands × corpus bytes) the bottleneck — the r5 probe
+    measured candidate volume 26× down with deeper banding yet wall-clock
+    UP, pinning the cost on payload bytes, hence this shape.
 
     Banding is SCALE-AWARE by default: when (n_hashes, n_bands) are not
     pinned, a metadata-cheap count() probe picks the BANDING_LADDER tier,
@@ -321,11 +366,17 @@ def minhash_near_dup_pairs(
     comment). Pass both explicitly to pin a tier (the oracle tests pin
     nothing — driver SFs land in tier 0, matching the static SQL).
     """
+    from pyspark import StorageLevel
+
     if n_hashes is None or n_bands is None:
         # column-pruned count: the scan reads no data pages, only parquet
         # row-group metadata — a sub-second probe even at 100 TB
         n_hashes, n_bands = choose_banding(docs.count())
-    sigs = minhash_signatures(docs, text_col, id_col, n_hashes)
+    # the one md5-bearing corpus pass, shared by signatures + verification
+    base = shingle_projection(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _signatures_from_shingles(base, id_col, n_hashes)
     r = n_hashes // n_bands
     bands = F.array(
         *[
@@ -336,16 +387,18 @@ def minhash_near_dup_pairs(
             for b in range(n_bands)
         ]
     )
-    member = F.struct(F.col(id_col).alias("id"), F.col("shingles").alias("sh"))
-    exploded = sigs.select(member.alias("m"), F.explode(bands).alias("band")).select(
-        "m", "band.band_idx", "band.band_key"
-    )
+    exploded = sigs.select(
+        F.col(id_col).alias("m"), F.explode(bands).alias("band")
+    ).select("m", "band.band_idx", "band.band_key")
     pairs = _bucket_pairs(exploded, ["band_idx", "band_key"], "m", max_bucket_members)
-    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
+    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        pairs.select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac.alias("jaccard")
-        )
+        pairs.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -436,9 +489,12 @@ def ngram_jaccard_sample_pairs(
     Quadratic by design; the sample bound keeps it tractable at any SF.
     Defaults chosen so the pair set is NON-EMPTY at the driver's sf0.01
     (an empty result would make the oracle check vacuous)."""
-    sample = docs.where(F.col(id_col) % modulus == 0).select(
-        F.col(id_col), shingle_set(F.col(text_col)).alias("sh")
-    ).where(F.size("sh") > 0)
+    # cheap-equivalent drop predicate (size(tokens) >= k), not a filter on
+    # the derived array — see shingle_projection's inlining note
+    sample = docs.where(
+        (F.col(id_col) % modulus == 0)
+        & (F.size(tokens(F.col(text_col))) >= SHINGLE_K)
+    ).select(F.col(id_col), shingle_set(F.col(text_col)).alias("sh"))
     a, b = sample.alias("a"), sample.alias("b")
     jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
     return (
