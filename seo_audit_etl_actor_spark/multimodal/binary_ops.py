@@ -5,16 +5,18 @@ shapes, mapInPandas signatures. The codec story (round 4) is split by
 format:
 
 - CODEC-FREE formats decode FOR REAL: BMP (24-bit BI_RGB) and PPM/PGM
-  (P6/P5 binary) are pure struct + numpy byte math, and PNG (round 5) is
+  (P6/P5 binary) are pure struct + numpy byte math; PNG (round 5) is
   fully decoded with stdlib zlib — inflate + all five scanline filters +
-  palette/alpha handling for 8-bit non-interlaced images — so
-  `decode_image_thumbs` produces true pixels, integer-exact luma, and a
-  real area-averaged 8x8 thumbnail for all of them (`real_decode = true`);
-- JPEG (and out-of-scope PNG variants: 1/2/4/16-bit, Adam7) still use the
-  deterministic byte-sampling fake (no DCT/Huffman codec in this
-  container): header parsing for dimensions is real, the pixel inner loop
-  is the documented stand-in (`real_decode = false`; swap point noted at
-  the function).
+  palette/alpha handling for 8-bit non-interlaced images; and baseline
+  JPEG (round 5) is fully decoded in pure numpy — marker walk, canonical
+  Huffman entropy decode, dequantize, separable IDCT of the Y plane,
+  restart markers and arbitrary sampling factors included. For all of
+  these `decode_image_thumbs` produces true pixels, BT.601 luma, and a
+  real area-averaged 8x8 thumbnail (`real_decode = true`);
+- the REMAINING variants (progressive/12-bit/arithmetic JPEG; 1/2/4/16-bit
+  or Adam7 PNG) still use the deterministic byte-sampling fake: header
+  parsing for dimensions is real, the pixel inner loop is the documented
+  stand-in (`real_decode = false`; swap point noted at the function).
 
 Scale design:
 - binary payloads ride `spark.read.format("binaryFile")` (one row per
@@ -235,10 +237,267 @@ def _decode_png_gray(data: bytes):
     return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
 
 
+# JPEG zigzag order: _JPEG_ZIGZAG[k] = natural-order index of the k-th
+# zigzag-scanned coefficient (ITU-T T.81 Figure A.6).
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBits:
+    """MSB-first bit reader over a de-stuffed entropy-coded segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int:
+    """Canonical Huffman decode: read bits until (length, code) hits."""
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | bits.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _decode_jpeg_gray(data: bytes):
+    """REAL baseline JPEG decode in pure numpy (no codec library): marker
+    walk (DQT/DHT/SOF0/SOS/DRI), canonical-Huffman entropy decode of the
+    scan, dequantize + de-zigzag, separable float IDCT, level shift. Only
+    the Y component is dequantized/transformed — JPEG's Y channel IS the
+    BT.601 luma this module's contract emits — but chroma blocks are still
+    entropy-decoded to keep the bitstream position honest.
+
+    Scope (returns None outside it, routing to the documented fake):
+    baseline sequential DCT (SOF0), 8-bit samples, Huffman coding, 1-4
+    components, any sampling factors, restart markers supported.
+    Progressive (SOF2), 12-bit, and arithmetic coding are out of scope."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, "np.ndarray"] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    i, n = 2, len(data)
+    try:
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            body = data[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 15
+                    j += 1
+                    if pq == 0:
+                        vals = np.frombuffer(body[j : j + 64], dtype=np.uint8)
+                        j += 64
+                    else:
+                        vals = np.frombuffer(body[j : j + 128], dtype=">u2")
+                        j += 128
+                    if len(vals) < 64:
+                        return None
+                    tbl = np.zeros(64, dtype=np.int64)
+                    tbl[_JPEG_ZIGZAG] = vals.astype(np.int64)
+                    qtables[tq] = tbl.reshape(8, 8)
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j + 17 <= len(body):
+                    tc, th = body[j] >> 4, body[j] & 15
+                    counts = body[j + 1 : j + 17]
+                    j += 17
+                    table: dict[tuple[int, int], int] = {}
+                    code = 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            if j >= len(body):
+                                return None
+                            table[(length, code)] = body[j]
+                            j += 1
+                            code += 1
+                        code <<= 1
+                    htables[(tc, th)] = table
+            elif marker == 0xC0:  # SOF0 baseline
+                _prec, ih, iw, ncomp = struct.unpack(">BHHB", body[:6])
+                if _prec != 8 or ncomp == 0 or ncomp > 4 or iw == 0 or ih == 0:
+                    return None
+                comps = []
+                for c in range(ncomp):
+                    cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                sof = (iw, ih, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF (progressive, arithmetic, ...)
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:  # SOS
+                if sof is None:
+                    return None
+                ns = body[0]
+                scan = []
+                for c in range(ns):
+                    cs, tda = body[1 + c * 2 : 3 + c * 2]
+                    scan.append((cs, tda >> 4, tda & 15))
+                ecs_start = i + 2 + seg_len
+                return _jpeg_decode_scan(
+                    data[ecs_start:], sof, scan, qtables, htables, restart_interval
+                )
+            i += 2 + seg_len
+    except (IndexError, ValueError, struct.error):
+        return None
+    return None
+
+
+def _jpeg_decode_scan(ecs, sof, scan, qtables, htables, restart_interval):
+    """Decode the (single, interleaved) baseline scan into the Y plane."""
+    import numpy as np
+
+    iw, ih, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    mcux = (iw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (ih + 8 * vmax - 1) // (8 * vmax)
+
+    # entropy-coded segments: strip trailing EOI, split on RSTn, de-stuff
+    end = ecs.find(b"\xff\xd9")
+    body = ecs[:end] if end >= 0 else ecs
+    import re
+
+    segments = [
+        seg.replace(b"\xff\x00", b"\xff")
+        for seg in re.split(b"\xff[\xd0-\xd7]", body)
+    ]
+
+    # scan order follows SOF component order restricted to the scan list
+    scan_by_id = {cs: (td, ta) for cs, td, ta in scan}
+    order = [(cid, h, v, tq) for cid, h, v, tq in comps if cid in scan_by_id]
+    if len(order) != len(scan):
+        return None
+    y_cid, y_h, y_v, y_tq = order[0]
+    if y_tq not in qtables:
+        return None
+    yq = qtables[y_tq]
+
+    # separable IDCT basis: A[x, u] = c(u)/2 * cos((2x+1) u pi / 16)
+    u = np.arange(8)
+    x = np.arange(8)
+    A = 0.5 * np.cos((2 * x[:, None] + 1) * u[None, :] * np.pi / 16)
+    A[:, 0] *= 1 / np.sqrt(2)
+
+    plane = np.zeros((mcuy * 8 * y_v, mcux * 8 * y_h), dtype=np.uint8)
+    pred = {cid: 0 for cid, _, _, _ in order}
+    mcu_idx = 0
+    total_mcus = mcux * mcuy
+    per_seg = restart_interval if restart_interval else total_mcus
+    try:
+        for seg in segments:
+            bits = _JpegBits(seg)
+            for cid in pred:
+                pred[cid] = 0
+            seg_mcus = min(per_seg, total_mcus - mcu_idx)
+            for _ in range(seg_mcus):
+                my, mx = divmod(mcu_idx, mcux)
+                for cid, ch, cv, _tq in order:
+                    td, ta = scan_by_id[cid]
+                    dc_tbl = htables.get((0, td))
+                    ac_tbl = htables.get((1, ta))
+                    if dc_tbl is None or ac_tbl is None:
+                        return None
+                    for by in range(cv):
+                        for bx in range(ch):
+                            coef = np.zeros(64, dtype=np.int64)
+                            t = _jpeg_huff_decode(bits, dc_tbl)
+                            pred[cid] += _jpeg_extend(bits.receive(t), t)
+                            coef[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                rs = _jpeg_huff_decode(bits, ac_tbl)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                    bits.receive(s), s
+                                )
+                                k += 1
+                            if cid != y_cid:
+                                continue  # chroma: bitstream advanced, done
+                            block = coef.reshape(8, 8) * yq
+                            spatial = A @ block.astype(np.float64) @ A.T
+                            pix = np.clip(np.round(spatial) + 128, 0, 255)
+                            r0 = (my * y_v + by) * 8
+                            c0 = (mx * y_h + bx) * 8
+                            plane[r0 : r0 + 8, c0 : c0 + 8] = pix.astype(np.uint8)
+                mcu_idx += 1
+        if mcu_idx < total_mcus:
+            return None
+    except (EOFError, ValueError, IndexError):
+        return None
+
+    # crop to the Y component's true resolution; upsample if Y itself is
+    # subsampled (legal but rare)
+    y_w = (iw * y_h + hmax - 1) // hmax
+    y_hh = (ih * y_v + vmax - 1) // vmax
+    plane = plane[:y_hh, :y_w]
+    if y_h != hmax or y_v != vmax:
+        plane = np.repeat(np.repeat(plane, vmax // y_v, axis=0), hmax // y_h, axis=1)
+        plane = plane[:ih, :iw]
+    return plane
+
+
 def _decode_gray_pixels(data: bytes):
-    """REAL pixel decode for the codec-free formats: returns an (H, W)
-    uint8 grayscale numpy array, or None when the format needs a codec
-    (JPEG; exotic PNG variants).
+    """REAL pixel decode: returns an (H, W) uint8 grayscale numpy array,
+    or None for the formats/variants still outside the pure-python codecs
+    (progressive/arithmetic JPEG; exotic PNG variants).
 
     - PGM (P5): raster IS the grayscale plane.
     - PPM (P6): RGB raster -> integer BT.601 luma (r*299+g*587+b*114)//1000.
@@ -246,11 +505,17 @@ def _decode_gray_pixels(data: bytes):
       bytes, bottom-up unless height is negative.
     - PNG (round 5): full inflate + unfilter decode — stdlib zlib IS the
       PNG codec, so this needs no external library (_decode_png_gray).
+    - baseline JPEG (round 5): full Huffman + dequant + IDCT decode of the
+      Y plane in pure numpy (_decode_jpeg_gray) — JPEG's Y channel is the
+      same BT.601 luma the other branches compute.
     """
     import numpy as np
 
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_gray(data)
+
+    if data[:2] == b"\xff\xd8":
+        return _decode_jpeg_gray(data)
 
     if data[:2] in (b"P5", b"P6"):
         parsed = _parse_pnm_header(data)
@@ -360,13 +625,13 @@ IMAGE_THUMB_SCHEMA = T.StructType(
 def decode_image_thumbs(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Resize/feature-extract step. Decode split (round 5):
 
-    - BMP (24-bit BI_RGB), binary PPM/PGM, and 8-bit non-interlaced PNG
-      decode FOR REAL (`_decode_gray_pixels` — struct+numpy, with stdlib
-      zlib as the PNG inflate): true integer BT.601 luma plane,
-      area-averaged 8x8 thumbnail, exact integer block means.
-      `real_decode = true`.
-    - JPEG (and out-of-scope PNG variants) keep the DETERMINISTIC FAKE
-      byte-sampling decode (no DCT/Huffman codec in this container):
+    - BMP (24-bit BI_RGB), binary PPM/PGM, 8-bit non-interlaced PNG, and
+      baseline JPEG decode FOR REAL (`_decode_gray_pixels` — struct+numpy,
+      stdlib zlib as the PNG inflate, pure-numpy Huffman+IDCT as the JPEG
+      codec): true BT.601 luma plane, area-averaged 8x8 thumbnail, exact
+      integer block means. `real_decode = true`.
+    - The remaining variants (progressive/arithmetic JPEG, exotic PNG)
+      keep the DETERMINISTIC FAKE byte-sampling decode:
       deterministic per content so downstream thumb-distance dedup behaves
       like a real decoder's output. Swap the `_fake_gray_thumb` branch for
       `PIL.Image.open(...).convert("L").resize(...)` when a codec exists;

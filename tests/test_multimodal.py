@@ -1,8 +1,10 @@
 """Multimodal binary-column plumbing tests: binaryFile scan → mapInPandas
 metadata extraction → content dedup, plus REAL decode for the codec-free
-formats (BMP/PPM/PGM/WAV since round 4; full PNG via stdlib zlib since
-round 5 — encoder helpers below are spec-derived, independent of the
-decoder under test). JPEG remains the deterministic fake."""
+formats (BMP/PPM/PGM/WAV since round 4; full PNG via stdlib zlib and
+baseline JPEG via pure-numpy Huffman+IDCT since round 5 — encoder helpers
+below are spec-derived, independent of the decoders under test).
+Progressive/arithmetic JPEG and exotic PNG remain the deterministic
+fake."""
 
 from __future__ import annotations
 
@@ -376,3 +378,337 @@ def test_png_real_flag_end_to_end(spark, tmp_path):
     assert r["real_decode"] is True
     assert r["format"] == "png" and (r["width"], r["height"]) == (16, 16)
     assert set(r["thumb"]) == {77} and r["mean_luma"] == 77.0
+
+
+# ---------------------------------------------------------------------------
+# round 5: REAL baseline JPEG decode (pure-numpy Huffman + dequant + IDCT).
+# The encoder below is spec-derived (ITU-T T.81): direct-formula FDCT,
+# canonical Huffman tables built from the image's own symbol usage, byte
+# stuffing, optional restart markers and 4:2:0 subsampling — independent of
+# the decoder under test. Ground truth is the test's OWN direct-formula
+# IDCT over the quantized coefficients it emitted.
+
+_TEST_ZZ = [  # transcribed independently from T.81 Figure A.6
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _ref_fdct(block):
+    """Direct-formula forward DCT (T.81 A.3.3), block already level-shifted."""
+    import math
+
+    import numpy as np
+
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        block[x][y]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            cu = 1 / math.sqrt(2) if u == 0 else 1.0
+            cv = 1 / math.sqrt(2) if v == 0 else 1.0
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+def _ref_idct(coef):
+    """Direct-formula inverse DCT (T.81 A.3.3) + level shift, uint8."""
+    import math
+
+    import numpy as np
+
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u][v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x, y] = 0.25 * s
+    return np.clip(np.round(out) + 128, 0, 255).astype(np.uint8)
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, length, value):
+        for i in reversed(range(length)):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _mag_cat(v):
+    return abs(v).bit_length()
+
+
+def _block_symbols(zz):
+    """(dc_category, [ac_symbols]) the entropy coder will emit for one
+    block given its DC DIFF in zz[0] (caller substitutes the diff)."""
+    syms = []
+    last = max((k for k in range(1, 64) if zz[k]), default=0)
+    run = 0
+    for k in range(1, last + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            syms.append(0xF0)
+            run -= 16
+        syms.append((run << 4) | _mag_cat(zz[k]))
+        run = 0
+    if last < 63:
+        syms.append(0x00)
+    return syms
+
+
+def _canonical_table(symbols):
+    """Canonical Huffman table with every symbol at equal length L,
+    2**L > len(symbols) so the all-ones code stays unused: returns
+    (counts16, ordered_symbols, {sym: (L, code)})."""
+    ordered = sorted(set(symbols))
+    L = max(2, (len(ordered) + 1).bit_length())
+    counts = [0] * 16
+    counts[L - 1] = len(ordered)
+    codes = {}
+    code = 0 << 1  # canonical start at length L is 0
+    for s in ordered:
+        codes[s] = (L, code)
+        code += 1
+    return counts, ordered, codes
+
+
+def _encode_jpeg(y_plane, chroma=None, restart_interval=0, sampling=(1, 1)):
+    """Baseline JFIF encoder with quant table all-ones (minimal loss).
+    y_plane: (H, W) uint8. chroma=(cb_val, cr_val) adds constant-chroma
+    color with Y at `sampling` (h, v) and chroma at (1, 1). Returns
+    (jpeg_bytes, expected_y) where expected_y is the reference
+    reconstruction of the Y plane (test's own IDCT over the quantized
+    coefficients), cropped to (H, W)."""
+    import numpy as np
+
+    h, w = y_plane.shape
+    sh, sv = sampling
+    mbw, mbh = 8 * sh, 8 * sv
+    mcux, mcuy = (w + mbw - 1) // mbw, (h + mbh - 1) // mbh
+    # pad by edge replication so partial blocks encode smoothly
+    pad = np.pad(
+        y_plane.astype(np.float64),
+        ((0, mcuy * mbh - h), (0, mcux * mbw - w)),
+        mode="edge",
+    )
+
+    comps = [(1, sh, sv)]
+    planes = {1: pad}
+    if chroma is not None:
+        cb, cr = chroma
+        comps += [(2, 1, 1), (3, 1, 1)]
+        planes[2] = np.full((mcuy * 8, mcux * 8), cb, dtype=np.float64)
+        planes[3] = np.full((mcuy * 8, mcux * 8), cr, dtype=np.float64)
+
+    # pass 1: quantize all blocks in MCU order, collect huffman symbols
+    expected = np.zeros_like(pad, dtype=np.uint8)
+    mcu_blocks = []  # per MCU: list of (comp_id, zz64_with_DIFF_in_slot0)
+    dc_syms, ac_syms = [], []
+    pred = {cid: 0 for cid, _, _ in comps}
+    total = mcux * mcuy
+    for m in range(total):
+        if restart_interval and m % restart_interval == 0:
+            pred = {cid: 0 for cid, _, _ in comps}
+        my, mx = divmod(m, mcux)
+        blocks = []
+        for cid, ch, cv in comps:
+            for by in range(cv):
+                for bx in range(ch):
+                    r0, c0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                    blk = planes[cid][r0 : r0 + 8, c0 : c0 + 8] - 128.0
+                    coef = np.round(_ref_fdct(blk)).astype(int)  # q == 1
+                    if cid == 1:
+                        expected[r0 : r0 + 8, c0 : c0 + 8] = _ref_idct(coef)
+                    zz = [int(coef.flat[_TEST_ZZ[k]]) for k in range(64)]
+                    diff = zz[0] - pred[cid]
+                    pred[cid] = zz[0]
+                    zz[0] = diff
+                    dc_syms.append(_mag_cat(diff))
+                    ac_syms.extend(_block_symbols(zz))
+                    blocks.append((cid, zz))
+        mcu_blocks.append(blocks)
+
+    dc_counts, dc_ord, dc_codes = _canonical_table(dc_syms)
+    ac_counts, ac_ord, ac_codes = _canonical_table(ac_syms)
+
+    # pass 2: emit segments
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + b"\x01" * 64
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 2 * 17 + len(dc_ord) + len(ac_ord))
+        + b"\x00" + bytes(dc_counts) + bytes(dc_ord)
+        + b"\x10" + bytes(ac_counts) + bytes(ac_ord)
+    )
+    ncomp = len(comps)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid, ch, cv in comps:
+        out += bytes([cid, (ch << 4) | cv, 0])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid, _, _ in comps:
+        out += bytes([cid, 0x00])
+    out += b"\x00\x3f\x00"
+
+    bw = _JBitWriter()
+    for m, blocks in enumerate(mcu_blocks):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.buf
+            bw = _JBitWriter()
+            out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+        for cid, zz in blocks:
+            dl, dc = dc_codes[_mag_cat(zz[0])]
+            bw.write(dl, dc)
+            t = _mag_cat(zz[0])
+            if t:
+                v = zz[0] if zz[0] > 0 else zz[0] + (1 << t) - 1
+                bw.write(t, v)
+            last = max((k for k in range(1, 64) if zz[k]), default=0)
+            run = 0
+            for k in range(1, last + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    al, ac_ = ac_codes[0xF0]
+                    bw.write(al, ac_)
+                    run -= 16
+                s = _mag_cat(zz[k])
+                al, ac_ = ac_codes[(run << 4) | s]
+                bw.write(al, ac_)
+                v = zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1
+                bw.write(s, v)
+                run = 0
+            if last < 63:
+                al, ac_ = ac_codes[0x00]
+                bw.write(al, ac_)
+    bw.flush()
+    out += bw.buf + b"\xff\xd9"
+    return bytes(out), expected[:h, :w]
+
+
+def test_jpeg_flat_gray_exact():
+    """Flat grayscale: only DC survives the FDCT, q=1 keeps it integer —
+    the decode must be EXACTLY the input."""
+    import numpy as np
+
+    img = np.full((16, 8), 200, dtype=np.uint8)
+    data, expected = _encode_jpeg(img)
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None and dec.shape == (16, 8)
+    assert np.array_equal(dec, img)
+    assert np.array_equal(expected, img)
+
+
+def test_jpeg_gradient_partial_mcu():
+    """Gradient with non-multiple-of-8 dims: AC coefficients, edge-padded
+    partial blocks, crop. Decoder must match the reference reconstruction
+    within the float-IDCT rounding budget (±1)."""
+    import numpy as np
+
+    h, w = 17, 24
+    img = (
+        (np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 5) % 251
+    ).astype(np.uint8)
+    data, expected = _encode_jpeg(img)
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None and dec.shape == (h, w)
+    assert int(np.abs(dec.astype(int) - expected.astype(int)).max()) <= 1
+
+
+def test_jpeg_color_420_chroma_skipped():
+    """3-component 4:2:0: Y at (2,2), constant chroma. The decoder must
+    entropy-decode chroma to stay bit-aligned but emit the Y plane."""
+    import numpy as np
+
+    h, w = 16, 32
+    img = ((np.arange(h)[:, None] * 11 + np.arange(w)[None, :] * 3) % 200).astype(
+        np.uint8
+    )
+    data, expected = _encode_jpeg(img, chroma=(100, 140), sampling=(2, 2))
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None and dec.shape == (h, w)
+    assert int(np.abs(dec.astype(int) - expected.astype(int)).max()) <= 1
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: DC predictor resets and bit realignment at each restart
+    must reproduce the exact same image as the unrestarted stream."""
+    import numpy as np
+
+    img = (np.add.outer(np.arange(24) * 9, np.arange(16) * 4) % 256).astype(np.uint8)
+    plain, expected = _encode_jpeg(img)
+    rst, expected_rst = _encode_jpeg(img, restart_interval=2)
+    assert b"\xff\xdd" in rst and rst != plain
+    dec_plain = B._decode_gray_pixels(plain)
+    dec_rst = B._decode_gray_pixels(rst)
+    assert np.array_equal(dec_plain, dec_rst)
+    assert int(np.abs(dec_rst.astype(int) - expected.astype(int)).max()) <= 1
+
+
+def test_jpeg_out_of_scope_routes_to_fake():
+    """Progressive (SOF2) and truncated scans must return None (fake)."""
+    import numpy as np
+
+    img = np.full((8, 8), 50, dtype=np.uint8)
+    data, _ = _encode_jpeg(img)
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert B._decode_gray_pixels(prog) is None
+    # truncate mid-scan (gradient stream is long): MCUs run out of bits
+    grad = ((np.add.outer(np.arange(32), np.arange(32)) * 13) % 256).astype(np.uint8)
+    gdata, _ = _encode_jpeg(grad)
+    truncated = gdata[: gdata.index(b"\xff\xda") + 16]
+    assert B._decode_gray_pixels(truncated) is None
+    # header-only fixture jpeg (no SOS) also routes to fake
+    assert B._decode_gray_pixels(_jpeg(64, 64)) is None
+
+
+def test_jpeg_real_flag_end_to_end(spark, tmp_path):
+    import numpy as np
+
+    d = tmp_path / "jpeg_real"
+    d.mkdir()
+    flat = np.full((16, 16), 90, dtype=np.uint8)
+    (d / "flat.jpg").write_bytes(_encode_jpeg(flat)[0])
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in B.decode_image_thumbs(B.read_binary_dir(spark, str(d))).collect()
+    }
+    r = rows["flat.jpg"]
+    assert r["real_decode"] is True
+    assert r["format"] == "jpeg" and (r["width"], r["height"]) == (16, 16)
+    assert set(r["thumb"]) == {90} and r["mean_luma"] == 90.0
