@@ -216,43 +216,6 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS, n_hashes: int = N_HASHES
-) -> DataFrame:
-    """LSH banding: docs sharing any (band_idx, band_key) bucket become a
-    candidate pair (id_a < id_b).
-
-    Explode to one row per band → self-join on the bucket key → distinct.
-    The bucket key is md5-uniform so the shuffle is skew-free; at 100 TB the
-    join is shuffle-hash on a key space of n_bands × 2^60.
-    """
-    r = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("band")).select(
-        id_col, "band.band_idx", "band.band_key"
-    )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-
-
 # Bounds the HOF pair path's IN-MEMORY pair array, which is O(members²)/2
 # structs built as ONE GenericArrayData per bucket before the explode —
 # the binding constraint is pairs, not members. 1024 members → ≤ ~524k
