@@ -391,7 +391,11 @@ def _decode_jpeg_gray(data: bytes):
 
 
 def _jpeg_decode_scan(ecs, sof, scan, qtables, htables, restart_interval):
-    """Decode the (single, interleaved) baseline scan into the Y plane."""
+    """Decode the first baseline scan into the Y plane. Interleaved scans
+    (ns > 1) walk the usual hmax x vmax MCU grid; a single-component scan
+    is NON-interleaved per T.81 (MCU = one data unit over the component's
+    own block grid) — which also makes multi-scan baseline files decode
+    correctly, since their first scan is the Y component."""
     import numpy as np
 
     iw, ih, comps = sof
@@ -418,6 +422,14 @@ def _jpeg_decode_scan(ecs, sof, scan, qtables, htables, restart_interval):
     if len(order) != len(scan):
         return None
     y_cid, y_h, y_v, y_tq = order[0]
+    true_h, true_v = y_h, y_v  # component sampling, kept for crop/upsample
+    if len(order) == 1:
+        # non-interleaved: one data unit per MCU, component's own grid
+        comp_w = (iw * true_h + hmax - 1) // hmax
+        comp_h = (ih * true_v + vmax - 1) // vmax
+        mcux, mcuy = (comp_w + 7) // 8, (comp_h + 7) // 8
+        y_h = y_v = 1
+        order = [(y_cid, 1, 1, y_tq)]
     if y_tq not in qtables:
         return None
     yq = qtables[y_tq]
@@ -485,11 +497,13 @@ def _jpeg_decode_scan(ecs, sof, scan, qtables, htables, restart_interval):
 
     # crop to the Y component's true resolution; upsample if Y itself is
     # subsampled (legal but rare)
-    y_w = (iw * y_h + hmax - 1) // hmax
-    y_hh = (ih * y_v + vmax - 1) // vmax
+    y_w = (iw * true_h + hmax - 1) // hmax
+    y_hh = (ih * true_v + vmax - 1) // vmax
     plane = plane[:y_hh, :y_w]
-    if y_h != hmax or y_v != vmax:
-        plane = np.repeat(np.repeat(plane, vmax // y_v, axis=0), hmax // y_h, axis=1)
+    if true_h != hmax or true_v != vmax:
+        plane = np.repeat(
+            np.repeat(plane, vmax // true_v, axis=0), hmax // true_h, axis=1
+        )
         plane = plane[:ih, :iw]
     return plane
 

@@ -712,3 +712,25 @@ def test_jpeg_real_flag_end_to_end(spark, tmp_path):
     assert r["real_decode"] is True
     assert r["format"] == "jpeg" and (r["width"], r["height"]) == (16, 16)
     assert set(r["thumb"]) == {90} and r["mean_luma"] == 90.0
+
+
+def test_jpeg_noninterleaved_single_component_grid():
+    """A single-component scan is NON-interleaved per T.81: MCU = one data
+    unit over the component's own block grid, regardless of its declared
+    sampling factors. Encoding gray at (1,1) then patching SOF to (2,2)
+    factors yields a valid non-interleaved stream whose block walk — and
+    therefore decode — must be identical."""
+    import numpy as np
+
+    img = ((np.add.outer(np.arange(16) * 5, np.arange(24) * 3)) % 256).astype(
+        np.uint8
+    )
+    data, expected = _encode_jpeg(img)
+    sof = data.index(b"\xff\xc0")
+    hv_off = sof + 11  # marker(2)+len(2)+prec(1)+h(2)+w(2)+ncomp(1)+cid(1)
+    assert data[hv_off] == 0x11
+    patched = data[:hv_off] + b"\x22" + data[hv_off + 1 :]
+    dec = B._decode_gray_pixels(patched)
+    assert dec is not None and dec.shape == img.shape
+    assert np.array_equal(dec, B._decode_gray_pixels(data))
+    assert int(np.abs(dec.astype(int) - expected.astype(int)).max()) <= 1
