@@ -244,17 +244,24 @@ def _bucket_pairs(
     Hot-bucket guard: a pathological mega-bucket (e.g. a boilerplate
     duplicated across millions of docs making one band key cover them all)
     would concentrate the whole bucket into ONE collect_list aggregation
-    state and OOM that task. A window count over the same bucket
-    partitioning splits the flow first: buckets ≤ `max_bucket_members` take
-    the HOF path; oversized buckets fall back to a sort-merge self-join —
-    identical pair output, but streamed and spillable instead of held as
-    one in-memory array. Both branches hang off the same exchange
-    (hashpartitioning on the bucket key), which Spark's ReuseExchange
-    computes once — the expensive upstream (shingling, signatures, md5)
-    is still scanned exactly once.
+    state and OOM that task. Bucket sizes split the flow first: buckets
+    ≤ `max_bucket_members` take the HOF path; oversized buckets fall back
+    to a sort-merge self-join — identical pair output, but streamed and
+    spillable instead of held as one in-memory array.
+
+    The size computation is a groupBy count joined back on the bucket key,
+    NOT a `count(*) over (partition by bucket)` window: the window
+    evaluator buffers every partition's rows per-task before emitting, so
+    32 concurrent tasks each buffering a mega-bucket exhausted the
+    task-memory pool at 316× sf0.1 (UNABLE_TO_ACQUIRE_MEMORY inside
+    ExternalAppendOnlyUnsafeRowArray — the r5 ladder's find) — the guard
+    itself OOM'd before it could route the bucket to the spillable branch.
+    The groupBy is map-side partial (the exchange carries ~one row per
+    bucket per map partition), and the join's streamed side buffers only
+    the single size row per key.
     """
-    wn = F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
-    sized = exploded.withColumn("__bn", wn)
+    sizes = exploded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    sized = exploded.join(sizes, bucket_cols)
 
     small = sized.where(F.col("__bn") <= max_bucket_members)
     buckets = (
