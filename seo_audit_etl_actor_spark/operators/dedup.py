@@ -12,8 +12,9 @@ Design for 100 TB:
   shingle sets driver-side;
 - SimHash reduces each doc to one 48-bit integer; near-dup candidates come
   from band equality on the fingerprint — again a uniform-key join;
-- all hashing is md5-derived so every step is reproducible in the DuckDB
-  oracle (no engine-private hash functions in the data path).
+- token/shingle hashing defaults to md5 so every step is reproducible in
+  the DuckDB oracle; pass hash_fn="xxhash64" for the ~5× faster
+  production hash when oracle parity isn't needed (see _hash64).
 """
 
 from __future__ import annotations
@@ -96,6 +97,23 @@ def exact_dedup_keep_first(
     return docs.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
+# Token/shingle hash families. "md5" (default) is ENGINE-PORTABLE — every
+# oracle-checked catalog value reproduces bit-for-bit in DuckDB — and is
+# what all catalog queries use. "xxhash64" is the PRODUCTION swap for
+# corpora where hashing dominates: the r5 316×-sf0.1 probe measured the
+# 85.6M-token hash pass at 43.7 s (md5: cast→md5 hex→substring→conv per
+# token) vs 9.0 s (xxhash64, effectively free next to the explode) — a
+# pure speed/portability trade, since every consumer (simhash votes,
+# minhash affine maps, Jaccard set ops) only needs a uniform 64/32-bit
+# hash, not md5 specifically. Only the default is DuckDB-checkable.
+def _hash64(col, hash_fn: str = "md5"):
+    if hash_fn == "md5":
+        return md5_long(col)
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'md5' or 'xxhash64')")
+
+
 def shingle_set(text_col, k: int = SHINGLE_K):
     """Distinct k-word shingles as an array of strings.
 
@@ -133,14 +151,15 @@ MASK32 = 0xFFFFFFFF
 MOD32 = 1 << 32
 
 
-def hashed_shingle_set(text_col, k: int = SHINGLE_K):
+def hashed_shingle_set(text_col, k: int = SHINGLE_K, hash_fn: str = "md5"):
     """Distinct k-word shingles as 32-bit hashes (array<long>).
 
     The shingle STRINGS never leave the expression: each k-gram is hashed
-    (md5 → 32-bit) and deduplicated as an integer — 4-10× smaller rows
-    through every downstream shuffle, and set ops on longs instead of
-    strings. Hash collisions (~n²/2³³ per doc) merge identically in any
-    md5-agreeing engine, so oracle parity holds exactly.
+    (md5 → 32-bit by default; see _hash64 for the xxhash64 production
+    swap) and deduplicated as an integer — 4-10× smaller rows through
+    every downstream shuffle, and set ops on longs instead of strings.
+    Hash collisions (~n²/2³³ per doc) merge identically in any
+    hash-agreeing engine, so oracle parity holds exactly for "md5".
     """
     toks = tokens(text_col)
     n = F.size(toks)
@@ -148,16 +167,19 @@ def hashed_shingle_set(text_col, k: int = SHINGLE_K):
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: md5_long(F.concat_ws(" ", F.slice(toks, i, k))).bitwiseAND(
-                    F.lit(MASK32)
-                ),
+                lambda i: _hash64(
+                    F.concat_ws(" ", F.slice(toks, i, k)), hash_fn
+                ).bitwiseAND(F.lit(MASK32)),
             )
         )
     )
 
 
 def shingle_projection(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, shingles) with the 32-bit hashed shingle set — the one
     md5-bearing pass every minhash consumer shares. Docs with no shingles
@@ -170,7 +192,7 @@ def shingle_projection(
     the repartition to the scan, recomputing every shingle hash at scan
     parallelism (measured 10× the whole pass's cost at m=10; the
     filter-over-derived-column trap from the verify notes)."""
-    sh = hashed_shingle_set(F.col(text_col))
+    sh = hashed_shingle_set(F.col(text_col), hash_fn=hash_fn)
     return docs.where(F.size(tokens(F.col(text_col))) >= SHINGLE_K).select(
         F.col(id_col), sh.alias("shingles")
     )
@@ -205,14 +227,16 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = N_HASHES,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-doc MinHash signature (id, mh0..mhN) via universal hashing: one
-    md5 per shingle giving a 32-bit base hash, then sig[i] = min over
-    shingles of (a_i·h + b_i) mod 2^32 — n_hashes cheap affine maps
-    instead of n_hashes md5 passes (md5 dominates the hash work).
+    base hash per shingle (md5 by default; xxhash64 production swap — see
+    _hash64) giving a 32-bit value, then sig[i] = min over shingles of
+    (a_i·h + b_i) mod 2^32 — n_hashes cheap affine maps instead of
+    n_hashes full hash passes (the base hash dominates the hash work).
     See _signatures_from_shingles for the codegen-friendly shape."""
     return _signatures_from_shingles(
-        shingle_projection(docs, text_col, id_col), id_col, n_hashes
+        shingle_projection(docs, text_col, id_col, hash_fn), id_col, n_hashes
     )
 
 
@@ -231,6 +255,7 @@ def _bucket_pairs(
     bucket_cols: list[str],
     member_col: str,
     max_bucket_members: int = MAX_BUCKET_MEMBERS,
+    refine=None,
 ) -> DataFrame:
     """Group band-exploded rows into buckets and emit every in-bucket pair
     (a, b) with a.id < b.id, deduplicated across buckets.
@@ -259,6 +284,17 @@ def _bucket_pairs(
     The groupBy is map-side partial (the exchange carries ~one row per
     bucket per map partition), and the join's streamed side buffers only
     the single size row per key.
+
+    `refine` (optional): callable applied to the OVER-CAP branch that adds
+    (sub_idx, sub_key) columns — typically by exploding each member over a
+    small set of secondary keys whose construction guarantees every pair
+    the CALLER ultimately keeps still shares at least one (sub_idx,
+    sub_key). The self-join then also equates those columns, cutting a hot
+    bucket's candidate volume from m² to Σ sub-bucket² with zero loss for
+    the caller's verified output (pairs found in several sub-buckets
+    collapse in the final distinct). Callers whose downstream filter can't
+    offer such a guarantee (minhash: band equality says nothing about the
+    other bands) leave it None and keep the exhaustive streamed join.
     """
     sizes = exploded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bn"))
     sized = exploded.join(sizes, bucket_cols)
@@ -282,9 +318,13 @@ def _bucket_pairs(
     small_pairs = buckets.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
     big = sized.where(F.col("__bn") > max_bucket_members)
+    extra_cols: list[str] = []
+    if refine is not None:
+        big = refine(big)
+        extra_cols = ["sub_idx", "sub_key"]
     a, b = big.alias("a"), big.alias("b")
     cond = F.lit(True)
-    for c in bucket_cols:
+    for c in [*bucket_cols, *extra_cols]:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     # members are either plain unique ids (minhash) or structs whose FIRST
     # field is the unique id (simhash): `<` is value order for the former
@@ -306,6 +346,7 @@ def minhash_near_dup_pairs(
     max_bucket_members: int = MAX_BUCKET_MEMBERS,
     n_hashes: int | None = None,
     n_bands: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     in-bucket candidate pairs → exact Jaccard verification
@@ -343,7 +384,7 @@ def minhash_near_dup_pairs(
         # row-group metadata — a sub-second probe even at 100 TB
         n_hashes, n_bands = choose_banding(docs.count())
     # the one md5-bearing corpus pass, shared by signatures + verification
-    base = shingle_projection(docs, text_col, id_col).persist(
+    base = shingle_projection(docs, text_col, id_col, hash_fn).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = _signatures_from_shingles(base, id_col, n_hashes)
@@ -375,22 +416,31 @@ def minhash_near_dup_pairs(
 
 
 def simhash_fingerprints(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-doc SimHash fingerprint: tokens hashed to 60-bit ints; each of
     `bits` positions votes ±1 per token occurrence (tf-weighted); bit set
     iff the vote is positive.
 
-    Explode token hashes → groupBy(doc) with `bits` conditional sums: every
-    vote is a whole-stage-codegen integer expression (measured ~2× faster
-    than the no-shuffle HOF fold), and the shuffle it adds is tiny — partial
-    aggregation sends one `bits`-long vote row per doc per map partition,
-    a few hundred bytes against the kilobytes of text scanned. Docs with no
-    tokens produce no rows — dropped, matching the HOF formulation.
+    Explode tokens → hash as a PLAIN column expression → groupBy(doc) with
+    `bits` conditional sums: both the md5 and every vote ride whole-stage
+    codegen. The md5 must hash the EXPLODED column, not run inside
+    `F.transform(toks, md5_long)` — higher-order functions are
+    CodegenFallback, one interpreted lambda eval per token, which the r5
+    316× ladder measured as the dominant cost of this operator (same
+    lesson as the minhash signature explode). The shuffle the groupBy adds
+    is tiny — partial aggregation sends one `bits`-long vote row per doc
+    per map partition, a few hundred bytes against the kilobytes of text
+    scanned. Docs with no tokens produce no rows — dropped, matching the
+    HOF formulation.
     """
-    toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: md5_long(t))
-    th = docs.select(F.col(id_col), F.explode(hashes).alias("h"))
+    th = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    ).select(F.col(id_col), _hash64(F.col("t"), hash_fn).alias("h"))
     vote_cols = [
         F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
         for i in range(bits)
@@ -412,13 +462,63 @@ def simhash_near_dup_pairs(
     bits: int = SIMHASH_BITS,
     n_bands: int = 4,
     max_bucket_members: int = MAX_BUCKET_MEMBERS,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup candidates via fingerprint banding (pigeonhole: any
     pair within `max_hamming` ≤ n_bands-1 bit flips shares ≥1 exact band),
     verified by popcount of XOR ≤ max_hamming. Single scan of the corpus
-    (bucket-grouping, no self-join — see _bucket_pairs)."""
-    fps = simhash_fingerprints(docs, text_col, id_col, bits)
+    (bucket-grouping, no self-join — see _bucket_pairs).
+
+    Hot buckets refine by SECOND-LEVEL pigeonhole (r5; found by the 316×
+    ladder where one 15-bit band bucket held 19k members and band-level
+    candidate volume hit Σ m² ≈ 4.3e9/band against 16M true pairs): a pair
+    in bucket (b, key) matches band b exactly, so its ≤ max_hamming
+    differing bits all lie in the OTHER bits of the fingerprint —
+    partitioning those bits into max_hamming+1 disjoint chunks guarantees
+    at least one chunk with no differing bit. Over-cap buckets therefore
+    self-join on the additional (chunk index, fp & chunk mask) key,
+    cutting their m² to Σ sub-bucket² with ZERO recall loss for the
+    verified (hamming ≤ max_hamming) output; duplicates across chunks
+    collapse in the existing distinct."""
+    fps = simhash_fingerprints(docs, text_col, id_col, bits, hash_fn)
     width = bits // n_bands
+    n_sub = max_hamming + 1
+
+    def _submask(b: int, j: int) -> int:
+        """Mask selecting the j-th (of n_sub) round-robin chunk of the
+        fingerprint bits OUTSIDE band b."""
+        m, pos = 0, 0
+        for i in range(bits):
+            if b * width <= i < (b + 1) * width:
+                continue
+            if pos % n_sub == j:
+                m |= 1 << i
+            pos += 1
+        return m
+
+    def _refine(big: DataFrame) -> DataFrame:
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("sub_idx"),
+                    F.col("m.fp")
+                    .bitwiseAND(
+                        F.element_at(
+                            F.array(*[F.lit(_submask(b, j)) for b in range(n_bands)]),
+                            F.col("band_idx") + 1,
+                        )
+                    )
+                    .alias("sub_key"),
+                )
+                for j in range(n_sub)
+            ]
+        )
+        cols = big.columns
+        return big.select("*", F.explode(subs).alias("__s")).select(
+            *cols,
+            F.col("__s.sub_idx").alias("sub_idx"),
+            F.col("__s.sub_key").alias("sub_key"),
+        )
     bands = F.array(
         *[
             F.struct(
@@ -434,7 +534,9 @@ def simhash_near_dup_pairs(
     exploded = fps.select(member.alias("m"), F.explode(bands).alias("band")).select(
         "m", "band.band_idx", "band.band_key"
     )
-    pairs = _bucket_pairs(exploded, ["band_idx", "band_key"], "m", max_bucket_members)
+    pairs = _bucket_pairs(
+        exploded, ["band_idx", "band_key"], "m", max_bucket_members, refine=_refine
+    )
     hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (
         pairs.select(

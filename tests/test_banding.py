@@ -70,3 +70,29 @@ def test_deep_tiers_keep_recall_and_precision(spark):
         assert all(j >= 0.5 for j in pairs.values())
         # no background doc ever pairs (their token sets are disjoint)
         assert all(a < 1000 and b < 1000 for a, b in pairs)
+
+
+def test_xxhash64_production_hash_variant(spark):
+    """hash_fn="xxhash64" (the production swap measured ~5x faster at
+    316x sf0.1) must run both near-dup pipelines end-to-end with the same
+    contracts as md5: symmetric-free ordered pairs, thresholds respected,
+    and exact duplicates still found (identical texts have identical
+    shingle sets / fingerprints under ANY hash)."""
+    rows = [(i, "the exact same duplicated text appears here always") for i in range(6)]
+    rows += [(10 + i, f"entirely different content number {i} here") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    mh = dedup.minhash_near_dup_pairs(docs, hash_fn="xxhash64").collect()
+    assert all(r["id_a"] < r["id_b"] and r["jaccard"] >= 0.5 for r in mh)
+    dup_pairs = {(r["id_a"], r["id_b"]) for r in mh if r["id_a"] < 10 and r["id_b"] < 10}
+    assert len(dup_pairs) == 6 * 5 // 2  # all clones pair up, jaccard = 1
+
+    sh = dedup.simhash_near_dup_pairs(docs, hash_fn="xxhash64").collect()
+    assert all(r["id_a"] < r["id_b"] and r["hamming"] <= 3 for r in sh)
+    clone_pairs = {(r["id_a"], r["id_b"]) for r in sh if r["id_a"] < 10 and r["id_b"] < 10}
+    assert len(clone_pairs) == 6 * 5 // 2  # identical fp -> hamming 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup._hash64(None, "sha9000")

@@ -81,3 +81,51 @@ def test_minhash_pipeline_with_adversarial_boilerplate(spark):
     assert a == b
     # all 40 boilerplate copies pair up
     assert len([p for p in a if p[0] < 100 and p[1] < 100]) == 40 * 39 // 2
+
+
+def test_simhash_pipeline_with_adversarial_boilerplate(spark):
+    """End-to-end simhash with the cap forced tiny: the over-cap branch now
+    also carries the second-level pigeonhole (sub_idx, sub_key) refinement,
+    and its verified output must still equal the uncapped pipeline's."""
+    boiler = "terms of service apply to all pages of this site always"
+    rows = [(i, boiler) for i in range(40)]
+    rows += [(100 + i, f"wholly distinct text number {i} about topic {i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    uncapped = dedup.simhash_near_dup_pairs(docs, max_bucket_members=10**9)
+    capped = dedup.simhash_near_dup_pairs(docs, max_bucket_members=5)
+    a = [(r["id_a"], r["id_b"], r["hamming"]) for r in uncapped.collect()]
+    b = [(r["id_a"], r["id_b"], r["hamming"]) for r in capped.collect()]
+    assert a == b
+    # all 40 boilerplate copies have identical fingerprints -> hamming 0
+    assert len([p for p in a if p[0] < 100 and p[1] < 100]) == 40 * 39 // 2
+
+
+def test_simhash_submask_partition_property():
+    """The n_sub round-robin chunk masks must exactly partition the bits
+    outside each band: pairwise disjoint, covering every non-band bit, and
+    never touching the band's own bits — this is what makes the hot-bucket
+    refinement lossless for hamming <= max_hamming pairs."""
+    bits, n_bands, max_hamming = dedup.SIMHASH_BITS, 4, 3
+    width = bits // n_bands
+    n_sub = max_hamming + 1
+
+    def submask(b, j):  # mirror of the operator's construction
+        m, pos = 0, 0
+        for i in range(bits):
+            if b * width <= i < (b + 1) * width:
+                continue
+            if pos % n_sub == j:
+                m |= 1 << i
+            pos += 1
+        return m
+
+    for b in range(n_bands):
+        band_mask = ((1 << width) - 1) << (b * width)
+        masks = [submask(b, j) for j in range(n_sub)]
+        union = 0
+        for j, m in enumerate(masks):
+            assert m & band_mask == 0
+            for m2 in masks[j + 1 :]:
+                assert m & m2 == 0
+            union |= m
+        assert union == ((1 << bits) - 1) & ~band_mask
