@@ -43,6 +43,12 @@ def connected_components(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
     )
     sym = sym.localCheckpoint(eager=True)
+    # the eager checkpoint truncated lineage: any cache the edge pipeline
+    # pinned (e.g. minhash_near_dup_pairs' persisted shingles) can never be
+    # re-read from here — release it instead of leaking it for the session
+    release = getattr(edges, "_spark_graft_release", None)
+    if release is not None:
+        release()
     labels = (
         sym.select(F.col("s").alias("v"))
         .distinct()
@@ -121,6 +127,11 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # lineage truncated — release any cache the edge pipeline pinned (see
+    # connected_components)
+    release = getattr(edges, "_spark_graft_release", None)
+    if release is not None:
+        release()
     import gc
 
     for _ in range(max_iter):

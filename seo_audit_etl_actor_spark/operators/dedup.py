@@ -405,7 +405,7 @@ def minhash_near_dup_pairs(
     sh_a = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         pairs.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -413,6 +413,15 @@ def minhash_near_dup_pairs(
         .where(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
+    # Deterministic cache release: the persisted shingle frame stays pinned
+    # for the session once this lazy result is consumed (Spark offers no
+    # "unpersist when downstream is done" hook). Callers that MATERIALIZE
+    # the pairs — e.g. connected_components' eager localCheckpoint, which
+    # truncates lineage so `base` can never be re-read — should call this
+    # to hand the storage back instead of leaking one cached corpus per
+    # invocation (the r5 ladder heap-OOM'd after 10 rungs of exactly that).
+    out._spark_graft_release = base.unpersist  # type: ignore[attr-defined]
+    return out
 
 
 def simhash_fingerprints(

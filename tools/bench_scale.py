@@ -74,6 +74,11 @@ def main() -> None:
                 runs.append(time.time() - t0)
             warm.append(runs[-1])
             print(f"{name} @ {d}: runs={[round(r, 2) for r in runs]}", file=sys.stderr)
+            # measurement isolation: drop caches a query pinned (persisted
+            # operator frames survive their query otherwise) so rung N+1's
+            # memory budget matches a fresh session's — 10 rungs of leaked
+            # minhash shingle caches heap-OOM'd the r5 ladder before this
+            spark.catalog.clearCache()
         lx = [math.log(m) for m in ms]
         ly = [math.log(t) for t in warm]
         n = len(lx)
