@@ -10,6 +10,14 @@ noisy-neighbor throttling that can inflate a single point — pathological
 fits deserve a re-run before belief (see .claude/skills/verify).
 
 Usage: python tools/bench_scale.py /tmp/scale_m1 /tmp/scale_m3.162 /tmp/scale_m10
+
+Run with SPARK_GRAFT_DRIVER_MEM=24g for ladders that include the 100x+
+rungs: each heavy query fits the default 8g alone (verified standalone),
+but ~36 sequential giant query-runs in ONE driver accumulate
+localCheckpoint blocks faster than ContextCleaner's async py4j-GC-driven
+reclamation frees them — clearCache() between rungs drops persisted
+frames but not checkpoint blocks. A real cluster never runs this shape;
+the extra heap is harness headroom, not a query requirement.
 """
 
 from __future__ import annotations
