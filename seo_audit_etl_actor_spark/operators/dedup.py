@@ -249,6 +249,13 @@ def minhash_signatures(
 # sort-merge self-join branch below — identical output, spillable.
 MAX_BUCKET_MEMBERS = 1_024
 
+# Over-cap bucket KEYS are broadcast for semi/anti routing when at most
+# this many (≈ a few MB of band keys); beyond it _bucket_pairs falls back
+# to the sized-join plan. The key count is bounded by rows/cap by
+# construction (every over-cap bucket owns > MAX_BUCKET_MEMBERS rows), so
+# hitting the fallback means hot buckets own most of the corpus.
+MAX_BROADCAST_HOT_KEYS = 100_000
+
 
 def _bucket_pairs(
     exploded: DataFrame,
@@ -274,16 +281,33 @@ def _bucket_pairs(
     to a sort-merge self-join — identical pair output, but streamed and
     spillable instead of held as one in-memory array.
 
-    The size computation is a groupBy count joined back on the bucket key,
-    NOT a `count(*) over (partition by bucket)` window: the window
-    evaluator buffers every partition's rows per-task before emitting, so
-    32 concurrent tasks each buffering a mega-bucket exhausted the
-    task-memory pool at 316× sf0.1 (UNABLE_TO_ACQUIRE_MEMORY inside
-    ExternalAppendOnlyUnsafeRowArray — the r5 ladder's find) — the guard
-    itself OOM'd before it could route the bucket to the spillable branch.
-    The groupBy is map-side partial (the exchange carries ~one row per
-    bucket per map partition), and the join's streamed side buffers only
-    the single size row per key.
+    The size computation is a groupBy count, NOT a `count(*) over
+    (partition by bucket)` window: the window evaluator buffers every
+    partition's rows per-task before emitting, so 32 concurrent tasks each
+    buffering a mega-bucket exhausted the task-memory pool at 316× sf0.1
+    (UNABLE_TO_ACQUIRE_MEMORY inside ExternalAppendOnlyUnsafeRowArray —
+    the r5 ladder's find) — the guard itself OOM'd before it could route
+    the bucket to the spillable branch. The groupBy is map-side partial
+    (the exchange carries ~one row per bucket per map partition).
+
+    Routing is a BROADCAST semi/anti join against only the over-cap bucket
+    KEYS, not a full join of every row with its bucket size (the first
+    de-windowed form): that join shuffled the whole exploded frame an
+    extra time AND — because the count's partial-agg exchange carries
+    partial counts, not raw rows, so ReuseExchange can't kick in — every
+    consumer (sizes, join left, self-join a, self-join b) re-computed the
+    upstream signature/fingerprint pipeline from scratch; the 316× ladder
+    measured minhash 73 s → 8+ min from exactly that. Two structural
+    fixes, both measured back to the pre-guard speed:
+    - `exploded` is persisted (spillable) for the duration of the pair
+      build — ~24-40 bytes/row, the leanest frame in the pipeline — and
+      released through the `_spark_graft_release` hook;
+    - the over-cap key set is provably ≤ rows/cap keys (each over-cap
+      bucket owns > cap rows), so it is broadcast when it fits
+      (≤ MAX_BROADCAST_HOT_KEYS) — the common corpus has ZERO such keys
+      and skips routing joins entirely; the pathological many-hot-buckets
+      corpus falls back to the old sized-join shape, which is then the
+      right plan (the hot side is a large fraction of the data).
 
     `refine` (optional): callable applied to the OVER-CAP branch that adds
     (sub_idx, sub_key) columns — typically by exploding each member over a
@@ -296,10 +320,25 @@ def _bucket_pairs(
     offer such a guarantee (minhash: band equality says nothing about the
     other bands) leave it None and keep the exhaustive streamed join.
     """
-    sizes = exploded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bn"))
-    sized = exploded.join(sizes, bucket_cols)
+    from pyspark import StorageLevel
 
-    small = sized.where(F.col("__bn") <= max_bucket_members)
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = exploded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    hot = sizes.where(F.col("__bn") > max_bucket_members).select(*bucket_cols)
+    # materializes `exploded` into the cache as a side effect, so every
+    # later consumer reads the cache instead of re-running the upstream
+    # signature pipeline
+    n_hot = hot.count()
+    if n_hot == 0:
+        small, big = exploded, None
+    elif n_hot <= MAX_BROADCAST_HOT_KEYS:
+        small = exploded.join(F.broadcast(hot), bucket_cols, "left_anti")
+        big = exploded.join(F.broadcast(hot), bucket_cols, "left_semi")
+    else:
+        sized = exploded.join(sizes, bucket_cols)
+        small = sized.where(F.col("__bn") <= max_bucket_members).drop("__bn")
+        big = sized.where(F.col("__bn") > max_bucket_members).drop("__bn")
+
     buckets = (
         small.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(member_col)).alias("members"))
@@ -317,7 +356,10 @@ def _bucket_pairs(
     )
     small_pairs = buckets.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
-    big = sized.where(F.col("__bn") > max_bucket_members)
+    if big is None:
+        out = small_pairs.distinct()
+        out._spark_graft_release = exploded.unpersist  # type: ignore[attr-defined]
+        return out
     extra_cols: list[str] = []
     if refine is not None:
         big = refine(big)
@@ -335,7 +377,9 @@ def _bucket_pairs(
         F.col(f"a.{member_col}").alias("a"), F.col(f"b.{member_col}").alias("b")
     )
 
-    return small_pairs.unionByName(big_pairs).distinct()
+    out = small_pairs.unionByName(big_pairs).distinct()
+    out._spark_graft_release = exploded.unpersist  # type: ignore[attr-defined]
+    return out
 
 
 def minhash_near_dup_pairs(
@@ -413,14 +457,22 @@ def minhash_near_dup_pairs(
         .where(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
-    # Deterministic cache release: the persisted shingle frame stays pinned
-    # for the session once this lazy result is consumed (Spark offers no
-    # "unpersist when downstream is done" hook). Callers that MATERIALIZE
-    # the pairs — e.g. connected_components' eager localCheckpoint, which
-    # truncates lineage so `base` can never be re-read — should call this
-    # to hand the storage back instead of leaking one cached corpus per
-    # invocation (the r5 ladder heap-OOM'd after 10 rungs of exactly that).
-    out._spark_graft_release = base.unpersist  # type: ignore[attr-defined]
+    # Deterministic cache release: the persisted shingle frame (and the
+    # band-exploded frame _bucket_pairs pins) stays cached for the session
+    # once this lazy result is consumed (Spark offers no "unpersist when
+    # downstream is done" hook). Callers that MATERIALIZE the pairs —
+    # e.g. connected_components' eager localCheckpoint, which truncates
+    # lineage so neither can be re-read — should call this to hand the
+    # storage back instead of leaking one cached corpus per invocation
+    # (the r5 ladder heap-OOM'd after 10 rungs of exactly that).
+    pairs_release = getattr(pairs, "_spark_graft_release", None)
+
+    def _release() -> None:
+        base.unpersist()
+        if pairs_release is not None:
+            pairs_release()
+
+    out._spark_graft_release = _release  # type: ignore[attr-defined]
     return out
 
 
@@ -547,7 +599,7 @@ def simhash_near_dup_pairs(
         exploded, ["band_idx", "band_key"], "m", max_bucket_members, refine=_refine
     )
     hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    return (
+    out = (
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -556,6 +608,11 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+    # propagate _bucket_pairs' cache-release hook (see minhash_near_dup_pairs)
+    release = getattr(pairs, "_spark_graft_release", None)
+    if release is not None:
+        out._spark_graft_release = release  # type: ignore[attr-defined]
+    return out
 
 
 def ngram_jaccard_sample_pairs(

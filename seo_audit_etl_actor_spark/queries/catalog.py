@@ -51,6 +51,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("chunk_text_extraction", ax.q_chunk_text_extraction, ax.SQL_CHUNK_TEXT_EXTRACTION),
     QuerySpec("table_profile_audit", ax.q_table_profile_audit, ax.SQL_TABLE_PROFILE_AUDIT),
     QuerySpec("ffd_packing_audit", ax.q_ffd_packing_audit, ax.SQL_FFD_PACKING_AUDIT),
+    QuerySpec(
+        "token_budget_apportionment",
+        px.q_token_budget_apportionment,
+        px.SQL_TOKEN_BUDGET_APPORTIONMENT,
+    ),
     # --- round-5 rotation (VERDICT r4 task 1): the 19 queries whose latest
     # driver evidence is r2 — after this round every entry's green evidence
     # is <= 2 rounds old. Shared code churn since r2: session.py only. ---

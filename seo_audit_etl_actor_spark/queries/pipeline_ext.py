@@ -215,6 +215,104 @@ ORDER BY source
 """
 
 
+# ------------------------------------------------- token budget apportionment
+# Global training-token budget to split across (source, lang) cells.
+# Deliberately larger than the small-SF corpora: a quota above the cell's
+# own token count just means the sampler runs that cell for >1 epoch.
+APPORTION_BUDGET = 1_000_000
+
+
+def q_token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT integer apportionment of a global token budget across
+    (source, lang) cells by the largest-remainder (Hamilton) method — the
+    deterministic counterpart of `source_mixing_weights`: that query emits
+    float sampling weights; this one emits the integer per-cell quotas a
+    batch scheduler actually consumes, with sum(quota) == budget exactly.
+
+    base_c = floor(B * n_c / N) leaves L = B - sum(base_c) < #cells slots;
+    the L cells with the largest remainders (B*n_c mod N, ties broken by
+    (source, lang)) get one extra. All arithmetic is DECIMAL(38,0)/HUGEINT
+    integer math — no float ever appears, so the result hash-matches the
+    oracle bit-for-bit. Division-rounding trap avoided by construction:
+    Spark decimal division rounds at scale 6, so base is computed as
+    (prod - prod % N) / N — an exactly-integral quotient that no rounding
+    can perturb — rather than floor(prod / N).
+
+    Scale: one corpus scan → map-side-partial (source, lang) aggregate;
+    the apportionment itself (cross joins, rank window) runs on the tiny
+    cell frame (|sources| x |langs| rows, ~dozens), so the unpartitioned
+    window is a non-issue. DECIMAL(38,0) holds B*n_c up to 10^38 — at a
+    10^13-token corpus with a 10^12-token budget the product is 10^25,
+    thirteen orders of magnitude of headroom.
+    """
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    cells = docs.groupBy("source", "lang").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("cell_tokens")
+    )
+    return apportion_budget(cells, APPORTION_BUDGET).orderBy("source", "lang")
+
+
+def apportion_budget(cells: DataFrame, budget: int) -> DataFrame:
+    """Largest-remainder core over a (source, lang, cell_tokens) frame —
+    factored out of the catalog query so property tests can drive it on
+    arbitrary synthetic cell frames. See q_token_budget_apportionment for
+    semantics and the decimal-rounding note."""
+    tot = cells.agg(F.sum("cell_tokens").cast("decimal(38,0)").alias("__N"))
+    prod = F.col("cell_tokens").cast("decimal(38,0)") * F.lit(budget)
+    based = (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("__rem", prod % F.col("__N"))
+        .withColumn(
+            "__base",
+            ((prod - F.col("__rem")) / F.col("__N")).cast("long"),
+        )
+    )
+    leftover = based.agg(
+        (F.lit(budget) - F.sum("__base")).cast("long").alias("__L")
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("__rem").desc(), F.col("source"), F.col("lang"))
+    )
+    return (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn("__rn", rn)
+        .select(
+            "source",
+            "lang",
+            "cell_tokens",
+            (
+                F.col("__base")
+                + F.when(F.col("__rn") <= F.col("__L"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+
+
+SQL_TOKEN_BUDGET_APPORTIONMENT = f"""
+WITH cells AS (
+  SELECT source, lang,
+         CAST(SUM(len({_TOKS.format(c='text')})) AS BIGINT) AS cell_tokens
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT CAST(SUM(cell_tokens) AS HUGEINT) AS n FROM cells),
+based AS (
+  SELECT source, lang, cell_tokens,
+         (CAST(cell_tokens AS HUGEINT) * {APPORTION_BUDGET}) // n AS base,
+         (CAST(cell_tokens AS HUGEINT) * {APPORTION_BUDGET}) % n AS rem
+  FROM cells, tot
+),
+lo AS (SELECT {APPORTION_BUDGET} - CAST(SUM(base) AS BIGINT) AS leftover FROM based)
+SELECT source, lang, cell_tokens,
+       CAST(base + CASE WHEN ROW_NUMBER()
+                             OVER (ORDER BY rem DESC, source, lang) <= leftover
+                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM based, lo
+ORDER BY source, lang
+"""
+
+
 # ----------------------------------------------------------- BPE pair mining
 # control char joins the two tokens of a pair: never produced by the
 # pre-tokenizer (\x01 is non-whitespace, so a whitespace-run token can't
