@@ -129,3 +129,15 @@ def test_simhash_submask_partition_property():
                 assert m & m2 == 0
             union |= m
         assert union == ((1 << bits) - 1) & ~band_mask
+
+
+def test_sized_join_fallback_identical(spark, monkeypatch):
+    """Routing fallback (r5): when the over-cap KEY set is too large to
+    broadcast (MAX_BROADCAST_HOT_KEYS), _bucket_pairs reverts to the
+    sized-join plan. Force the threshold to 0 so the synthetic hot bucket
+    takes that branch and assert the pair set is unchanged."""
+    ex = _exploded(spark)
+    baseline = _pairs(dedup._bucket_pairs(ex, ["band_idx", "band_key"], "m", 10**9))
+    monkeypatch.setattr(dedup, "MAX_BROADCAST_HOT_KEYS", 0)
+    fallback = _pairs(dedup._bucket_pairs(ex, ["band_idx", "band_key"], "m", 10))
+    assert fallback == baseline
