@@ -168,17 +168,74 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+_ROW_GROUP_CACHE: dict[tuple[str, ...], int] = {}
+
+
+def _parquet_work_units(df: DataFrame, target: int) -> int | None:
+    """Actual parallelizable units of a parquet-backed frame.
+
+    Spark PLANS file splits as ceil(size / min(maxPartitionBytes,
+    max(openCostInBytes, size / defaultParallelism))) — i.e. split count is
+    steered toward defaultParallelism regardless of file structure. But the
+    vectorized parquet reader assigns each ROW GROUP to the one split that
+    contains its starting offset, so a big single-file corpus written with
+    1M-row groups (pyarrow's default) plans 32 "partitions" of which all but
+    a handful are EMPTY. Split count therefore overstates achievable
+    parallelism, and any guard that trusts it under-parallelizes exactly on
+    big inputs (the round-5 ladder's m316 rung: 32 planned splits, 2 row
+    groups → the whole shingle pass ran on 2 of 32 cores, a measured 10×
+    cliff; fixed here).
+
+    Returns the row-group total when the frame maps to parquet files, None
+    when it doesn't (non-file sources, or footers we can't read — caller
+    falls back to split count, which is correct for line-splittable text).
+    With >= target files the answer can't be below target (>= 1 row group
+    per file), so footers are never read — O(1) driver cost on the
+    thousands-of-files layout every real 100 TB table has.
+    """
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) >= target:
+        return len(files)
+    if files in _ROW_GROUP_CACHE:
+        return _ROW_GROUP_CACHE[files]
+    try:
+        import pyarrow.parquet as pq
+        from urllib.parse import urlparse
+
+        total = 0
+        for uri in files:
+            # inputFiles URIs: "file:/x" or "file:///x" — urlparse yields /x
+            path = urlparse(uri).path if uri.startswith("file:") else uri
+            total += pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        return None
+    _ROW_GROUP_CACHE[files] = total
+    return total
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Spread a small scan across the cluster before heavy per-row compute.
 
     A tiny parquet file arrives as ONE input split, so compute-dense
     operators (shingling, hashing, dot products) would serialize on a single
     core no matter how many executors exist. Repartition only when the scan
-    has fewer partitions than the session's parallelism: at real scale the
-    input already has thousands of splits and this is a plan-time no-op —
+    has fewer WORK UNITS than the session's parallelism — for parquet that
+    is min(planned splits, row groups), because the vectorized reader
+    parallelizes at row-group granularity and planned splits routinely
+    overstate it on few-big-files layouts (see _parquet_work_units). At real
+    scale the input has thousands of files and this is a plan-time no-op —
     no shuffle is added where parallelism already exists.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    units = df.rdd.getNumPartitions()
+    row_groups = _parquet_work_units(df, target)
+    if row_groups is not None:
+        units = min(units, row_groups)
+    if units < target:
         return df.repartition(target)
     return df
