@@ -446,8 +446,28 @@ def minhash_near_dup_pairs(
         F.col(id_col).alias("m"), F.explode(bands).alias("band")
     ).select("m", "band.band_idx", "band.band_key")
     pairs = _bucket_pairs(exploded, ["band_idx", "band_key"], "m", max_bucket_members)
-    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    # The deduped pair frame now has THREE consumers (the verification join
+    # plus the two semi-join prunes below). It is the smallest frame in the
+    # pipeline (two BIGINTs per row) but sits on top of the most expensive
+    # one — persist it so the bucket-pair generation runs once, not per
+    # consumer (AQE's exchange reuse does not span the aliased semi-join
+    # subtrees: measured 9.7 s vs 5.9 s warm at 100× from the recompute).
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    # Verification-side pruning: only docs that appear in some candidate
+    # pair need their shingle sets shuffled. Without this, the id-keyed
+    # verification exchanges carry the WHOLE corpus' kilobyte arrays —
+    # the 1000× sf0.1 probe measured 202 s of exchange to verify 1.29M
+    # pairs against 5M cached docs. The semi-join keys are two BIGINT
+    # columns of the (small, deduped) pair frame; AQE broadcasts them at
+    # runtime under the 64 MB adaptive threshold, so the corpus-side scan
+    # is a map-side probe of the cache — no array shuffle for the
+    # non-candidate 95%. When pair volume is genuinely huge (hot corpus),
+    # AQE falls back to a shuffled semi join, which is then the right
+    # plan: the pruned set IS a large fraction of the corpus.
+    cand_ids = pairs.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+    needed = base.join(cand_ids, id_col, "left_semi")
+    sh_a = needed.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = needed.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     out = (
         pairs.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
@@ -469,6 +489,7 @@ def minhash_near_dup_pairs(
 
     def _release() -> None:
         base.unpersist()
+        pairs.unpersist()
         if pairs_release is not None:
             pairs_release()
 

@@ -90,6 +90,14 @@ def get_spark(app_name: str = "seo-audit-etl-actor-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE re-sizes joins from RUNTIME exchange stats; the static 10 MB
+        # default is far below what any executor comfortably holds and
+        # forces sort-merge exactly where a broadcast avoids re-shuffling a
+        # big cached side (minhash verification at 1000x sf0.1: the 1.3M-row
+        # candidate-pair frame measured ~20 MB at runtime, and sort-merge
+        # shuffled the 5M-row shingle-array frame twice for it — 202 s of
+        # pure exchange). 64 MB is standard production sizing.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
         .config("spark.sql.session.timeZone", "UTC")
@@ -111,6 +119,7 @@ def get_spark(app_name: str = "seo-audit-etl-actor-spark") -> SparkSession:
             ("spark.sql.adaptive.enabled", "true"),
             ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
             ("spark.sql.adaptive.skewJoin.enabled", "true"),
+            ("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m"),
             ("spark.sql.execution.arrow.pyspark.enabled", "true"),
             ("spark.sql.session.timeZone", "UTC"),
             ("spark.sql.timestampType", "TIMESTAMP_LTZ"),
