@@ -184,6 +184,37 @@ def embedding_near_dup_pairs(
     )
 
 
+# Scale-aware IVF codebook sizing (round 5; same discipline as dedup's
+# BANDING_LADDER). The within-cell quadratic of embedding_near_dup_ivf is
+# Σ|cell|² ≈ n²/c for a c-cell codebook, so a FIXED c turns the operator
+# O(n²): the r5 ANN ladder measured b=1.69 with c=16 (0.9 s at 1× sf0.1 →
+# 311 s at 31.6×, ~63k vectors). Growing c ∝ n pins the average cell near
+# IVF_TARGET_CELL_SIZE members, making Σ|cell|² ≈ target·n — linear — while
+# per-vector assignment stays one (batch×dim)@(dim×c) matmul (c ≤ 2^16 →
+# ≤ 4M flop/vector, still Arrow-batch cheap) and the codebook collect stays
+# a driver-side c-row read. Below IVF_TIER0_MAX_VECS the codebook is pinned
+# at 16 cells so the static DuckDB oracle (written for c=16) stays exact at
+# every driver correctness SF (sf0.01 → 200 vectors, sf0.1 → 2,000).
+# Near-dup pairs whose members quantize into different cells are missed BY
+# DESIGN at any c (IVF's recall trade-off, unchanged); a larger c trades
+# recall for candidate volume exactly like deeper minhash bands.
+IVF_TIER0_MAX_VECS = 20_000
+IVF_TARGET_CELL_SIZE = 640
+IVF_MAX_CELLS = 65_536
+
+
+def choose_ivf_cells(n_vecs: int) -> int:
+    """Codebook size for a corpus of `n_vecs`: 16 below the tier-0 bound,
+    else the next power of two of n_vecs / IVF_TARGET_CELL_SIZE (powers of
+    two keep tier steps coarse and reproducible), capped at IVF_MAX_CELLS."""
+    if n_vecs <= IVF_TIER0_MAX_VECS:
+        return 16
+    cells = 1
+    while cells < n_vecs / IVF_TARGET_CELL_SIZE:
+        cells *= 2
+    return max(16, min(cells, IVF_MAX_CELLS))
+
+
 def assign_ivf_cells(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -244,6 +275,66 @@ def assign_ivf_cells(
         return pd.Series(cids[np.argmax(sims, axis=1)].astype("int32"))
 
     return embeddings.withColumn("__cell", cell_of(F.col(vec_col)))
+
+
+def embedding_near_dup_ivf_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full-corpus embedding near-dup pairs via IVF cells: assign every
+    vector to its max-cosine coarse centroid, then run the quadratic pair
+    predicate only WITHIN cells — the vector-space analog of the
+    MinHash/SimHash bucketed candidate generation.
+
+    Scale: candidates shrink from |V|² to Σ|cell|², and with the
+    scale-aware codebook default (choose_ivf_cells — average cell pinned
+    near IVF_TARGET_CELL_SIZE members) that sum grows LINEARLY in the
+    corpus; the r5 ANN ladder measured the fixed-16-cell form at b=1.69
+    (311 s at 31.6× sf0.1) versus this. The self-join shuffles on the cell
+    key; a skewed (hot) cell takes AQE's skew split. A true pair whose
+    members quantize into different cells is missed BY DESIGN (IVF's
+    recall trade-off); identical vectors always share a cell, so exact
+    duplicates are never missed.
+
+    The localCheckpoint materializes the assignment once — the inner
+    join's per-side projection would otherwise re-run the Arrow argmax UDF
+    per consumer. At production scale this IS the persisted
+    cell-partitioned corpus (write_lsh_bucketed_corpus's IVF analog).
+    """
+    if n_cells is None:
+        # column-pruned count: parquet row-group metadata only, sub-second
+        # at any corpus size
+        n_cells = choose_ivf_cells(embeddings.count())
+    assigned = assign_ivf_cells(embeddings, n_cells, id_col, vec_col)
+    v = (
+        assigned.select(
+            F.col(id_col),
+            F.col("__cell").alias("cell"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("n", norm(F.col("v")))
+        .localCheckpoint(eager=True)
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
 
 
 def cosine_topk_ivf(

@@ -764,41 +764,16 @@ def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the query has an exact oracle (argmax CTE + within-cell self-join).
     A real near-dup pair whose members quantize into different cells is
     missed BY DESIGN (that is IVF's recall trade-off — measured for the
-    top-k variant in test_ann_recall)."""
+    top-k variant in test_ann_recall).
+
+    The codebook size is SCALE-AWARE (round 5): the operator's count()
+    probe picks n_cells via similarity.choose_ivf_cells, pinning the
+    average cell near a constant membership so Σ|cell|² grows linearly —
+    the r5 ANN ladder measured the fixed-16-cell form at b=1.69 (311 s at
+    31.6× sf0.1), the quadratic cliff this removes. Driver correctness SFs
+    land in tier 0 (16 cells), matching the static oracle exactly."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    assigned = similarity.assign_ivf_cells(emb, n_cells=16)
-    # Materialize the assignment once: the inner join's isnotnull(cell)
-    # pushdown plus per-side projection would otherwise re-run the Arrow
-    # assignment UDF 3× over the corpus. At production scale this
-    # localCheckpoint IS the persisted cell-partitioned corpus
-    # (write_lsh_bucketed_corpus's IVF analog) — assignment is write-once
-    # either way.
-    v = (
-        assigned.select(
-            "vec_id",
-            F.col("__cell").alias("cell"),
-            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-        )
-        .withColumn("n", similarity.norm(F.col("v")))
-        .localCheckpoint(eager=True)
-    )
-    a, b = v.alias("a"), v.alias("b")
-    sim = similarity.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
-    return (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.cell").alias("cell"),
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            sim.alias("cosine_sim"),
-        )
-        .where(F.col("cosine_sim") >= EMB_NEAR_DUP_T)
-        .orderBy("id_a", "id_b")
-    )
+    return similarity.embedding_near_dup_ivf_pairs(emb, threshold=EMB_NEAR_DUP_T)
 
 
 def _sql_embedding_near_dup_ivf(dim: int = 64, n_cells: int = 16) -> str:

@@ -52,6 +52,15 @@ HEAVY = [
     "tpch_q21_waiting_supplier",
     "embedding_centroid_outliers",
     "embedding_quantization_error",
+    # round-5 additions: the ANN retrieval family — never laddered before.
+    # bruteforce is the linear baseline; lsh/ivf/rerank are the pruned
+    # paths whose SCAN fraction should stay constant; near_dup_ivf is the
+    # within-cell quadratic whose cell count must grow with the corpus.
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "cosine_topk_rerank",
+    "embedding_near_dup_ivf",
 ]
 
 
