@@ -180,7 +180,20 @@ def _decode_png_gray(data: bytes):
     8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette), 4
     (gray+alpha), 6 (RGBA), non-interlaced. Alpha is ignored (luma of the
     stored color channels); 1/2/4/16-bit depths and Adam7 interlace are
-    out of scope for this container's decoder."""
+    out of scope for this container's decoder.
+
+    Malformed-input contract (same as the JPEG twin): ANY structurally
+    corrupt file — truncated IHDR, PLTE not a multiple of 3, palette
+    index past the palette, bad lengths — returns None rather than
+    raising, so one bad crawled file can't fail the whole mapInPandas
+    task."""
+    try:
+        return _decode_png_gray_unsafe(data)
+    except (ValueError, IndexError, struct.error, OverflowError):
+        return None
+
+
+def _decode_png_gray_unsafe(data: bytes):
     import zlib
 
     import numpy as np
@@ -198,8 +211,12 @@ def _decode_png_gray(data: bytes):
         if len(body) < size:
             return None  # truncated
         if cid == b"IHDR":
+            if len(body) < 13:
+                return None  # truncated IHDR
             ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif cid == b"PLTE":
+            if size == 0 or size % 3 != 0:
+                return None  # PLTE must be a non-empty multiple of 3
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif cid == b"IDAT":
             idat += body
@@ -226,6 +243,8 @@ def _decode_png_gray(data: bytes):
         return None
     px = plane.reshape(h, w, channels)
     if color_type == 3:
+        if int(px[:, :, 0].max(initial=0)) >= len(plte):
+            return None  # palette index past the palette -> corrupt
         px = plte[px[:, :, 0]]  # palette lookup -> (H, W, 3) RGB
     if px.shape[2] == 1:
         return px[:, :, 0]

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from seo_audit_etl_actor_spark.operators import pin_registry
 from seo_audit_etl_actor_spark.operators.text import fingerprint, md5_long, tokens
 
 N_HASHES = 16
@@ -59,6 +60,37 @@ def choose_banding(n_docs: int) -> tuple[int, int]:
         if n_docs >= lo:
             n_hashes, n_bands = h, b
     return n_hashes, n_bands
+
+
+# Tier-probe cache (round 6): choose_banding's count() probe is metadata-
+# cheap but still one Spark job per invocation — a catalog run that calls
+# minhash several times against the same table paid a probe scan each.
+# Keyed by (semantic plan hash, per-file (path, size, mtime_ns)): the
+# semantic hash pins WHAT is counted (filters and all), the stat key pins
+# the bytes underneath, so an in-place rewrite misses instead of reusing a
+# stale count. Non-file-backed frames (in-memory test frames) skip the
+# cache — their count is trivially cheap.
+_PROBE_COUNT_CACHE: dict[tuple, int] = {}
+_PROBE_COUNT_CACHE_MAX = 256
+
+
+def _probe_count(df: DataFrame) -> int:
+    from seo_audit_etl_actor_spark.session import _stat_key
+
+    try:
+        files = tuple(sorted(df.inputFiles()))
+        sem = df.semanticHash()
+    except Exception:
+        files, sem = (), None
+    stat = _stat_key(files) if files else None
+    if sem is None or stat is None:
+        return df.count()
+    key = (sem, stat)
+    if key not in _PROBE_COUNT_CACHE:
+        if len(_PROBE_COUNT_CACHE) >= _PROBE_COUNT_CACHE_MAX:
+            _PROBE_COUNT_CACHE.clear()
+        _PROBE_COUNT_CACHE[key] = df.count()
+    return _PROBE_COUNT_CACHE[key]
 SHINGLE_K = 3
 # 60 bits = the full md5_long width; fingerprint < 2^60 stays a positive
 # BIGINT in every engine. Raised from 48 in round 4: with 4 bands the band
@@ -358,7 +390,9 @@ def _bucket_pairs(
 
     if big is None:
         out = small_pairs.distinct()
-        out._spark_graft_release = exploded.unpersist  # type: ignore[attr-defined]
+        out._spark_graft_release = pin_registry.register(  # type: ignore[attr-defined]
+            exploded.unpersist
+        )
         return out
     extra_cols: list[str] = []
     if refine is not None:
@@ -378,7 +412,9 @@ def _bucket_pairs(
     )
 
     out = small_pairs.unionByName(big_pairs).distinct()
-    out._spark_graft_release = exploded.unpersist  # type: ignore[attr-defined]
+    out._spark_graft_release = pin_registry.register(  # type: ignore[attr-defined]
+        exploded.unpersist
+    )
     return out
 
 
@@ -425,8 +461,9 @@ def minhash_near_dup_pairs(
 
     if n_hashes is None or n_bands is None:
         # column-pruned count: the scan reads no data pages, only parquet
-        # row-group metadata — a sub-second probe even at 100 TB
-        n_hashes, n_bands = choose_banding(docs.count())
+        # row-group metadata — a sub-second probe even at 100 TB; cached
+        # per (plan, file-stats) so repeated catalog runs pay it once
+        n_hashes, n_bands = choose_banding(_probe_count(docs))
     # the one md5-bearing corpus pass, shared by signatures + verification
     base = shingle_projection(docs, text_col, id_col, hash_fn).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -493,7 +530,10 @@ def minhash_near_dup_pairs(
         if pairs_release is not None:
             pairs_release()
 
-    out._spark_graft_release = _release  # type: ignore[attr-defined]
+    # Register with the pin registry as well: if a caller's intermediate
+    # transformation drops the attribute, pin_registry.drain() still
+    # releases the persisted frames (operators/pin_registry.py).
+    out._spark_graft_release = pin_registry.register(_release)  # type: ignore[attr-defined]
     return out
 
 

@@ -33,6 +33,7 @@ half-compacted table.
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
 
@@ -93,15 +94,23 @@ def publish_version(df: DataFrame, lake_dir: str) -> int:
                 raise
             version += 1  # lost the race for this slot; claim the next
     # Advance the pointer monotonically: never overwrite a higher committed
-    # version (a slower racer must not roll the lake back).
+    # version (a slower racer must not roll the lake back). The
+    # read-compare-replace must be serialized — without the lock, a racer
+    # that committed a higher version can replace the pointer between our
+    # latest_version() read and our os.replace, and we'd roll it backwards.
     tmp = os.path.join(lake_dir, f"{_POINTER}.{os.getpid()}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(version))
-    committed = latest_version(lake_dir)
-    if committed is None or committed < version:
-        os.replace(tmp, os.path.join(lake_dir, _POINTER))
-    else:
-        os.remove(tmp)
+    with open(os.path.join(lake_dir, _POINTER + ".lock"), "w") as lock_fh:
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        try:
+            committed = latest_version(lake_dir)
+            if committed is None or committed < version:
+                os.replace(tmp, os.path.join(lake_dir, _POINTER))
+            else:
+                os.remove(tmp)
+        finally:
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
     return version
 
 

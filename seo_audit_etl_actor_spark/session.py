@@ -177,7 +177,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-_ROW_GROUP_CACHE: dict[tuple[str, ...], int] = {}
+# Keyed by (path, size, mtime_ns) per file so an in-place rewrite (same
+# path, different row-group layout) misses instead of returning a stale
+# count; bounded so a long session scanning many tables can't grow it
+# without limit (recomputation is cheap — a footer read per file).
+_ROW_GROUP_CACHE: dict[tuple[tuple[str, int, int], ...], int] = {}
+_ROW_GROUP_CACHE_MAX = 256
+
+
+def _stat_key(files: tuple[str, ...]) -> tuple[tuple[str, int, int], ...] | None:
+    from urllib.parse import urlparse
+
+    key = []
+    for uri in files:
+        path = urlparse(uri).path if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        key.append((path, st.st_size, st.st_mtime_ns))
+    return tuple(key)
 
 
 def _parquet_work_units(df: DataFrame, target: int) -> int | None:
@@ -210,20 +229,22 @@ def _parquet_work_units(df: DataFrame, target: int) -> int | None:
         return None
     if len(files) >= target:
         return len(files)
-    if files in _ROW_GROUP_CACHE:
-        return _ROW_GROUP_CACHE[files]
+    cache_key = _stat_key(files)
+    if cache_key is not None and cache_key in _ROW_GROUP_CACHE:
+        return _ROW_GROUP_CACHE[cache_key]
     try:
         import pyarrow.parquet as pq
-        from urllib.parse import urlparse
 
         total = 0
-        for uri in files:
-            # inputFiles URIs: "file:/x" or "file:///x" — urlparse yields /x
-            path = urlparse(uri).path if uri.startswith("file:") else uri
+        for path, _size, _mtime in cache_key or ():
             total += pq.ParquetFile(path).metadata.num_row_groups
+        if cache_key is None:
+            return None
     except Exception:
         return None
-    _ROW_GROUP_CACHE[files] = total
+    if len(_ROW_GROUP_CACHE) >= _ROW_GROUP_CACHE_MAX:
+        _ROW_GROUP_CACHE.clear()
+    _ROW_GROUP_CACHE[cache_key] = total
     return total
 
 

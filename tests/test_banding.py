@@ -42,6 +42,45 @@ def _near_dup_corpus(spark):
     return spark.createDataFrame(rows, "doc_id: long, text: string")
 
 
+def test_probe_count_cached_per_plan_and_files(spark, tmp_path, monkeypatch):
+    """The tier probe must run ONE count job per (plan, file bytes) —
+    repeated catalog runs against the same table reuse the cached count
+    (VERDICT r5 task 7). A rewrite of the underlying file must miss."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "probe.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(10), pa.int64())}), p)
+    dedup._PROBE_COUNT_CACHE.clear()
+    calls = []
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is the
+    # abstract API; instances are classic.dataframe.DataFrame)
+    cls = type(spark.read.parquet(p))
+    orig = cls.count
+
+    def spy(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", spy)
+    assert dedup._probe_count(spark.read.parquet(p)) == 10
+    assert dedup._probe_count(spark.read.parquet(p)) == 10  # cache hit
+    assert len(calls) == 1
+    # different plan over the same files → separate entry (filtered count)
+    filtered = spark.read.parquet(p).where(F.col("doc_id") < 3)
+    assert dedup._probe_count(filtered) == 3
+    assert len(calls) == 2
+    # in-place rewrite → stat key misses, fresh count
+    import os
+    import time
+
+    time.sleep(0.01)
+    pq.write_table(pa.table({"doc_id": pa.array(range(7), pa.int64())}), p)
+    os.utime(p)
+    assert dedup._probe_count(spark.read.parquet(p)) == 7
+    assert len(calls) == 3
+
+
 def test_adaptive_default_matches_pinned_tier0(spark):
     docs = _near_dup_corpus(spark)
     auto = dedup.minhash_near_dup_pairs(docs)

@@ -64,6 +64,34 @@ def test_publish_race_claims_next_slot(spark, lake):
     assert not [d for d in os.listdir(lake_dir) if d.startswith("_staging")]
 
 
+def test_pointer_never_rolls_back_under_concurrency(spark, lake):
+    """ADVICE r5: the pointer advance is read-compare-replace and must be
+    serialized — without the flock a stale racer could replace _LATEST
+    with a LOWER version after a faster racer committed a higher one.
+    Hammer the lock path with concurrent publishers and assert the pointer
+    ends at the max committed version with every slot distinct."""
+    import threading
+
+    lake_dir, nation = lake
+    small = nation.limit(3)
+    results: list[int] = []
+    lock = threading.Lock()
+
+    def _publish():
+        v = lm.publish_version(small, lake_dir)
+        with lock:
+            results.append(v)
+
+    threads = [threading.Thread(target=_publish) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 6 and len(set(results)) == 6  # distinct slots
+    assert lm.latest_version(lake_dir) == max(results)
+    assert lm.latest_version(lake_dir) == max(lm.list_versions(lake_dir))
+
+
 def test_vacuum_retains_horizon(spark, lake):
     lake_dir, nation = lake
     for _ in range(3):

@@ -344,6 +344,41 @@ def test_png_palette_and_alpha():
     assert np.array_equal(dec2, np.full((3, 3), 42, np.uint8))
 
 
+def test_png_malformed_returns_none_not_raise():
+    """Structurally corrupt PNGs must return None (fake-path routing), not
+    raise — one bad crawled file must never fail the whole mapInPandas
+    task. Covers the r5-advice trio: short IHDR, PLTE not a multiple of 3,
+    palette index past the palette."""
+    import zlib
+
+    import numpy as np
+
+    # IHDR shorter than 13 bytes
+    short_ihdr = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", b"\x00" * 7) + _png_chunk(b"IEND", b"")
+    assert B._decode_gray_pixels(short_ihdr) is None
+
+    # PLTE body not a multiple of 3
+    idx = np.zeros((2, 2, 1), dtype=np.uint8)
+    good = _encode_png(idx, color_type=3, palette=bytes(12))
+    bad_plte = good.replace(_png_chunk(b"PLTE", bytes(12)), _png_chunk(b"PLTE", bytes(11)))
+    assert bad_plte != good
+    assert B._decode_gray_pixels(bad_plte) is None
+
+    # palette index >= palette entries (2 entries, pixel indexes 7)
+    oob = np.full((2, 2, 1), 7, dtype=np.uint8)
+    assert B._decode_gray_pixels(_encode_png(oob, color_type=3, palette=bytes(6))) is None
+
+    # IDAT stream shorter than one full row (reshape would blow up)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    tiny = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert B._decode_gray_pixels(tiny) is None
+
+
 def test_png_out_of_scope_variants_route_to_fake():
     import zlib
 

@@ -63,6 +63,34 @@ def test_many_files_short_circuit(spark, tmp_path):
     assert _parquet_work_units(df, target=4) == 4
 
 
+def test_rowgroup_cache_invalidated_on_rewrite(spark, tmp_path):
+    """In-place rewrite with a different row-group layout must MISS the
+    cache (keyed by size+mtime, not just path) — a stale hit makes
+    ensure_parallelism skip a needed repartition on the rewritten table."""
+    import os
+    import time
+
+    p = str(tmp_path / "rw.parquet")
+    t = pa.table({"x": pa.array(range(300), pa.int64())})
+    pq.write_table(t, p, row_group_size=300)
+    assert _parquet_work_units(spark.read.parquet(p), target=64) == 1
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    pq.write_table(t, p, row_group_size=100)
+    os.utime(p)
+    assert _parquet_work_units(spark.read.parquet(p), target=64) == 3
+
+
+def test_rowgroup_cache_bounded(spark, tmp_path):
+    from seo_audit_etl_actor_spark import session as S
+
+    S._ROW_GROUP_CACHE.clear()
+    for i in range(5):
+        p = str(tmp_path / f"b{i}.parquet")
+        pq.write_table(pa.table({"x": pa.array([i], pa.int64())}), p)
+        _parquet_work_units(spark.read.parquet(p), target=64)
+    assert 0 < len(S._ROW_GROUP_CACHE) <= S._ROW_GROUP_CACHE_MAX
+
+
 def test_non_file_frame_falls_back(spark):
     df = spark.range(10)
     assert _parquet_work_units(df, target=4) is None
