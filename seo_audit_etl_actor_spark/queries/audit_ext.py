@@ -232,3 +232,127 @@ FROM sized
 
 
 SQL_FFD_PACKING_AUDIT = _sql_ffd_packing_audit()
+
+# ------------------------------------------------- lake / MV merge audit
+
+# Exact-integer measures (merge ≡ recompute holds bit-for-bit; see
+# operators/mv.py). The CASE/literal measure deliberately exercises the
+# r5 _prefix_expr fix ('F' must stay an unqualified string literal).
+MV_MEASURES = {
+    "sum_cust": "CAST(o_custkey AS BIGINT)",
+    "n_f_status": "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END",
+}
+_MV_ADD_OFFSET = 100_000_000  # synthetic keys far above any real o_orderkey
+
+
+def q_mv_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible oracle for the versioned-lake + incremental-MV
+    surface (VERDICT r5 task 3): publish orders as lake v1, publish a
+    DETERMINISTIC mutation as v2 (keys %7==0 removed, %7==1 moved to a
+    synthetic priority group, %7==3 cloned under offset keys), read the
+    CDC diff between the versions, apply it to the v1 grouped view with
+    `apply_cdc_to_view`, and emit a one-row summary: the CDC class
+    counts, the MERGED view's own aggregates, and a merge≡recompute
+    equality flag. The oracle predicts every value from the mutation
+    rules alone — if snapshot publish, time travel, the diff classifier,
+    or the delta merge drifted, some BIGINT here moves.
+
+    The result is computed eagerly (three small collects: class counts, a
+    mismatch count, one summary row) so the temp lake can be removed
+    before returning — the returned frame is a one-row local relation
+    with no disk dependency.
+
+    Scale: publish is two parquet writes; the diff is ONE full-outer
+    shuffle on the key; the view delta touches only changed rows
+    (operators/mv.py) — the 100 TB shape, exercised here end-to-end."""
+    import shutil
+    import tempfile
+
+    from seo_audit_etl_actor_spark.operators import lake_maintenance as lm
+    from seo_audit_etl_actor_spark.operators.mv import apply_cdc_to_view, grouped_sum_view
+
+    orders = load_table(spark, sf_dir, "orders")
+    lake_dir = tempfile.mkdtemp(prefix="spark_graft_mv_audit_")
+    try:
+        lm.publish_version(orders, lake_dir)
+        key7 = F.col("o_orderkey") % 7
+        v2 = (
+            orders.where(key7 != 0)
+            .withColumn(
+                "o_orderpriority",
+                F.when(key7 == 1, F.lit("9-SYNTH")).otherwise(F.col("o_orderpriority")),
+            )
+            .unionByName(
+                orders.where(key7 == 3).withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(_MV_ADD_OFFSET)
+                )
+            )
+        )
+        lm.publish_version(v2, lake_dir)
+        cdc = lm.diff_versions(
+            spark, lake_dir, 1, 2, keys=["o_orderkey"], include_values=True
+        )
+        view_v1 = grouped_sum_view(
+            lm.read_lake(spark, lake_dir, 1), "o_orderpriority", MV_MEASURES
+        )
+        merged = apply_cdc_to_view(view_v1, cdc, "o_orderpriority", MV_MEASURES)
+        recomputed = grouped_sum_view(
+            lm.read_lake(spark, lake_dir, 2), "o_orderpriority", MV_MEASURES
+        )
+        changes = {
+            r["change"]: r["n"]
+            for r in cdc.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        cols = ["n_rows", *MV_MEASURES]
+        eq = merged.alias("m").join(recomputed.alias("r"), "o_orderpriority", "full_outer")
+        same = F.lit(True)
+        for c in cols:
+            same = same & F.col(f"m.{c}").eqNullSafe(F.col(f"r.{c}"))
+        n_mismatch = eq.where(~same).count()
+        summary = merged.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum("n_rows").alias("vr"),
+            F.sum("sum_cust").alias("sc"),
+            F.sum("n_f_status").alias("nf"),
+        ).collect()[0]
+        row = (
+            int(changes.get("added", 0)),
+            int(changes.get("removed", 0)),
+            int(changes.get("changed", 0)),
+            int(changes.get("unchanged", 0)),
+            int(summary["g"]),
+            int(summary["vr"]),
+            int(summary["sc"]),
+            int(summary["nf"]),
+            1 if n_mismatch == 0 else 0,
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_added long, n_removed long, n_changed long, n_unchanged long, "
+            "n_groups long, view_rows long, view_sum_cust long, "
+            "view_n_f_status long, merge_equals_recompute long",
+        )
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+
+SQL_MV_MERGE_AUDIT = f"""
+WITH v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 1 THEN '9-SYNTH' ELSE o_orderpriority END AS o_orderpriority,
+         o_custkey, o_orderstatus
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + {_MV_ADD_OFFSET}, o_orderpriority, o_custkey, o_orderstatus
+  FROM orders WHERE o_orderkey % 7 = 3
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 7 = 3) AS n_added,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 7 = 0) AS n_removed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 7 = 1) AS n_changed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 7 NOT IN (0, 1)) AS n_unchanged,
+       (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM v2) AS n_groups,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM v2) AS view_rows,
+       (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM v2) AS view_sum_cust,
+       (SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) FROM v2) AS view_n_f_status,
+       CAST(1 AS BIGINT) AS merge_equals_recompute
+"""
