@@ -5,16 +5,17 @@ shapes, mapInPandas signatures. The codec story (round 4) is split by
 format:
 
 - CODEC-FREE formats decode FOR REAL: BMP (24-bit BI_RGB) and PPM/PGM
-  (P6/P5 binary) are pure struct + numpy byte math; PNG (round 5) is
-  fully decoded with stdlib zlib — inflate + all five scanline filters +
-  palette/alpha handling for 8-bit non-interlaced images; and baseline
-  JPEG (round 5) is fully decoded in pure numpy — marker walk, canonical
-  Huffman entropy decode, dequantize, separable IDCT of the Y plane,
-  restart markers and arbitrary sampling factors included. For all of
-  these `decode_image_thumbs` produces true pixels, BT.601 luma, and a
-  real area-averaged 8x8 thumbnail (`real_decode = true`);
-- the REMAINING variants (progressive/12-bit/arithmetic JPEG; 1/2/4/16-bit
-  or Adam7 PNG) still use the deterministic byte-sampling fake: header
+  (P6/P5 binary) are pure struct + numpy byte math; PNG is fully decoded
+  with stdlib zlib — inflate + all five scanline filters + palette/alpha
+  handling (round 5), and since round 6 every legal layout: bit depths
+  1/2/4/8/16 and Adam7 interlace; baseline JPEG (round 5) is fully
+  decoded in pure numpy — marker walk, canonical Huffman entropy decode,
+  dequantize, separable IDCT of the Y plane, restart markers and
+  arbitrary sampling factors included; MP4/ISO-BMFF video metadata
+  (round 6) is a pure-struct box walk. For all of these the decode
+  functions produce true pixels/metadata (`real_decode = true`);
+- the REMAINING variants (progressive/12-bit/arithmetic JPEG — genuinely
+  codec-hard) still use the deterministic byte-sampling fake: header
   parsing for dimensions is real, the pixel inner loop is the documented
   stand-in (`real_decode = false`; swap point noted at the function).
 
@@ -170,17 +171,36 @@ def _png_unfilter(raw, height: int, stride: int, bpp: int):
     return out
 
 
+def _png_unpack_samples(plane, pw: int, channels: int, bit_depth: int):
+    """(ph, stride_bytes) unfiltered scanline bytes → (ph, pw, channels)
+    uint8 samples. Depths 1/2/4 unpack MSB-first bit groups (single
+    channel by spec); depth 16 keeps the high byte per sample."""
+    import numpy as np
+
+    ph = plane.shape[0]
+    if bit_depth == 8:
+        return plane[:, : pw * channels].reshape(ph, pw, channels)
+    if bit_depth == 16:
+        return plane[:, : pw * channels * 2].reshape(ph, pw, channels, 2)[:, :, :, 0]
+    bits = np.unpackbits(plane, axis=1)[:, : pw * bit_depth].reshape(ph, pw, bit_depth)
+    weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2, dtype=np.int64).astype(np.uint8)[:, :, None]
+
+
 def _decode_png_gray(data: bytes):
     """REAL PNG pixel decode in pure stdlib zlib + numpy (no codec
     library): walks the chunk list, inflates IDAT, undoes scanline
     filters, and reduces to an (H, W) uint8 grayscale plane via the same
     integer BT.601 luma as the other formats.
 
-    Scope (returns None outside it, routing to the documented fake):
-    8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette), 4
-    (gray+alpha), 6 (RGBA), non-interlaced. Alpha is ignored (luma of the
-    stored color channels); 1/2/4/16-bit depths and Adam7 interlace are
-    out of scope for this container's decoder.
+    Scope (round 6: ALL legal PNG layouts): bit depths 1/2/4/8/16, color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced AND Adam7-interlaced (seven independently-filtered
+    sub-image passes scattered back into place). Alpha is ignored (luma
+    of the stored color channels); sub-8-bit gray samples scale to 8 bits
+    by v*255//(2^d-1); 16-bit samples reduce by high byte (the
+    conventional 16→8 approximation). Only structurally corrupt files
+    return None now — no PNG layout routes to the fake.
 
     Malformed-input contract (same as the JPEG twin): ANY structurally
     corrupt file — truncated IHDR, PLTE not a multiple of 3, palette
@@ -227,7 +247,14 @@ def _decode_png_gray_unsafe(data: bytes):
         return None
     w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if channels is None or bit_depth != 8 or interlace != 0 or w <= 0 or h <= 0:
+    if channels is None or w <= 0 or h <= 0 or interlace not in (0, 1):
+        return None
+    # legal depth/color combinations per PNG spec table 11.1
+    if bit_depth not in (1, 2, 4, 8, 16):
+        return None
+    if bit_depth < 8 and color_type not in (0, 3):
+        return None
+    if bit_depth == 16 and color_type == 3:
         return None
     if color_type == 3 and plte is None:
         return None
@@ -235,13 +262,42 @@ def _decode_png_gray_unsafe(data: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        return None
-    plane = _png_unfilter(raw, h, stride, channels)
-    if plane is None:
-        return None
-    px = plane.reshape(h, w, channels)
+    # Adam7 pass grid (x0, y0, dx, dy); non-interlaced is one full pass.
+    passes = (
+        [(0, 0, 1, 1)]
+        if interlace == 0
+        else [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+    )
+    img = np.zeros((h, w, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        bits_per_px = channels * bit_depth
+        stride = (pw * bits_per_px + 7) // 8
+        bpp = max(1, bits_per_px // 8)
+        need = ph * (stride + 1)
+        if pos + need > len(raw):
+            return None
+        plane = _png_unfilter(raw[pos : pos + need], ph, stride, bpp)
+        pos += need
+        if plane is None:
+            return None
+        samples = _png_unpack_samples(plane, pw, channels, bit_depth)
+        if color_type == 0 and bit_depth < 8:
+            # scale sub-8-bit gray to the full 8-bit range (spec 12.5)
+            samples = ((samples.astype(np.int64) * 255) // ((1 << bit_depth) - 1)).astype(
+                np.uint8
+            )
+        img[y0::dy, x0::dx] = samples
+    if pos != len(raw):
+        return None  # trailing garbage / short stream -> corrupt
+    px = img
     if color_type == 3:
         if int(px[:, :, 0].max(initial=0)) >= len(plte):
             return None  # palette index past the palette -> corrupt
@@ -870,3 +926,175 @@ def decode_audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(extract, AUDIO_META_SCHEMA)
+
+
+# ------------------------------------------------- video (MP4 / ISO-BMFF)
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("video_codec", T.StringType(), True),
+        T.StructField("audio_codec", T.StringType(), True),
+        T.StructField("real_decode", T.BooleanType(), False),
+    ]
+)
+
+# Boxes that contain only other boxes (ISO/IEC 14496-12 container types on
+# the path to the metadata we extract).
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the top-level boxes in
+    data[start:end] — size==1 reads a 64-bit largesize, size==0 extends to
+    `end` (both per ISO/IEC 14496-12 §4.2). Stops on any structural
+    inconsistency rather than guessing."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", data[i : i + 4])[0]
+        btype = data[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", data[i + 8 : i + 16])[0]
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < body - i or i + size > end:
+            return  # corrupt length
+        yield btype, body, i + size
+        i += size
+
+
+def _parse_mp4_meta(data: bytes):
+    """REAL MP4/ISO-BMFF metadata via a pure-struct box walk (no codec):
+    ftyp major brand; mvhd timescale+duration (v0 u32 / v1 u64 layouts);
+    per-trak hdlr handler ('vide'/'soun'), tkhd 16.16-fixed width/height,
+    and the stsd's first sample-entry fourcc as the codec id. Returns a
+    dict or None for non-BMFF / structurally corrupt input (same
+    None-routing contract as the image decoders — one bad crawled file
+    must never fail the task)."""
+    try:
+        # an ISO-BMFF file opens with a box whose type is ftyp (or a
+        # handful of ftyp-less legacy layouts that still open with moov)
+        head = data[4:8]
+        if head not in (b"ftyp", b"moov", b"styp", b"free", b"skip", b"wide"):
+            return None
+        brand = None
+        timescale = duration = None
+        n_tracks = 0
+        width = height = None
+        video_codec = audio_codec = None
+
+        def walk_trak(s: int, e: int):
+            nonlocal width, height, video_codec, audio_codec
+            handler = None
+            tk_w = tk_h = None
+            codec = None
+            stack = [(s, e)]
+            while stack:
+                lo, hi = stack.pop()
+                for btype, bs, be in _mp4_boxes(data, lo, hi):
+                    if btype in _MP4_CONTAINERS:
+                        stack.append((bs, be))
+                    elif btype == b"tkhd" and be - bs >= 4:
+                        ver = data[bs]
+                        # v0: 4+4+4+4+4 before reserved; width/height are
+                        # the LAST 8 bytes of the box in both versions
+                        if be - bs >= 8:
+                            tk_w = struct.unpack(">I", data[be - 8 : be - 4])[0] >> 16
+                            tk_h = struct.unpack(">I", data[be - 4 : be])[0] >> 16
+                            _ = ver
+                    elif btype == b"hdlr" and be - bs >= 12:
+                        handler = data[bs + 8 : bs + 12]
+                    elif btype == b"stsd" and be - bs >= 16:
+                        # version/flags(4) + entry_count(4) + first sample
+                        # entry: size(4) + format fourcc(4)
+                        codec = data[bs + 12 : bs + 16].decode("latin1")
+            if handler == b"vide":
+                if tk_w:
+                    width, height = tk_w, tk_h
+                if codec:
+                    video_codec = codec
+            elif handler == b"soun" and codec:
+                audio_codec = codec
+
+        for btype, bs, be in _mp4_boxes(data, 0, len(data)):
+            if btype == b"ftyp" and be - bs >= 4:
+                brand = data[bs : bs + 4].decode("latin1").strip()
+            elif btype == b"moov":
+                for ityp, ibs, ibe in _mp4_boxes(data, bs, be):
+                    if ityp == b"mvhd" and ibe - ibs >= 4:
+                        ver = data[ibs]
+                        if ver == 1 and ibe - ibs >= 32:
+                            timescale = struct.unpack(">I", data[ibs + 20 : ibs + 24])[0]
+                            duration = struct.unpack(">Q", data[ibs + 24 : ibs + 32])[0]
+                        elif ver == 0 and ibe - ibs >= 24:
+                            timescale = struct.unpack(">I", data[ibs + 12 : ibs + 16])[0]
+                            duration = struct.unpack(">I", data[ibs + 16 : ibs + 20])[0]
+                    elif ityp == b"trak":
+                        n_tracks += 1
+                        walk_trak(ibs, ibe)
+        if timescale in (None, 0) or duration is None:
+            return None
+        return {
+            "brand": brand,
+            "duration_ms": (duration * 1000) // timescale,
+            "n_tracks": n_tracks,
+            "width": width,
+            "height": height,
+            "video_codec": video_codec,
+            "audio_codec": audio_codec,
+        }
+    except (ValueError, IndexError, struct.error, UnicodeDecodeError):
+        return None
+
+
+def decode_video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """mapInPandas video metadata extraction — REAL for MP4/ISO-BMFF
+    (duration, track count, display dimensions, codec fourccs via the
+    pure-struct box walk above; `real_decode = true` because the metadata
+    IS fully decoded — no pixel/codec claim is made). Non-BMFF blobs get
+    nulls + real_decode=false, the ffmpeg swap point — the same contract
+    split as decode_image_thumbs/decode_audio_meta.
+
+    Scale: identical shape to the other binary transforms — binaryFile
+    rows in, one Arrow batch per map task, small typed columns out."""
+    ensure_package_on_executors(df.sparkSession)
+
+    def extract(batches) -> Iterator:
+        import pandas as pd
+
+        cols = [f.name for f in VIDEO_META_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for path, data in zip(pdf["path"], pdf[content_col]):
+                b = bytes(data) if data is not None else b""
+                meta = _parse_mp4_meta(b) if len(b) >= 16 else None
+                if meta is None:
+                    rows.append(
+                        {
+                            "path": path,
+                            "format": None,
+                            "brand": None,
+                            "duration_ms": None,
+                            "n_tracks": None,
+                            "width": None,
+                            "height": None,
+                            "video_codec": None,
+                            "audio_codec": None,
+                            "real_decode": False,
+                        }
+                    )
+                    continue
+                rows.append({"path": path, "format": "mp4", "real_decode": True, **meta})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(extract, VIDEO_META_SCHEMA)

@@ -379,10 +379,12 @@ def test_png_malformed_returns_none_not_raise():
     assert B._decode_gray_pixels(tiny) is None
 
 
-def test_png_out_of_scope_variants_route_to_fake():
+def test_png_16bit_decodes_and_missing_idat_routes_to_fake():
     import zlib
 
-    # 16-bit depth: valid container, out-of-scope depth
+    import numpy as np
+
+    # 16-bit depth: decodes for REAL since round 6 (high-byte reduction)
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     idat = zlib.compress(b"\x00" * (2 * (2 * 2 + 1)))
     deep = (
@@ -391,8 +393,9 @@ def test_png_out_of_scope_variants_route_to_fake():
         + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
-    assert B._decode_gray_pixels(deep) is None
-    # truncated IDAT (corrupt zlib stream)
+    dec = B._decode_gray_pixels(deep)
+    assert dec is not None and np.array_equal(dec, np.zeros((2, 2), np.uint8))
+    # missing IDAT entirely -> corrupt, fake path
     trunc = _encode_png([[[1, 2, 3]]], color_type=2)
     trunc = trunc.replace(b"IDAT", b"IDAX")  # drop the IDAT chunk entirely
     assert B._decode_gray_pixels(trunc) is None
@@ -769,3 +772,260 @@ def test_jpeg_noninterleaved_single_component_grid():
     assert dec is not None and dec.shape == img.shape
     assert np.array_equal(dec, B._decode_gray_pixels(data))
     assert int(np.abs(dec.astype(int) - expected.astype(int)).max()) <= 1
+
+
+# round 6: MP4/ISO-BMFF box-walk video metadata (codec-free struct parse)
+
+
+def _box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
+    """Spec-side (ISO/IEC 14496-12 §4.2) box encoder, independent of the
+    parser under test."""
+    if largesize:
+        return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(body)) + body
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mvhd(timescale: int, duration: int, version: int = 0) -> bytes:
+    if version == 0:
+        body = (
+            b"\x00" + b"\x00" * 3          # version 0 + flags
+            + struct.pack(">II", 0, 0)     # creation/modification
+            + struct.pack(">II", timescale, duration)
+        )
+    else:
+        body = (
+            b"\x01" + b"\x00" * 3
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", timescale)
+            + struct.pack(">Q", duration)
+        )
+    body += struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100) + b"\x00" * 10
+    body += b"\x00" * 36 + b"\x00" * 24 + struct.pack(">I", 2)
+    return _box(b"mvhd", body)
+
+
+def _tkhd(width: int, height: int) -> bytes:
+    body = (
+        b"\x00" * 4 + struct.pack(">III", 0, 0, 1) + b"\x00" * 4
+        + struct.pack(">I", 0) + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    return _box(b"tkhd", body)
+
+
+def _trak(handler: bytes, codec: bytes, width: int = 0, height: int = 0) -> bytes:
+    hdlr = _box(b"hdlr", b"\x00" * 4 + b"\x00" * 4 + handler + b"\x00" * 12 + b"x\x00")
+    entry = struct.pack(">I", 16) + codec + b"\x00" * 8
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    stbl = _box(b"stbl", stsd)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    return _box(b"trak", _tkhd(width, height) + mdia)
+
+
+def _mp4(timescale=1000, duration=5400, mvhd_version=0, largesize_moov=False) -> bytes:
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"mp41")
+    moov_body = (
+        _mvhd(timescale, duration, mvhd_version)
+        + _trak(b"vide", b"avc1", 640, 360)
+        + _trak(b"soun", b"mp4a")
+    )
+    return ftyp + _box(b"moov", moov_body, largesize=largesize_moov)
+
+
+def test_mp4_box_walk_extracts_metadata():
+    for kwargs in (
+        {},
+        {"mvhd_version": 1},
+        {"largesize_moov": True},
+        {"timescale": 90000, "duration": 90000 * 7 + 45000},
+    ):
+        meta = B._parse_mp4_meta(_mp4(**kwargs))
+        assert meta is not None, kwargs
+        expect_ms = (kwargs.get("duration", 5400) * 1000) // kwargs.get("timescale", 1000)
+        assert meta["duration_ms"] == expect_ms, kwargs
+        assert meta["n_tracks"] == 2
+        assert (meta["width"], meta["height"]) == (640, 360)
+        assert meta["video_codec"] == "avc1"
+        assert meta["audio_codec"] == "mp4a"
+        assert meta["brand"] == "isom"
+
+
+def test_mp4_malformed_returns_none():
+    good = _mp4()
+    # truncated mid-moov
+    assert B._parse_mp4_meta(good[: len(good) - 40]) is None
+    # box length pointing past EOF
+    bad = bytearray(good)
+    bad[0:4] = struct.pack(">I", len(good) + 1000)
+    assert B._parse_mp4_meta(bytes(bad)) is None
+    # not BMFF at all
+    assert B._parse_mp4_meta(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64) is None
+    assert B._parse_mp4_meta(b"RIFF....WAVE" + b"\x00" * 64) is None
+
+
+def test_decode_video_meta_end_to_end(spark, tmp_path):
+    d = tmp_path / "vids"
+    d.mkdir()
+    (d / "clip.mp4").write_bytes(_mp4())
+    (d / "junk.bin").write_bytes(b"\x00" * 64)
+    df = B.read_binary_dir(spark, str(d))
+    rows = {r["path"].rsplit("/", 1)[-1]: r.asDict() for r in B.decode_video_meta(df).collect()}
+    clip = rows["clip.mp4"]
+    assert clip["format"] == "mp4" and clip["real_decode"] is True
+    assert clip["duration_ms"] == 5400 and clip["n_tracks"] == 2
+    assert (clip["width"], clip["height"]) == (640, 360)
+    assert (clip["video_codec"], clip["audio_codec"]) == ("avc1", "mp4a")
+    junk = rows["junk.bin"]
+    assert junk["real_decode"] is False and junk["format"] is None
+
+
+# round 6: low-bit-depth + 16-bit + Adam7 PNG decode (spec-derived
+# independent encoder below; decoder under test is _decode_png_gray)
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _pack_row(samples_row, bit_depth: int) -> bytes:
+    """Pack one scanline of samples to bytes: MSB-first bit groups for
+    depths 1/2/4, big-endian u16 for depth 16, raw bytes for depth 8."""
+    flat = [int(v) for v in samples_row.reshape(-1)]
+    if bit_depth == 8:
+        return bytes(flat)
+    if bit_depth == 16:
+        return b"".join(struct.pack(">H", v) for v in flat)
+    bits = []
+    for v in flat:
+        for k in range(bit_depth - 1, -1, -1):
+            bits.append((v >> k) & 1)
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        sum(b << (7 - i) for i, b in enumerate(bits[j : j + 8]))
+        for j in range(0, len(bits), 8)
+    )
+
+
+def _encode_png_ext(
+    pixels, color_type: int, bit_depth: int = 8, palette=None, interlace: int = 0
+) -> bytes:
+    """PNG encoder covering every legal depth + Adam7 (per-pass independent
+    filtering, filter type rotating by row to exercise all five)."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int64)
+    h, w, ch = px.shape
+    bpp = max(1, ch * bit_depth // 8)
+
+    def encode_pass(sub) -> bytes:
+        raw = bytearray()
+        stride = (sub.shape[1] * ch * bit_depth + 7) // 8
+        prev = bytes(stride)
+        for y in range(sub.shape[0]):
+            cur = _pack_row(sub[y], bit_depth)
+            f = y % 5
+            raw.append(f)
+            raw += _png_filter_row(f, cur, prev, bpp)
+            prev = cur
+        return bytes(raw)
+
+    if interlace == 0:
+        raw = encode_pass(px)
+    else:
+        raw = b"".join(
+            encode_pass(px[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if px[y0::dy, x0::dx].shape[0] and px[y0::dy, x0::dx].shape[1]
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", bytes(palette))
+    out += _png_chunk(b"IDAT", zlib.compress(raw))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_png_low_bit_depth_gray_scales_exactly():
+    import numpy as np
+
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        # odd width exercises row-end bit padding
+        vals = np.arange(9 * 5).reshape(9, 5, 1) % (mx + 1)
+        dec = B._decode_gray_pixels(_encode_png_ext(vals, color_type=0, bit_depth=depth))
+        assert dec is not None, depth
+        expect = (vals[:, :, 0] * 255) // mx
+        assert np.array_equal(dec, expect), depth
+
+
+def test_png_low_bit_depth_palette():
+    import numpy as np
+
+    palette = bytes([0, 0, 0, 255, 255, 255, 200, 100, 50, 10, 20, 30])
+    idx = np.array([[0, 1, 2, 3, 2], [3, 2, 1, 0, 1]]).reshape(2, 5, 1)
+    dec = B._decode_gray_pixels(
+        _encode_png_ext(idx, color_type=3, bit_depth=2, palette=palette)
+    )
+    assert dec is not None
+    lut = [0, 255, (200 * 299 + 100 * 587 + 50 * 114) // 1000,
+           (10 * 299 + 20 * 587 + 30 * 114) // 1000]
+    expect = np.array([[lut[v] for v in row] for row in idx[:, :, 0]], dtype=np.uint8)
+    assert np.array_equal(dec, expect)
+
+
+def test_png_16bit_high_byte_reduction():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    g16 = rng.integers(0, 65536, size=(6, 7, 1))
+    dec = B._decode_gray_pixels(_encode_png_ext(g16, color_type=0, bit_depth=16))
+    assert dec is not None
+    assert np.array_equal(dec, (g16[:, :, 0] >> 8).astype(np.uint8))
+    # 16-bit RGB: luma of the high bytes
+    rgb16 = rng.integers(0, 65536, size=(3, 4, 3))
+    dec3 = B._decode_gray_pixels(_encode_png_ext(rgb16, color_type=2, bit_depth=16))
+    hi = rgb16 >> 8
+    expect = (hi[:, :, 0] * 299 + hi[:, :, 1] * 587 + hi[:, :, 2] * 114) // 1000
+    assert np.array_equal(dec3, expect.astype(np.uint8))
+
+
+def test_png_adam7_matches_noninterlaced():
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    for shape, ctype, depth in (
+        ((9, 9, 1), 0, 8),
+        ((16, 11, 3), 2, 8),
+        ((2, 2, 1), 0, 8),      # most passes empty
+        ((13, 6, 1), 0, 4),     # interlace + sub-byte packing
+        ((5, 10, 1), 0, 16),    # interlace + 16-bit
+    ):
+        mx = (1 << depth) - 1
+        px = rng.integers(0, mx + 1, size=shape)
+        flat = B._decode_gray_pixels(_encode_png_ext(px, ctype, bit_depth=depth))
+        inter = B._decode_gray_pixels(
+            _encode_png_ext(px, ctype, bit_depth=depth, interlace=1)
+        )
+        assert flat is not None and inter is not None, (shape, ctype, depth)
+        assert np.array_equal(flat, inter), (shape, ctype, depth)
+
+
+def test_png_illegal_depth_combos_return_none():
+    import numpy as np
+
+    ones = np.ones((2, 2, 3), dtype=np.int64)
+    # depth 2 RGB is illegal (low depths are gray/palette only)
+    assert B._decode_gray_pixels(_encode_png_ext(ones, 2, bit_depth=2)) is None
+    # depth 16 palette is illegal
+    idx = np.zeros((2, 2, 1), dtype=np.int64)
+    assert (
+        B._decode_gray_pixels(
+            _encode_png_ext(idx, 3, bit_depth=16, palette=bytes(6))
+        )
+        is None
+    )

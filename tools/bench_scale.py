@@ -95,6 +95,9 @@ def main() -> None:
             # operator frames survive their query otherwise) so rung N+1's
             # memory budget matches a fresh session's — 10 rungs of leaked
             # minhash shingle caches heap-OOM'd the r5 ladder before this
+            from seo_audit_etl_actor_spark.operators import pin_registry
+
+            pin_registry.drain()
             spark.catalog.clearCache()
         lx = [math.log(m) for m in ms]
         ly = [math.log(t) for t in warm]
