@@ -111,6 +111,26 @@ def test_deep_tiers_keep_recall_and_precision(spark):
         assert all(a < 1000 and b < 1000 for a, b in pairs)
 
 
+def test_tier_selection_is_hash_independent(spark, monkeypatch):
+    """VERDICT r5 task 6 contract: the BANDING_LADDER tier is chosen from
+    the corpus COUNT alone — switching hash_fn must feed choose_banding
+    the identical probe value (tier drift between audit md5 and
+    production xxhash64 would silently change recall between the two)."""
+    rows = [(i, f"some text body number {i} with shared tokens") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    seen: list[int] = []
+    orig = dedup.choose_banding
+
+    def spy(n: int):
+        seen.append(n)
+        return orig(n)
+
+    monkeypatch.setattr(dedup, "choose_banding", spy)
+    dedup.minhash_near_dup_pairs(docs, hash_fn="md5").collect()
+    dedup.minhash_near_dup_pairs(docs, hash_fn="xxhash64").collect()
+    assert len(seen) == 2 and seen[0] == seen[1] == 30
+
+
 def test_xxhash64_production_hash_variant(spark):
     """hash_fn="xxhash64" (the production swap measured ~5x faster at
     316x sf0.1) must run both near-dup pipelines end-to-end with the same
