@@ -356,3 +356,300 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 7 = 3) AS
        (SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) FROM v2) AS view_n_f_status,
        CAST(1 AS BIGINT) AS merge_equals_recompute
 """
+
+
+# ----------------------------------------------- media decode audit (r7)
+
+def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible oracle for the multimodal decode surface (VERDICT
+    r6 task 1): build a deterministic in-query fixture corpus with the
+    spec-side encoders (`multimodal/fixtures.py`), decode it through the
+    REAL Spark path (binary rows -> mapInPandas decoders in
+    `multimodal/binary_ops.py`), and emit a one-row BIGINT summary whose
+    every value the DuckDB oracle states as a spec-predicted constant.
+    If any decoder drifts — PNG unfiltering, palette lookup, 16-bit
+    reduction, Adam7 reassembly, JPEG Huffman/IDCT, BT.601 luma, WAV
+    PCM math, the MP4 box walk — some integer here moves and the driver
+    hash-mismatches.
+
+    Image fixtures (id = weight in the checksum; thumb is the exact
+    8x8 integer area-mean from `_area_mean_thumb`, so each thumb sum is
+    derivable by hand):
+
+      1 bmp_flat   16x16 BGR(100,150,200): luma=(200*299+150*587+100*114)
+                   //1000 = 159 -> thumb sum 64*159      = 10176
+      2 pgm_grad   8x8 pixel=y*8+x: thumb = pixels       ->  2016
+      3 ppm_flat   4x4 RGB(10,20,30): luma=18            ->  64*18 = 1152
+      4 png_g8     8x8 gray8 pixel=(y*8+x)*2             ->  4032
+      5 png_pal4   8x8 palette(4-bit) all idx 3, PLTE[3]=(60,120,180):
+                   luma=108                              ->  64*108 = 6912
+      6 png_16b    8x8 gray16 value 0xAB12 -> high byte 171 -> 10944
+      7 png_adam7  8x8 gray8 Adam7 pixel=(y+x)*4         ->  1792
+      8 jpeg_flat  16x16 baseline flat 77 (q=1: DC-only, exact) -> 4928
+      9 png_trunc  fixture 4 minus its last 30 bytes: structurally
+                   corrupt -> real_decode=false, excluded from checksum
+
+      thumb_checksum = sum(id * thumb_sum over real decodes)
+                     = 1*10176 + 2*2016 + 3*1152 + 4*4032 + 5*6912
+                       + 6*10944 + 7*1792 + 8*4928 = 185984
+
+    Audio fixture: 16-bit PCM WAV, 8000 Hz mono, 8000 samples
+    alternating +1000/-1000: rms_q = isqrt(8000*1000^2 // 8000) = 1000,
+    zero_crossings = 7999, duration = 1000 ms.
+
+    Video fixture: ISO-BMFF with mvhd v1 + largesize moov (the 64-bit
+    layouts), timescale 90000, duration 315000 -> 3500 ms, two traks
+    (avc1 640x360 video + mp4a audio).
+
+    Scale: the fixtures are a 11-blob local relation by construction —
+    the exercised path (binaryFile-shaped rows -> Arrow-batched
+    mapInPandas -> fixed-width typed columns) is exactly the 100 TB
+    plan of decode_image_thumbs/decode_audio_meta/decode_video_meta.
+    """
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal import binary_ops as B
+    from seo_audit_etl_actor_spark.multimodal import fixtures as FX
+
+    grad8 = np.add.outer(np.arange(8) * 8, np.arange(8))  # y*8+x
+    png_g8 = FX.encode_png((grad8 * 2)[:, :, None], color_type=0)
+    palette = bytes(v for i in range(4) for v in (i * 20, i * 40, i * 60))
+    assert palette[9:12] == bytes((60, 120, 180))  # PLTE[3]
+    images = [
+        ("1_bmp_flat.bmp", FX.encode_bmp24(16, 16, [bytes([100, 150, 200]) * 16] * 16)),
+        ("2_pgm_grad.pgm", FX.encode_pgm(8, 8, grad8.astype(np.uint8).tobytes())),
+        ("3_ppm_flat.ppm", FX.encode_ppm(4, 4, bytes([10, 20, 30]) * 16)),
+        ("4_png_g8.png", png_g8),
+        (
+            "5_png_pal4.png",
+            FX.encode_png(
+                np.full((8, 8, 1), 3), color_type=3, bit_depth=4, palette=palette
+            ),
+        ),
+        ("6_png_16b.png", FX.encode_png(np.full((8, 8, 1), 0xAB12), color_type=0, bit_depth=16)),
+        (
+            "7_png_adam7.png",
+            FX.encode_png(
+                (np.add.outer(np.arange(8), np.arange(8)) * 4)[:, :, None],
+                color_type=0,
+                interlace=1,
+            ),
+        ),
+        ("8_jpeg_flat.jpg", FX.encode_jpeg(np.full((16, 16), 77, dtype=np.uint8))[0]),
+        ("9_png_trunc.png", png_g8[:-30]),
+    ]
+    img_df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b in images], "path string, content binary"
+    )
+    thumbs = B.decode_image_thumbs(img_df)
+    weight = F.regexp_extract("path", r"^(\d+)_", 1).cast("long")
+    img_row = thumbs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("real_decode").cast("long")).alias("n_real"),
+        F.sum(
+            F.when(
+                F.col("real_decode"),
+                weight * F.aggregate("thumb", F.lit(0).cast("long"), lambda a, x: a + x),
+            ).otherwise(F.lit(0))
+        ).alias("checksum"),
+    ).collect()[0]
+
+    samples = np.where(np.arange(8000) % 2 == 0, 1000, -1000).astype("<i2")
+    wav_df = spark.createDataFrame(
+        [("a.wav", bytearray(FX.encode_wav(8000, 1, samples)))],
+        "path string, content binary",
+    )
+    wav = B.decode_audio_meta(wav_df).collect()[0]
+
+    mp4_df = spark.createDataFrame(
+        [
+            (
+                "v.mp4",
+                bytearray(
+                    FX.encode_mp4(
+                        timescale=90000, duration=315000, mvhd_version=1, largesize_moov=True
+                    )
+                ),
+            )
+        ],
+        "path string, content binary",
+    )
+    vid = B.decode_video_meta(mp4_df).collect()[0]
+
+    row = (
+        int(img_row["n"]),
+        int(img_row["n_real"]),
+        int(img_row["checksum"]),
+        int(wav["rms_q"]),
+        int(wav["zero_crossings"]),
+        int(wav["duration_ms"]),
+        int(wav["n_samples"]),
+        int(bool(wav["real_decode"])),
+        int(vid["duration_ms"]),
+        int(vid["n_tracks"]),
+        int(vid["width"]) * 100000 + int(vid["height"]),
+        int(bool(vid["real_decode"])),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_images long, n_image_real long, thumb_checksum long, "
+        "wav_rms_q long, wav_zero_crossings long, wav_duration_ms long, "
+        "wav_n_samples long, wav_real long, mp4_duration_ms long, "
+        "mp4_n_tracks long, mp4_dims long, mp4_real long",
+    )
+
+
+SQL_MEDIA_DECODE_AUDIT = """
+SELECT CAST(9 AS BIGINT)      AS n_images,
+       CAST(8 AS BIGINT)      AS n_image_real,
+       CAST(185984 AS BIGINT) AS thumb_checksum,
+       CAST(1000 AS BIGINT)   AS wav_rms_q,
+       CAST(7999 AS BIGINT)   AS wav_zero_crossings,
+       CAST(1000 AS BIGINT)   AS wav_duration_ms,
+       CAST(8000 AS BIGINT)   AS wav_n_samples,
+       CAST(1 AS BIGINT)      AS wav_real,
+       CAST(3500 AS BIGINT)   AS mp4_duration_ms,
+       CAST(2 AS BIGINT)      AS mp4_n_tracks,
+       CAST(64000360 AS BIGINT) AS mp4_dims,
+       CAST(1 AS BIGINT)      AS mp4_real
+"""
+
+
+# ------------------------------------------------- ZIP source audit (r7)
+
+def q_zip_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible oracle for the at-scale ZIP surface (VERDICT r6
+    task 5): build a deterministic 4-archive corpus on temp disk covering
+    every degrade status the walker emits (reference semantics
+    src/etl.js:81-87,102-108,184-213), explode it BOTH ways — the
+    binaryFile+mapInPandas path (`sources/zip_distributed.py`) AND the
+    Spark 4 `zipentries` DataSource (`sources/zip_datasource.py`) — and
+    emit a one-row BIGINT summary plus a paths-agree flag. Every constant
+    is stated by the oracle from the corpus construction:
+
+      a.zip  k1.csv = b'a'*100 (ok), k2.csv = b'b'*50 (ok),
+             nested.zip -> inner/x.csv = b'c'*30, y.txt = b'd'*20
+             (both ok, is_nested)
+      b.zip  only.csv = b'e'*10 (ok); bad.zip = b'PK\\x03\\x04'+b'f'*36
+             (claims to be an archive, isn't -> nested_unreadable,
+             raw 40 bytes surfaced)
+      c.zip  b'g'*25, no PK magic -> not_a_zip (payload kept for debug)
+      d.zip  good.csv = b'h'*15 (ok, STORED); bad.csv stored member with
+             one payload byte flipped post-write -> CRC mismatch ->
+             entry_unreadable (content/size null)
+
+      rows 9; ok 6; nested 2; not_a_zip 1; nested_unreadable 1;
+      entry_unreadable 1;
+      sum_entry_size = 100+50+30+20+10+40+25+15        = 290
+      byte_sum (sum of all content bytes)
+        = 97*100 + 98*50 + 99*30 + 100*20 + 101*10
+          + (80+75+3+4 + 102*36) + 103*25 + 104*15     = 28549
+
+    Scale: both exercised paths are the 100 TB plan — map-only entry
+    expansion with per-file degradation (one poison blob can't kill the
+    job), one task per archive in the DataSource form.
+    """
+    import shutil
+    import tempfile
+    import zipfile
+
+    from seo_audit_etl_actor_spark.sources.zip_datasource import register_zip_datasource
+    from seo_audit_etl_actor_spark.sources.zip_distributed import explode_zip_entries
+
+    def _zinfo(name: str) -> zipfile.ZipInfo:
+        return zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+
+    def _make_zip(entries: list[tuple[str, bytes]]) -> bytes:
+        import io
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+            for name, data in entries:
+                zf.writestr(_zinfo(name), data)
+        return buf.getvalue()
+
+    inner = _make_zip([("inner/x.csv", b"c" * 30), ("y.txt", b"d" * 20)])
+    corrupt_payload = b"CORRUPT-MEMBER!"  # 15 bytes, stored uncompressed
+    d_blob = bytearray(
+        _make_zip([("good.csv", b"h" * 15), ("bad.csv", corrupt_payload)])
+    )
+    at = d_blob.index(corrupt_payload)
+    d_blob[at] ^= 0xFF  # flip one stored byte -> CRC mismatch on read
+    corpus = {
+        "a.zip": _make_zip(
+            [("k1.csv", b"a" * 100), ("k2.csv", b"b" * 50), ("nested.zip", inner)]
+        ),
+        "b.zip": _make_zip(
+            [("only.csv", b"e" * 10), ("bad.zip", b"PK\x03\x04" + b"f" * 36)]
+        ),
+        "c.zip": b"g" * 25,
+        "d.zip": bytes(d_blob),
+    }
+    tmp = tempfile.mkdtemp(prefix="spark_graft_zip_audit_")
+    try:
+        import os
+
+        for name, blob in corpus.items():
+            with open(os.path.join(tmp, name), "wb") as fh:
+                fh.write(blob)
+
+        register_zip_datasource(spark)
+        via_ds = spark.read.format("zipentries").load(tmp)
+        via_map = explode_zip_entries(
+            spark.read.format("binaryFile").load(tmp).selectExpr(
+                "path", "content"
+            )
+        )
+
+        base = F.element_at(F.split("zip_path", "/"), -1).alias("zip")
+        # entry_name is NULL for not_a_zip rows; NULL equi-join keys never
+        # match, so coalesce to a sentinel for the comparison join only
+        ekey = F.coalesce("entry_name", F.lit("<none>")).alias("ekey")
+        key = ["zip", "ekey"]
+        a = via_ds.select(base, ekey, "entry_name", "is_nested", "entry_size", "content", "status")
+        b = via_map.select(base, ekey, "entry_name", "is_nested", "entry_size", "content", "status")
+        joined = a.alias("a").join(b.alias("b"), key, "full_outer")
+        same = F.lit(True)
+        for c in ("entry_name", "is_nested", "entry_size", "content", "status"):
+            same = same & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        n_diff = joined.where(~same).count()
+
+        rows = a.collect()
+        byte_sum = sum(
+            sum(bytes(r["content"])) for r in rows if r["content"] is not None
+        )
+        n_status = {}
+        for r in rows:
+            n_status[r["status"]] = n_status.get(r["status"], 0) + 1
+        row = (
+            len(rows),
+            n_status.get("ok", 0),
+            sum(1 for r in rows if r["is_nested"]),
+            n_status.get("not_a_zip", 0),
+            n_status.get("nested_unreadable", 0),
+            n_status.get("entry_unreadable", 0),
+            sum(r["entry_size"] for r in rows if r["entry_size"] is not None),
+            byte_sum,
+            1 if n_diff == 0 else 0,
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_rows long, n_ok long, n_nested long, n_not_a_zip long, "
+            "n_nested_unreadable long, n_entry_unreadable long, "
+            "sum_entry_size long, byte_sum long, ds_equals_mapinpandas long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_ZIP_SOURCE_AUDIT = """
+SELECT CAST(9 AS BIGINT)     AS n_rows,
+       CAST(6 AS BIGINT)     AS n_ok,
+       CAST(2 AS BIGINT)     AS n_nested,
+       CAST(1 AS BIGINT)     AS n_not_a_zip,
+       CAST(1 AS BIGINT)     AS n_nested_unreadable,
+       CAST(1 AS BIGINT)     AS n_entry_unreadable,
+       CAST(290 AS BIGINT)   AS sum_entry_size,
+       CAST(28549 AS BIGINT) AS byte_sum,
+       CAST(1 AS BIGINT)     AS ds_equals_mapinpandas
+"""

@@ -36,154 +36,158 @@ class QuerySpec:
 
 
 # ORDERING IS PART OF THE DRIVER CONTRACT: the correctness driver snapshots
-# only the FIRST 50 entries of this list. Rules:
+# only the FIRST 50 entries of this list. Rules (r7 revision — freshness
+# now dominates):
 #   1. NEW queries are ALWAYS inserted at the TOP of the list (they have no
 #      driver evidence yet and must land inside the 50-entry window).
 #   2. Queries without a green CORRECTNESS row in any round come next.
-#   3. Queries with exactly one round of green evidence follow.
-#   4. Queries green in 2+ rounds sit at the bottom; rotating out of the
-#      window costs them nothing.
+#   3. The remaining window slots go to the STALEST evidence first
+#      (ascending latest-green round, then ascending green-round count),
+#      so no query's newest green row ever ages past two rounds —
+#      enforced by tests/test_catalog_order.py::test_no_stale_evidence.
+#   4. Queries with the freshest evidence sit at the bottom; rotating out
+#      of the window costs them nothing.
 # Never append below position 50 — that silently exempts the entry from the
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
-    # --- round-6 additions (no driver evidence yet): the lake/MV
-    # merge==recompute audit and the streaming stream==batch differential
-    # graduate those surfaces from local-only evidence. ---
+    # --- round-7 additions (no driver evidence yet): the multimodal decode
+    # audit, the dual-path ZIP source audit, and the two remaining
+    # streaming differentials (curation funnel, Misra-Gries heavy hitters).
+    QuerySpec("media_decode_audit", ax.q_media_decode_audit, ax.SQL_MEDIA_DECODE_AUDIT),
+    QuerySpec("zip_source_audit", ax.q_zip_source_audit, ax.SQL_ZIP_SOURCE_AUDIT),
+    QuerySpec("streaming_curation_differential", stx.q_streaming_curation_differential, stx.SQL_STREAMING_CURATION_DIFFERENTIAL),
+    QuerySpec("streaming_heavyhitters_differential", stx.q_streaming_heavyhitters_differential, stx.SQL_STREAMING_HEAVYHITTERS_DIFFERENTIAL),
+    # --- round-7 rotation: stalest evidence first (r3 -> r4 -> oldest r5).
+    # After this round no entry's latest green row is older than r5.
+    # --- latest green: r3 ---
+    QuerySpec("token_rarity_stats", px.q_token_rarity_stats, px.SQL_TOKEN_RARITY_STATS),
+    # --- latest green: r4 ---
+    QuerySpec("approx_distinct_users_prod", ext.q_approx_distinct_users_prod, None),
+    QuerySpec("bigram_lm_scores", px.q_bigram_lm_scores, px.SQL_BIGRAM_LM_SCORES),
+    QuerySpec("tpch_q18_large_volume_customer", rel.q_tpch_q18_large_volume_customer, rel.SQL_TPCH_Q18_LARGE_VOLUME_CUSTOMER),
+    QuerySpec("tpch_q19_discounted_revenue", tq.q_tpch_q19_discounted_revenue, tq.SQL_TPCH_Q19_DISCOUNTED_REVENUE),
+    QuerySpec("tpch_q20_potential_promotion", tq.q_tpch_q20_potential_promotion, tq.SQL_TPCH_Q20_POTENTIAL_PROMOTION),
+    QuerySpec("tpch_q21_waiting_supplier", rel.q_tpch_q21_waiting_supplier, rel.SQL_TPCH_Q21_WAITING_SUPPLIER),
+    QuerySpec("tpch_q22_sales_opportunity", tq.q_tpch_q22_sales_opportunity, tq.SQL_TPCH_Q22_SALES_OPPORTUNITY),
+    QuerySpec("accumulate_union", r.q_accumulate_union, r.SQL_ACCUMULATE_UNION),
+    QuerySpec("avg_domain_rating", r.q_avg_domain_rating, r.SQL_AVG_DOMAIN_RATING),
+    QuerySpec("cosine_topk_bruteforce", ext.q_cosine_topk_bruteforce, ext.SQL_COSINE_TOPK),
+    QuerySpec("coverage_weighted_score", r.q_coverage_weighted_score, r.SQL_COVERAGE_WEIGHTED_SCORE),
+    QuerySpec("cwv_pass_rate", r.q_cwv_pass_rate, r.SQL_CWV_PASS_RATE),
+    QuerySpec("doc_quality_by_source", ext.q_doc_quality_by_source, ext.SQL_DOC_QUALITY_BY_SOURCE),
+    QuerySpec("exact_dedup_stats", ext.q_exact_dedup_stats, ext.SQL_EXACT_DEDUP_STATS),
+    QuerySpec("first_and_collect", r.q_first_and_collect, r.SQL_FIRST_AND_COLLECT),
+    QuerySpec("keyword_position_buckets", r.q_keyword_position_buckets, r.SQL_KEYWORD_POSITION_BUCKETS),
+    QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),
+    QuerySpec("liveness_ratio", r.q_liveness_ratio, r.SQL_LIVENESS_RATIO),
+    QuerySpec("ngram_jaccard_sample", ext.q_ngram_jaccard_sample, ext.SQL_NGRAM_JACCARD_SAMPLE),
+    QuerySpec("numeric_coercion", r.q_numeric_coercion, r.SQL_NUMERIC_COERCION),
+    QuerySpec("p75_nearest_rank", r.q_p75_nearest_rank, r.SQL_P75_NEAREST_RANK),
+    QuerySpec("pages_total_coalesce", r.q_pages_total_coalesce, r.SQL_PAGES_TOTAL_COALESCE),
+    QuerySpec("price_band_theta_join", rel.q_price_band_theta_join, rel.SQL_PRICE_BAND_THETA_JOIN),
+    QuerySpec("ratio_high_value", r.q_ratio_high_value, r.SQL_RATIO_HIGH_VALUE),
+    QuerySpec("simhash_fingerprints", ext.q_simhash_fingerprints, ext.SQL_SIMHASH_FINGERPRINTS),
+    QuerySpec("status_code_bands", r.q_status_code_bands, r.SQL_STATUS_CODE_BANDS),
+    # --- latest green: r5 ---
+    QuerySpec("chunk_text_extraction", ax.q_chunk_text_extraction, ax.SQL_CHUNK_TEXT_EXTRACTION),
+    QuerySpec("ffd_packing_audit", ax.q_ffd_packing_audit, ax.SQL_FFD_PACKING_AUDIT),
+    QuerySpec("table_profile_audit", ax.q_table_profile_audit, ax.SQL_TABLE_PROFILE_AUDIT),
+    QuerySpec( "token_budget_apportionment", px.q_token_budget_apportionment, px.SQL_TOKEN_BUDGET_APPORTIONMENT, ),
+    QuerySpec("balance_outliers", qx.q_balance_outliers, qx.SQL_BALANCE_OUTLIERS),
+    QuerySpec("bpe_pair_stats", px.q_bpe_pair_stats, px.SQL_BPE_PAIR_STATS),
+    QuerySpec("conversion_funnel", ev.q_conversion_funnel, ev.SQL_CONVERSION_FUNNEL),
+    QuerySpec("cosine_topk_rerank", ext.q_cosine_topk_rerank, ext.SQL_COSINE_TOPK_RERANK),
+    QuerySpec("data_quality_checks", qx.q_data_quality_checks, qx.SQL_DATA_QUALITY_CHECKS),
+    QuerySpec("dedup_within_window", ev.q_dedup_within_window, ev.SQL_DEDUP_WITHIN_WINDOW),
+    QuerySpec("embedding_near_dup_ivf", ext.q_embedding_near_dup_ivf, ext.SQL_EMBEDDING_NEAR_DUP_IVF),
+    QuerySpec("event_rate_anomalies", ev.q_event_rate_anomalies, ev.SQL_EVENT_RATE_ANOMALIES),
+    QuerySpec("event_transitions", ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
+    QuerySpec("fuzzy_name_pairs", qx.q_fuzzy_name_pairs, qx.SQL_FUZZY_NAME_PAIRS),
+    QuerySpec("gap_fill_hourly", ev.q_gap_fill_hourly, ev.SQL_GAP_FILL_HOURLY),
+    QuerySpec("heavy_hitter_tokens", sx.q_heavy_hitter_tokens, sx.SQL_HEAVY_HITTER_TOKENS),
+    QuerySpec("incremental_admission", px.q_incremental_admission, px.SQL_INCREMENTAL_ADMISSION),
+    QuerySpec("incremental_agg_merge", sx.q_incremental_agg_merge, sx.SQL_INCREMENTAL_AGG_MERGE),
+    QuerySpec("json_props_stats", ev.q_json_props_stats, ev.SQL_JSON_PROPS_STATS),
+    # ==================== driver window edge (position 50) ====================
+    # --- fresh evidence below (r5/r6 greens, rotating back in later rounds) ---
+    QuerySpec("length_bucket_packing", px.q_length_bucket_packing, px.SQL_LENGTH_BUCKET_PACKING),
+    QuerySpec("median_bound_check", sx.q_median_bound_check, sx.SQL_MEDIAN_BOUND_CHECK),
+    QuerySpec("nation_pagerank", sx.q_nation_pagerank, sx.SQL_NATION_PAGERANK),
+    QuerySpec("passage_dedup_stats", px.q_passage_dedup_stats, px.SQL_PASSAGE_DEDUP_STATS),
+    QuerySpec("quantity_price_regression", qx.q_quantity_price_regression, qx.SQL_QUANTITY_PRICE_REGRESSION),
+    QuerySpec("source_mixing_weights", px.q_source_mixing_weights, px.SQL_SOURCE_MIXING_WEIGHTS),
+    QuerySpec("tpch_q1_pricing_summary", rel.q_tpch_q1_pricing_summary, rel.SQL_TPCH_Q1_PRICING_SUMMARY),
+    QuerySpec("tpch_q3_shipping_priority", rel.q_tpch_q3_shipping_priority, rel.SQL_TPCH_Q3_SHIPPING_PRIORITY),
+    QuerySpec("weekly_retention_cohorts", ev.q_weekly_retention_cohorts, ev.SQL_WEEKLY_RETENTION_COHORTS),
+    QuerySpec("above_nation_avg_balance", rs.q_above_nation_avg_balance, rs.SQL_ABOVE_NATION_AVG_BALANCE),
+    QuerySpec("asof_join_enrichment", rel.q_asof_join_enrichment, rel.SQL_ASOF_JOIN_ENRICHMENT),
+    QuerySpec("cube_order_stats", rel.q_cube_order_stats, rel.SQL_CUBE_ORDER_STATS),
+    QuerySpec("event_promo_windows", rs.q_event_promo_windows, rs.SQL_EVENT_PROMO_WINDOWS),
+    QuerySpec("grouping_sets_supplier", rel.q_grouping_sets_supplier, rel.SQL_GROUPING_SETS_SUPPLIER),
+    QuerySpec("hourly_event_windows", rel.q_hourly_event_windows, rel.SQL_HOURLY_EVENT_WINDOWS),
+    QuerySpec("monthly_order_stats", rel.q_monthly_order_stats, rel.SQL_MONTHLY_ORDER_STATS),
+    QuerySpec("pivot_status_priority", rs.q_pivot_status_priority, rs.SQL_PIVOT_STATUS_PRIORITY),
+    QuerySpec("price_histogram", rs.q_price_histogram, rs.SQL_PRICE_HISTOGRAM),
+    QuerySpec("price_percentiles", rel.q_price_percentiles, rel.SQL_PRICE_PERCENTILES),
+    QuerySpec("revenue_by_nation", rel.q_revenue_by_nation, rel.SQL_REVENUE_BY_NATION),
+    QuerySpec("rollup_region_nation", rel.q_rollup_region_nation, rel.SQL_ROLLUP_REGION_NATION),
+    QuerySpec("running_order_totals", rel.q_running_order_totals, rel.SQL_RUNNING_ORDER_TOTALS),
+    QuerySpec("semi_anti_customers", rel.q_semi_anti_customers, rel.SQL_SEMI_ANTI_CUSTOMERS),
+    QuerySpec("sessionize_events", rs.q_sessionize_events, rs.SQL_SESSIONIZE_EVENTS),
+    QuerySpec("set_ops_customers", rel.q_set_ops_customers, rel.SQL_SET_OPS_CUSTOMERS),
+    QuerySpec("topk_parts_per_brand", rel.q_topk_parts_per_brand, rel.SQL_TOPK_PARTS_PER_BRAND),
+    QuerySpec("unpivot_lineitem_metrics", rs.q_unpivot_lineitem_metrics, rs.SQL_UNPIVOT_LINEITEM_METRICS),
+    QuerySpec("user_event_deltas", rel.q_user_event_deltas, rel.SQL_USER_EVENT_DELTAS),
     QuerySpec("mv_merge_audit", ax.q_mv_merge_audit, ax.SQL_MV_MERGE_AUDIT),
     QuerySpec("streaming_anomaly_differential", stx.q_streaming_anomaly_differential, stx.SQL_STREAMING_ANOMALY_DIFFERENTIAL),
-    # --- round-6 rotation (VERDICT r5 task 1): the 24 queries whose
-    # latest driver evidence is r3 — after this round no entry's green
-    # evidence is older than r4. ---
-    QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
-    QuerySpec("hash_split_stats", ext.q_hash_split_stats, ext.SQL_HASH_SPLIT_STATS),
-    QuerySpec("stratified_sample_stats", ext.q_stratified_sample_stats, ext.SQL_STRATIFIED_SAMPLE_STATS),
-    QuerySpec("chunk_stats", ext.q_chunk_stats, ext.SQL_CHUNK_STATS),
-    QuerySpec("packing_stats", ext.q_packing_stats, ext.SQL_PACKING_STATS),
-    QuerySpec("tfidf_top_terms", ext.q_tfidf_top_terms, ext.SQL_TFIDF_TOP_TERMS),
-    QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),
     QuerySpec("approx_distinct_users", ext.q_approx_distinct_users, ext.SQL_APPROX_DISTINCT_USERS),
-    QuerySpec("cosine_topk_lsh", ext.q_cosine_topk_lsh, ext.SQL_COSINE_TOPK_LSH),
-    QuerySpec("doc_fingerprints", ext.q_doc_fingerprints, ext.SQL_DOC_FINGERPRINTS),
-    QuerySpec("token_histogram", ext.q_token_histogram, ext.SQL_TOKEN_HISTOGRAM),
-    QuerySpec("dedup_keep_first", ext.q_dedup_keep_first, ext.SQL_DEDUP_KEEP_FIRST),
-    QuerySpec("embedding_near_dup", ext.q_embedding_near_dup, ext.SQL_EMBEDDING_NEAR_DUP),
-    QuerySpec("skewsafe_distinct_users", ext.q_skewsafe_distinct_users, ext.SQL_SKEWSAFE_DISTINCT_USERS),
-    QuerySpec("bpe_token_stats", ext.q_bpe_token_stats, ext.SQL_BPE_TOKEN_STATS),
-    QuerySpec("contamination_by_source", ext.q_contamination_by_source, ext.SQL_CONTAMINATION_BY_SOURCE),
-    QuerySpec("repetition_stats", ext.q_repetition_stats, ext.SQL_REPETITION_STATS),
-    QuerySpec("vocab_oov_stats", ext.q_vocab_oov_stats, ext.SQL_VOCAB_OOV_STATS),
-    QuerySpec("customer_rank_stats", rel.q_customer_rank_stats, rel.SQL_CUSTOMER_RANK_STATS),
-    QuerySpec("trailing_hour_value", rel.q_trailing_hour_value, rel.SQL_TRAILING_HOUR_VALUE),
-    QuerySpec("order_count_distribution", rel.q_order_count_distribution, rel.SQL_ORDER_COUNT_DISTRIBUTION),
-    QuerySpec("part_cooccurrence", rel.q_part_cooccurrence, rel.SQL_PART_COOCCURRENCE),
-    QuerySpec("segment_user_reconciliation", rel.q_segment_user_reconciliation, rel.SQL_SEGMENT_USER_RECONCILIATION),
-    QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
-    # --- r6-changed code: operators/dedup.py gained the probe-count
-    # cache and pin-registry release path this round — its consumers
-    # get fresh driver evidence. ---
-    QuerySpec("minhash_near_dup", ext.q_minhash_near_dup, ext.SQL_MINHASH_NEAR_DUP),
-    QuerySpec("near_dup_clusters", ext.q_near_dup_clusters, ext.SQL_NEAR_DUP_CLUSTERS),
-    QuerySpec("simhash_near_dup", ext.q_simhash_near_dup, ext.SQL_SIMHASH_NEAR_DUP),
-    # --- oldest-evidence fill: r4-green entries up to the window edge
-    # (the remaining r4 block rotates in r7). ---
-    QuerySpec("gopher_quality_rules", cx.q_gopher_quality_rules, cx.SQL_GOPHER_QUALITY_RULES),
-    QuerySpec("dup_ngram_span_ratio", cx.q_dup_ngram_span_ratio, cx.SQL_DUP_NGRAM_SPAN_RATIO),
-    QuerySpec("embedding_quantization_error", cx.q_embedding_quantization_error, cx.SQL_EMBEDDING_QUANTIZATION_ERROR),
-    QuerySpec("embedding_centroid_outliers", cx.q_embedding_centroid_outliers, cx.SQL_EMBEDDING_CENTROID_OUTLIERS),
+    QuerySpec("chunk_stats", ext.q_chunk_stats, ext.SQL_CHUNK_STATS),
+    QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),
+    QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
     QuerySpec("dsir_importance_weights", cx.q_dsir_importance_weights, cx.SQL_DSIR_IMPORTANCE_WEIGHTS),
+    QuerySpec("dup_ngram_span_ratio", cx.q_dup_ngram_span_ratio, cx.SQL_DUP_NGRAM_SPAN_RATIO),
+    QuerySpec("embedding_centroid_outliers", cx.q_embedding_centroid_outliers, cx.SQL_EMBEDDING_CENTROID_OUTLIERS),
+    QuerySpec("embedding_quantization_error", cx.q_embedding_quantization_error, cx.SQL_EMBEDDING_QUANTIZATION_ERROR),
+    QuerySpec("gopher_quality_rules", cx.q_gopher_quality_rules, cx.SQL_GOPHER_QUALITY_RULES),
+    QuerySpec("hash_split_stats", ext.q_hash_split_stats, ext.SQL_HASH_SPLIT_STATS),
+    QuerySpec("packing_stats", ext.q_packing_stats, ext.SQL_PACKING_STATS),
     QuerySpec("sparse_retrieval_topk", cx.q_sparse_retrieval_topk, cx.SQL_SPARSE_RETRIEVAL_TOPK),
-    QuerySpec("tpch_q2_min_cost_supplier", tq.q_tpch_q2_min_cost_supplier, tq.SQL_TPCH_Q2_MIN_COST_SUPPLIER),
-    QuerySpec("tpch_q11_important_stock", tq.q_tpch_q11_important_stock, tq.SQL_TPCH_Q11_IMPORTANT_STOCK),
-    QuerySpec("tpch_q4_order_priority", tq.q_tpch_q4_order_priority, tq.SQL_TPCH_Q4_ORDER_PRIORITY),
-    QuerySpec("tpch_q5_local_supplier_volume", tq.q_tpch_q5_local_supplier_volume, tq.SQL_TPCH_Q5_LOCAL_SUPPLIER_VOLUME),
-    QuerySpec("tpch_q6_forecast_revenue", tq.q_tpch_q6_forecast_revenue, tq.SQL_TPCH_Q6_FORECAST_REVENUE),
-    QuerySpec("tpch_q7_volume_shipping", tq.q_tpch_q7_volume_shipping, tq.SQL_TPCH_Q7_VOLUME_SHIPPING),
-    QuerySpec("tpch_q8_market_share", tq.q_tpch_q8_market_share, tq.SQL_TPCH_Q8_MARKET_SHARE),
-    QuerySpec("tpch_q9_product_type_profit", tq.q_tpch_q9_product_type_profit, tq.SQL_TPCH_Q9_PRODUCT_TYPE_PROFIT),
+    QuerySpec("stratified_sample_stats", ext.q_stratified_sample_stats, ext.SQL_STRATIFIED_SAMPLE_STATS),
+    QuerySpec("tfidf_top_terms", ext.q_tfidf_top_terms, ext.SQL_TFIDF_TOP_TERMS),
     QuerySpec("tpch_q10_returned_items", tq.q_tpch_q10_returned_items, tq.SQL_TPCH_Q10_RETURNED_ITEMS),
+    QuerySpec("tpch_q11_important_stock", tq.q_tpch_q11_important_stock, tq.SQL_TPCH_Q11_IMPORTANT_STOCK),
     QuerySpec("tpch_q12_ship_priority_classes", tq.q_tpch_q12_ship_priority_classes, tq.SQL_TPCH_Q12_SHIP_PRIORITY_CLASSES),
     QuerySpec("tpch_q13_customer_distribution", tq.q_tpch_q13_customer_distribution, tq.SQL_TPCH_Q13_CUSTOMER_DISTRIBUTION),
     QuerySpec("tpch_q14_promo_effect", tq.q_tpch_q14_promo_effect, tq.SQL_TPCH_Q14_PROMO_EFFECT),
     QuerySpec("tpch_q15_top_supplier", tq.q_tpch_q15_top_supplier, tq.SQL_TPCH_Q15_TOP_SUPPLIER),
     QuerySpec("tpch_q16_parts_supplier_relationship", tq.q_tpch_q16_parts_supplier_relationship, tq.SQL_TPCH_Q16_PARTS_SUPPLIER_RELATIONSHIP),
     QuerySpec("tpch_q17_small_quantity_revenue", tq.q_tpch_q17_small_quantity_revenue, tq.SQL_TPCH_Q17_SMALL_QUANTITY_REVENUE),
-    # ==================== driver window edge (position 50) ====================
-    # --- r4-green remainder (rotates into the r7 window) ---
-    QuerySpec("tpch_q19_discounted_revenue", tq.q_tpch_q19_discounted_revenue, tq.SQL_TPCH_Q19_DISCOUNTED_REVENUE),
-    QuerySpec("tpch_q20_potential_promotion", tq.q_tpch_q20_potential_promotion, tq.SQL_TPCH_Q20_POTENTIAL_PROMOTION),
-    QuerySpec("tpch_q22_sales_opportunity", tq.q_tpch_q22_sales_opportunity, tq.SQL_TPCH_Q22_SALES_OPPORTUNITY),
-    QuerySpec("bigram_lm_scores", px.q_bigram_lm_scores, px.SQL_BIGRAM_LM_SCORES),
-    QuerySpec("tpch_q18_large_volume_customer", rel.q_tpch_q18_large_volume_customer, rel.SQL_TPCH_Q18_LARGE_VOLUME_CUSTOMER),
-    QuerySpec("tpch_q21_waiting_supplier", rel.q_tpch_q21_waiting_supplier, rel.SQL_TPCH_Q21_WAITING_SUPPLIER),
-    QuerySpec("approx_distinct_users_prod", ext.q_approx_distinct_users_prod, None),
-    QuerySpec("price_band_theta_join", rel.q_price_band_theta_join, rel.SQL_PRICE_BAND_THETA_JOIN),
-    QuerySpec("simhash_fingerprints", ext.q_simhash_fingerprints, ext.SQL_SIMHASH_FINGERPRINTS),
-    QuerySpec("keyword_position_buckets", r.q_keyword_position_buckets, r.SQL_KEYWORD_POSITION_BUCKETS),
-    QuerySpec("numeric_coercion", r.q_numeric_coercion, r.SQL_NUMERIC_COERCION),
-    QuerySpec("status_code_bands", r.q_status_code_bands, r.SQL_STATUS_CODE_BANDS),
-    QuerySpec("pages_total_coalesce", r.q_pages_total_coalesce, r.SQL_PAGES_TOTAL_COALESCE),
-    QuerySpec("avg_domain_rating", r.q_avg_domain_rating, r.SQL_AVG_DOMAIN_RATING),
-    QuerySpec("ratio_high_value", r.q_ratio_high_value, r.SQL_RATIO_HIGH_VALUE),
-    QuerySpec("p75_nearest_rank", r.q_p75_nearest_rank, r.SQL_P75_NEAREST_RANK),
-    QuerySpec("first_and_collect", r.q_first_and_collect, r.SQL_FIRST_AND_COLLECT),
-    QuerySpec("accumulate_union", r.q_accumulate_union, r.SQL_ACCUMULATE_UNION),
-    QuerySpec("liveness_ratio", r.q_liveness_ratio, r.SQL_LIVENESS_RATIO),
-    QuerySpec("cwv_pass_rate", r.q_cwv_pass_rate, r.SQL_CWV_PASS_RATE),
-    QuerySpec("coverage_weighted_score", r.q_coverage_weighted_score, r.SQL_COVERAGE_WEIGHTED_SCORE),
-    QuerySpec("exact_dedup_stats", ext.q_exact_dedup_stats, ext.SQL_EXACT_DEDUP_STATS),
-    QuerySpec("ngram_jaccard_sample", ext.q_ngram_jaccard_sample, ext.SQL_NGRAM_JACCARD_SAMPLE),
-    QuerySpec("cosine_topk_bruteforce", ext.q_cosine_topk_bruteforce, ext.SQL_COSINE_TOPK),
-    QuerySpec("lang_id_confusion", ext.q_lang_id_confusion, ext.SQL_LANG_ID_CONFUSION),
-    QuerySpec("doc_quality_by_source", ext.q_doc_quality_by_source, ext.SQL_DOC_QUALITY_BY_SOURCE),
-    # --- r5-green block (freshest external evidence below the new rows) ---
-    QuerySpec("chunk_text_extraction", ax.q_chunk_text_extraction, ax.SQL_CHUNK_TEXT_EXTRACTION),
-    QuerySpec("table_profile_audit", ax.q_table_profile_audit, ax.SQL_TABLE_PROFILE_AUDIT),
-    QuerySpec("ffd_packing_audit", ax.q_ffd_packing_audit, ax.SQL_FFD_PACKING_AUDIT),
-    QuerySpec( "token_budget_apportionment", px.q_token_budget_apportionment, px.SQL_TOKEN_BUDGET_APPORTIONMENT, ),
-    QuerySpec("revenue_by_nation", rel.q_revenue_by_nation, rel.SQL_REVENUE_BY_NATION),
-    QuerySpec("topk_parts_per_brand", rel.q_topk_parts_per_brand, rel.SQL_TOPK_PARTS_PER_BRAND),
-    QuerySpec("rollup_region_nation", rel.q_rollup_region_nation, rel.SQL_ROLLUP_REGION_NATION),
-    QuerySpec("running_order_totals", rel.q_running_order_totals, rel.SQL_RUNNING_ORDER_TOTALS),
-    QuerySpec("set_ops_customers", rel.q_set_ops_customers, rel.SQL_SET_OPS_CUSTOMERS),
-    QuerySpec("monthly_order_stats", rel.q_monthly_order_stats, rel.SQL_MONTHLY_ORDER_STATS),
-    QuerySpec("hourly_event_windows", rel.q_hourly_event_windows, rel.SQL_HOURLY_EVENT_WINDOWS),
-    QuerySpec("asof_join_enrichment", rel.q_asof_join_enrichment, rel.SQL_ASOF_JOIN_ENRICHMENT),
-    QuerySpec("semi_anti_customers", rel.q_semi_anti_customers, rel.SQL_SEMI_ANTI_CUSTOMERS),
-    QuerySpec("cube_order_stats", rel.q_cube_order_stats, rel.SQL_CUBE_ORDER_STATS),
-    QuerySpec("user_event_deltas", rel.q_user_event_deltas, rel.SQL_USER_EVENT_DELTAS),
-    QuerySpec("grouping_sets_supplier", rel.q_grouping_sets_supplier, rel.SQL_GROUPING_SETS_SUPPLIER),
-    QuerySpec("price_percentiles", rel.q_price_percentiles, rel.SQL_PRICE_PERCENTILES),
-    QuerySpec("sessionize_events", rs.q_sessionize_events, rs.SQL_SESSIONIZE_EVENTS),
-    QuerySpec("pivot_status_priority", rs.q_pivot_status_priority, rs.SQL_PIVOT_STATUS_PRIORITY),
-    QuerySpec("unpivot_lineitem_metrics", rs.q_unpivot_lineitem_metrics, rs.SQL_UNPIVOT_LINEITEM_METRICS),
-    QuerySpec("price_histogram", rs.q_price_histogram, rs.SQL_PRICE_HISTOGRAM),
-    QuerySpec("above_nation_avg_balance", rs.q_above_nation_avg_balance, rs.SQL_ABOVE_NATION_AVG_BALANCE),
-    QuerySpec("event_promo_windows", rs.q_event_promo_windows, rs.SQL_EVENT_PROMO_WINDOWS),
-    QuerySpec("dedup_within_window", ev.q_dedup_within_window, ev.SQL_DEDUP_WITHIN_WINDOW),
-    QuerySpec("balance_outliers", qx.q_balance_outliers, qx.SQL_BALANCE_OUTLIERS),
-    QuerySpec("gap_fill_hourly", ev.q_gap_fill_hourly, ev.SQL_GAP_FILL_HOURLY),
-    QuerySpec("event_rate_anomalies", ev.q_event_rate_anomalies, ev.SQL_EVENT_RATE_ANOMALIES),
-    QuerySpec("data_quality_checks", qx.q_data_quality_checks, qx.SQL_DATA_QUALITY_CHECKS),
-    QuerySpec("quantity_price_regression", qx.q_quantity_price_regression, qx.SQL_QUANTITY_PRICE_REGRESSION),
-    QuerySpec("fuzzy_name_pairs", qx.q_fuzzy_name_pairs, qx.SQL_FUZZY_NAME_PAIRS),
-    QuerySpec("tpch_q1_pricing_summary", rel.q_tpch_q1_pricing_summary, rel.SQL_TPCH_Q1_PRICING_SUMMARY),
-    QuerySpec("tpch_q3_shipping_priority", rel.q_tpch_q3_shipping_priority, rel.SQL_TPCH_Q3_SHIPPING_PRIORITY),
-    QuerySpec("conversion_funnel", ev.q_conversion_funnel, ev.SQL_CONVERSION_FUNNEL),
-    QuerySpec("weekly_retention_cohorts", ev.q_weekly_retention_cohorts, ev.SQL_WEEKLY_RETENTION_COHORTS),
-    QuerySpec("event_transitions", ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
-    QuerySpec("json_props_stats", ev.q_json_props_stats, ev.SQL_JSON_PROPS_STATS),
-    QuerySpec("heavy_hitter_tokens", sx.q_heavy_hitter_tokens, sx.SQL_HEAVY_HITTER_TOKENS),
-    QuerySpec("median_bound_check", sx.q_median_bound_check, sx.SQL_MEDIAN_BOUND_CHECK),
-    QuerySpec("incremental_agg_merge", sx.q_incremental_agg_merge, sx.SQL_INCREMENTAL_AGG_MERGE),
-    QuerySpec("nation_pagerank", sx.q_nation_pagerank, sx.SQL_NATION_PAGERANK),
-    QuerySpec("embedding_near_dup_ivf", ext.q_embedding_near_dup_ivf, ext.SQL_EMBEDDING_NEAR_DUP_IVF),
-    QuerySpec("cosine_topk_rerank", ext.q_cosine_topk_rerank, ext.SQL_COSINE_TOPK_RERANK),
-    QuerySpec("passage_dedup_stats", px.q_passage_dedup_stats, px.SQL_PASSAGE_DEDUP_STATS),
-    QuerySpec("incremental_admission", px.q_incremental_admission, px.SQL_INCREMENTAL_ADMISSION),
-    QuerySpec("source_mixing_weights", px.q_source_mixing_weights, px.SQL_SOURCE_MIXING_WEIGHTS),
-    QuerySpec("bpe_pair_stats", px.q_bpe_pair_stats, px.SQL_BPE_PAIR_STATS),
-    QuerySpec("length_bucket_packing", px.q_length_bucket_packing, px.SQL_LENGTH_BUCKET_PACKING),
-    QuerySpec("token_rarity_stats", px.q_token_rarity_stats, px.SQL_TOKEN_RARITY_STATS),
+    QuerySpec("tpch_q2_min_cost_supplier", tq.q_tpch_q2_min_cost_supplier, tq.SQL_TPCH_Q2_MIN_COST_SUPPLIER),
+    QuerySpec("tpch_q4_order_priority", tq.q_tpch_q4_order_priority, tq.SQL_TPCH_Q4_ORDER_PRIORITY),
+    QuerySpec("tpch_q5_local_supplier_volume", tq.q_tpch_q5_local_supplier_volume, tq.SQL_TPCH_Q5_LOCAL_SUPPLIER_VOLUME),
+    QuerySpec("tpch_q6_forecast_revenue", tq.q_tpch_q6_forecast_revenue, tq.SQL_TPCH_Q6_FORECAST_REVENUE),
+    QuerySpec("tpch_q7_volume_shipping", tq.q_tpch_q7_volume_shipping, tq.SQL_TPCH_Q7_VOLUME_SHIPPING),
+    QuerySpec("tpch_q8_market_share", tq.q_tpch_q8_market_share, tq.SQL_TPCH_Q8_MARKET_SHARE),
+    QuerySpec("tpch_q9_product_type_profit", tq.q_tpch_q9_product_type_profit, tq.SQL_TPCH_Q9_PRODUCT_TYPE_PROFIT),
+    QuerySpec("bpe_token_stats", ext.q_bpe_token_stats, ext.SQL_BPE_TOKEN_STATS),
+    QuerySpec("contamination_by_source", ext.q_contamination_by_source, ext.SQL_CONTAMINATION_BY_SOURCE),
+    QuerySpec("cosine_topk_lsh", ext.q_cosine_topk_lsh, ext.SQL_COSINE_TOPK_LSH),
+    QuerySpec("customer_rank_stats", rel.q_customer_rank_stats, rel.SQL_CUSTOMER_RANK_STATS),
+    QuerySpec("dedup_keep_first", ext.q_dedup_keep_first, ext.SQL_DEDUP_KEEP_FIRST),
+    QuerySpec("doc_fingerprints", ext.q_doc_fingerprints, ext.SQL_DOC_FINGERPRINTS),
+    QuerySpec("embedding_near_dup", ext.q_embedding_near_dup, ext.SQL_EMBEDDING_NEAR_DUP),
+    QuerySpec("order_count_distribution", rel.q_order_count_distribution, rel.SQL_ORDER_COUNT_DISTRIBUTION),
+    QuerySpec("part_cooccurrence", rel.q_part_cooccurrence, rel.SQL_PART_COOCCURRENCE),
+    QuerySpec("repetition_stats", ext.q_repetition_stats, ext.SQL_REPETITION_STATS),
+    QuerySpec("segment_user_reconciliation", rel.q_segment_user_reconciliation, rel.SQL_SEGMENT_USER_RECONCILIATION),
+    QuerySpec("skewsafe_distinct_users", ext.q_skewsafe_distinct_users, ext.SQL_SKEWSAFE_DISTINCT_USERS),
+    QuerySpec("token_histogram", ext.q_token_histogram, ext.SQL_TOKEN_HISTOGRAM),
+    QuerySpec("trailing_hour_value", rel.q_trailing_hour_value, rel.SQL_TRAILING_HOUR_VALUE),
+    QuerySpec("vocab_oov_stats", ext.q_vocab_oov_stats, ext.SQL_VOCAB_OOV_STATS),
+    QuerySpec("text_stats", ext.q_text_stats, ext.SQL_TEXT_STATS),
+    QuerySpec("minhash_near_dup", ext.q_minhash_near_dup, ext.SQL_MINHASH_NEAR_DUP),
+    QuerySpec("near_dup_clusters", ext.q_near_dup_clusters, ext.SQL_NEAR_DUP_CLUSTERS),
+    QuerySpec("simhash_near_dup", ext.q_simhash_near_dup, ext.SQL_SIMHASH_NEAR_DUP),
 ]
 
 

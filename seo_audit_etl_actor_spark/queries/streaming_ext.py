@@ -132,3 +132,230 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_closed_rows,
 FROM batch JOIN last_h USING (event_type)
 WHERE batch.hour_id < last_h.mx
 """
+
+
+# ------------------------------------------- curation differential (r7)
+
+def _write_doc_cut_feed(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Write documents as 3 doc_id-range parquet files (ascending ranges,
+    ascending file names) so first-arrival keep-first dedup coincides with
+    the batch funnel's min-doc_id keep-first — the configuration under
+    which stream ≡ batch is exact (tests/test_streaming_curation.py)."""
+    import glob
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    preds = [
+        F.col("doc_id") <= cut1,
+        (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+        F.col("doc_id") > cut2,
+    ]
+    for i, pred in enumerate(preds):
+        tmp = f"{out_dir}.part{i}"
+        docs.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        for j, p in enumerate(sorted(glob.glob(f"{tmp}/*.parquet"))):
+            shutil.copy(p, f"{out_dir}/part-{i:02d}{j:02d}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_streaming_curation_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible oracle for the streaming curation funnel (VERDICT
+    r6 task 6): drain `streaming/curation.py` over a doc_id-cut file feed
+    of the documents table, accumulate per-(source, stage) funnel stats
+    sink-side, and emit a one-row summary — total docs, per-stage counts,
+    kept-token total, and a flag that the drained stream reproduced the
+    batch funnel (`operators/curation.py`) EXACTLY, including every
+    duplicate verdict across micro-batch boundaries. The oracle states
+    the numbers from the batch funnel SQL alone; the flag is pinned 1.
+
+    Scale: the stateful stage holds one 16-byte first-seen flag per
+    distinct fingerprint (evictable via state timeout at 100 TB); all
+    stateless gates are the batch funnel's own codegen'd expressions."""
+    import os
+    import shutil
+    import tempfile
+
+    from seo_audit_etl_actor_spark.operators.curation import curation_funnel
+    from seo_audit_etl_actor_spark.streaming import curation as sc
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_curation_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    try:
+        _write_doc_cut_feed(spark, sf_dir, feed)
+        verdicts = sc.curate_document_stream(sc.read_document_stream(spark, feed))
+        sink, totals = sc.funnel_stats_sink(spark)
+        q = (
+            verdicts.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        batch = {
+            (r["source"], r["stage"]): (int(r["n_docs"]), int(r["total_tokens"]))
+            for r in curation_funnel(load_table(spark, sf_dir, "documents")).collect()
+        }
+        got = {k: (v[0], v[1]) for k, v in totals.items()}
+        stage_n = {}
+        for (_, stage), (n, _t) in got.items():
+            stage_n[stage] = stage_n.get(stage, 0) + n
+        row = (
+            sum(v[0] for v in got.values()),
+            stage_n.get("kept", 0),
+            stage_n.get("duplicate", 0),
+            stage_n.get("lang_filter", 0),
+            stage_n.get("too_short", 0),
+            stage_n.get("low_quality", 0),
+            sum(v[1] for k, v in got.items() if k[1] == "kept"),
+            1 if got == batch else 0,
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_docs long, n_kept long, n_duplicate long, n_lang_filter long, "
+            "n_too_short long, n_low_quality long, kept_tokens long, "
+            "stream_equals_batch long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_streaming_curation_differential() -> str:
+    from seo_audit_etl_actor_spark.queries.llm_ext import SQL_CURATION_FUNNEL
+
+    return f"""
+WITH funnel AS ({SQL_CURATION_FUNNEL})
+SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN stage = 'kept' THEN n_docs END), 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN stage = 'duplicate' THEN n_docs END), 0) AS BIGINT) AS n_duplicate,
+       CAST(COALESCE(SUM(CASE WHEN stage = 'lang_filter' THEN n_docs END), 0) AS BIGINT) AS n_lang_filter,
+       CAST(COALESCE(SUM(CASE WHEN stage = 'too_short' THEN n_docs END), 0) AS BIGINT) AS n_too_short,
+       CAST(COALESCE(SUM(CASE WHEN stage = 'low_quality' THEN n_docs END), 0) AS BIGINT) AS n_low_quality,
+       CAST(COALESCE(SUM(CASE WHEN stage = 'kept' THEN total_tokens END), 0) AS BIGINT) AS kept_tokens,
+       CAST(1 AS BIGINT) AS stream_equals_batch
+FROM funnel
+"""
+
+
+SQL_STREAMING_CURATION_DIFFERENTIAL = _sql_streaming_curation_differential()
+
+
+# ---------------------------------------- heavy-hitters differential (r7)
+
+def q_streaming_heavyhitters_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible oracle for the streaming Misra-Gries heavy hitters
+    (VERDICT r6 task 6): drain `streaming/heavyhitters.py` over the same
+    doc_id-cut feed, then verify the MG guarantee differentially against
+    the exact batch token counts IN SPARK (the final summaries are
+    O(buckets × k) rows — they join to the exact counts, nothing
+    unbounded crosses to the driver):
+
+      - containment: every token with true_count * k > N appears in the
+        drained summary (`heavy_covered` = 1);
+      - bounds: every summarized token satisfies
+        lower ≤ true_count ≤ lower + decrements(bucket) (`bounds_ok` = 1).
+
+    The oracle predicts N, the true-heavy count, and their occurrence sum
+    from the batch tokenizer SQL; the two flags are pinned 1. The summary
+    CONTENT beyond the guarantee is arrival-order-defined, so it stays out
+    of the hashed row — the guarantee, not the sketch, is the contract
+    (the approx_distinct_users discipline).
+
+    Scale: state is O(k) longs per bucket forever; buckets give the
+    stateful stage its parallelism — the bounded-state discipline an exact
+    streaming groupBy(token) cannot offer at 100 TB."""
+    import os
+    import shutil
+    import tempfile
+
+    from seo_audit_etl_actor_spark.operators.text import tokens
+    from seo_audit_etl_actor_spark.queries.scale_ext import HH_K
+    from seo_audit_etl_actor_spark.streaming import heavyhitters as hh
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_hh_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    try:
+        _write_doc_cut_feed(spark, sf_dir, feed)
+        summaries = hh.stream_heavy_hitters(
+            hh.read_document_stream(spark, feed), HH_K
+        )
+        sink, latest = hh.summary_sink()
+        q = (
+            summaries.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        summary_rows = [
+            (b, tok, int(lower), int(dec))
+            for b, toks_ in latest.items()
+            for tok, lower, dec in toks_
+        ]
+        sdf = spark.createDataFrame(
+            summary_rows, "bucket int, token string, lower long, decrements long"
+        )
+        exact = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.explode(tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        n_total = exact.agg(F.sum("cnt")).first()[0]
+        heavy = exact.where(F.col("cnt") * HH_K > F.lit(n_total))
+        h = heavy.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s")
+        ).first()
+        n_missing = heavy.join(sdf, "token", "left_anti").count()
+        n_bound_viol = (
+            sdf.join(exact, "token", "left")
+            .where(
+                F.col("cnt").isNull()
+                | (F.col("cnt") < F.col("lower"))
+                | (F.col("cnt") > F.col("lower") + F.col("decrements"))
+            )
+            .count()
+        )
+        row = (
+            int(n_total),
+            int(h["n"]),
+            int(h["s"] or 0),
+            1 if n_missing == 0 else 0,
+            1 if n_bound_viol == 0 else 0,
+        )
+        return spark.createDataFrame(
+            [row],
+            "total_occurrences long, n_true_heavy long, "
+            "sum_heavy_occurrences long, heavy_covered long, bounds_ok long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_streaming_heavyhitters_differential() -> str:
+    from seo_audit_etl_actor_spark.queries.llm_ext import _TOKS
+    from seo_audit_etl_actor_spark.queries.scale_ext import HH_K
+
+    return f"""
+WITH ex AS (SELECT unnest({_TOKS.format(c='text')}) AS token FROM documents),
+cf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex GROUP BY token),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ex)
+SELECT (SELECT n FROM tot) AS total_occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_true_heavy,
+       CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS sum_heavy_occurrences,
+       CAST(1 AS BIGINT) AS heavy_covered,
+       CAST(1 AS BIGINT) AS bounds_ok
+FROM cf, tot
+WHERE cnt * {HH_K} > n
+"""
+
+
+SQL_STREAMING_HEAVYHITTERS_DIFFERENTIAL = _sql_streaming_heavyhitters_differential()

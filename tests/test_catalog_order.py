@@ -71,3 +71,51 @@ def test_catalog_names_unique_and_oracled():
     assert not missing, f"oracle-less catalog entries: {missing}"
     stale_allow = [n for n in ROWS_ONLY_ALLOWED if n not in names]
     assert not stale_allow, f"allowlist names not in catalog: {stale_allow}"
+
+
+def _latest_green_rounds() -> tuple[dict[str, int], int]:
+    """(query -> latest green round, latest recorded round)."""
+    latest: dict[str, int] = {}
+    max_round = 0
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.stem.split("_r")[1])
+        max_round = max(max_round, rnd)
+        for name, row in json.loads(f.read_text()).items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            rows_only = (
+                name in ROWS_ONLY_ALLOWED
+                and row.get("err") == "no_oracle"
+                and row.get("spark_rows")
+            )
+            if ok or rows_only:
+                latest[name] = rnd
+    return latest, max_round
+
+
+def test_no_stale_evidence():
+    """Staleness gate (r6 verdict task 4 — the rule that would have caught
+    token_rarity_stats sitting on r3-only evidence at position 123):
+    every catalog query must either sit INSIDE the driver window (so the
+    upcoming round refreshes it) or have green evidence no older than two
+    recorded rounds. The current round is max(recorded)+1, so 'older than
+    two rounds' means latest_green < max_round - 1."""
+    latest, max_round = _latest_green_rounds()
+    assert max_round >= 1
+    names = [q.name for q in QUERIES]
+    stale_escapees = [
+        f"{n} (latest green r{latest.get(n, 0)})"
+        for n in names[DRIVER_WINDOW:]
+        if latest.get(n, 0) < max_round - 1
+    ]
+    assert not stale_escapees, (
+        f"queries below position {DRIVER_WINDOW} whose evidence is older "
+        f"than r{max_round - 1}: {stale_escapees} — rotate them into the "
+        "window (queries/catalog.py rule 3)"
+    )

@@ -13,6 +13,19 @@ import struct
 import pytest
 
 from seo_audit_etl_actor_spark.multimodal import binary_ops as B
+from seo_audit_etl_actor_spark.multimodal import fixtures as FX
+
+# Spec-side encoders live in the package's fixtures module (shared with
+# queries/audit_ext.py's media_decode_audit). They are written from the
+# format specs separately from the binary_ops decoders under test, so
+# round-trip agreement remains evidence, not tautology.
+_pgm, _ppm, _bmp24 = FX.encode_pgm, FX.encode_ppm, FX.encode_bmp24
+_wav = FX.encode_wav
+_png_chunk, _png_filter_row = FX.png_chunk, FX.png_filter_row
+_pack_row, _encode_png_ext = FX.pack_png_row, FX.encode_png
+_encode_jpeg = FX.encode_jpeg
+_box, _mp4 = FX.mp4_box, FX.encode_mp4
+_ADAM7 = FX.ADAM7
 
 
 def _png(w: int, h: int) -> bytes:
@@ -84,29 +97,6 @@ def test_thumb_decode_deterministic_fake(spark, blob_dir):
 # round 4: REAL decode for uncompressed formats (BMP 24-bit, binary PPM/PGM)
 
 
-def _pgm(w: int, h: int, pixels: bytes) -> bytes:
-    assert len(pixels) == w * h
-    return b"P5\n# comment\n%d %d\n255\n" % (w, h) + pixels
-
-
-def _ppm(w: int, h: int, rgb: bytes) -> bytes:
-    assert len(rgb) == w * h * 3
-    return b"P6 %d %d 255\n" % (w, h) + rgb
-
-
-def _bmp24(w: int, h: int, rows_topdown: list[bytes]) -> bytes:
-    """Minimal bottom-up 24-bit BI_RGB BMP; rows_topdown[i] is row i's BGR
-    bytes (len = 3*w)."""
-    stride = (w * 3 + 3) & ~3
-    pad = b"\x00" * (stride - w * 3)
-    raster = b"".join(r + pad for r in reversed(rows_topdown))
-    pix_off = 14 + 40
-    header = (
-        b"BM"
-        + struct.pack("<IHHI", pix_off + len(raster), 0, 0, pix_off)
-        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
-    )
-    return header + raster
 
 
 def test_pgm_real_decode_exact():
@@ -175,14 +165,6 @@ def test_thumbs_real_flag_by_format(spark, tmp_path):
     assert rows["fake.png"]["real_decode"] is False
 
 
-def _wav(rate: int, ch: int, samples) -> bytes:
-    """Minimal 16-bit PCM WAV: RIFF + fmt + data."""
-    import numpy as np
-
-    pcm = np.asarray(samples, dtype="<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
-    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
-    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def test_wav_real_decode_exact_features(spark, tmp_path):
@@ -236,36 +218,6 @@ def test_wav_stereo_and_odd_chunk_alignment(spark, tmp_path):
 # round 5: REAL PNG decode (stdlib zlib inflate + scanline unfiltering)
 
 
-def _png_chunk(cid: bytes, body: bytes) -> bytes:
-    import zlib
-
-    return struct.pack(">I", len(body)) + cid + body + struct.pack(
-        ">I", zlib.crc32(cid + body) & 0xFFFFFFFF
-    )
-
-
-def _png_filter_row(ftype: int, cur: bytes, prev: bytes, bpp: int) -> bytes:
-    """Reference ENCODER-side filter (PNG spec 9.2), independent of the
-    decoder under test: produces the filtered bytes for one scanline."""
-    out = bytearray()
-    for x in range(len(cur)):
-        a = cur[x - bpp] if x >= bpp else 0
-        b = prev[x]
-        c = prev[x - bpp] if x >= bpp else 0
-        if ftype == 0:
-            out.append(cur[x])
-        elif ftype == 1:
-            out.append((cur[x] - a) & 0xFF)
-        elif ftype == 2:
-            out.append((cur[x] - b) & 0xFF)
-        elif ftype == 3:
-            out.append((cur[x] - (a + b) // 2) & 0xFF)
-        else:  # Paeth
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            out.append((cur[x] - pred) & 0xFF)
-    return bytes(out)
 
 
 def _encode_png(pixels, color_type: int, filters=None, palette=None) -> bytes:
@@ -422,241 +374,6 @@ def test_png_real_flag_end_to_end(spark, tmp_path):
 # round 5: REAL baseline JPEG decode (pure-numpy Huffman + dequant + IDCT).
 # The encoder below is spec-derived (ITU-T T.81): direct-formula FDCT,
 # canonical Huffman tables built from the image's own symbol usage, byte
-# stuffing, optional restart markers and 4:2:0 subsampling — independent of
-# the decoder under test. Ground truth is the test's OWN direct-formula
-# IDCT over the quantized coefficients it emitted.
-
-_TEST_ZZ = [  # transcribed independently from T.81 Figure A.6
-    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
-]
-
-
-def _ref_fdct(block):
-    """Direct-formula forward DCT (T.81 A.3.3), block already level-shifted."""
-    import math
-
-    import numpy as np
-
-    out = np.zeros((8, 8))
-    for u in range(8):
-        for v in range(8):
-            s = 0.0
-            for x in range(8):
-                for y in range(8):
-                    s += (
-                        block[x][y]
-                        * math.cos((2 * x + 1) * u * math.pi / 16)
-                        * math.cos((2 * y + 1) * v * math.pi / 16)
-                    )
-            cu = 1 / math.sqrt(2) if u == 0 else 1.0
-            cv = 1 / math.sqrt(2) if v == 0 else 1.0
-            out[u, v] = 0.25 * cu * cv * s
-    return out
-
-
-def _ref_idct(coef):
-    """Direct-formula inverse DCT (T.81 A.3.3) + level shift, uint8."""
-    import math
-
-    import numpy as np
-
-    out = np.zeros((8, 8))
-    for x in range(8):
-        for y in range(8):
-            s = 0.0
-            for u in range(8):
-                for v in range(8):
-                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
-                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
-                    s += (
-                        cu * cv * coef[u][v]
-                        * math.cos((2 * x + 1) * u * math.pi / 16)
-                        * math.cos((2 * y + 1) * v * math.pi / 16)
-                    )
-            out[x, y] = 0.25 * s
-    return np.clip(np.round(out) + 128, 0, 255).astype(np.uint8)
-
-
-class _JBitWriter:
-    def __init__(self):
-        self.buf = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def write(self, length, value):
-        for i in reversed(range(length)):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.buf.append(self.acc)
-                if self.acc == 0xFF:
-                    self.buf.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.n = 0
-
-    def flush(self):
-        while self.n:
-            self.write(1, 1)  # pad with 1-bits per spec
-
-
-def _mag_cat(v):
-    return abs(v).bit_length()
-
-
-def _block_symbols(zz):
-    """(dc_category, [ac_symbols]) the entropy coder will emit for one
-    block given its DC DIFF in zz[0] (caller substitutes the diff)."""
-    syms = []
-    last = max((k for k in range(1, 64) if zz[k]), default=0)
-    run = 0
-    for k in range(1, last + 1):
-        if zz[k] == 0:
-            run += 1
-            continue
-        while run > 15:
-            syms.append(0xF0)
-            run -= 16
-        syms.append((run << 4) | _mag_cat(zz[k]))
-        run = 0
-    if last < 63:
-        syms.append(0x00)
-    return syms
-
-
-def _canonical_table(symbols):
-    """Canonical Huffman table with every symbol at equal length L,
-    2**L > len(symbols) so the all-ones code stays unused: returns
-    (counts16, ordered_symbols, {sym: (L, code)})."""
-    ordered = sorted(set(symbols))
-    L = max(2, (len(ordered) + 1).bit_length())
-    counts = [0] * 16
-    counts[L - 1] = len(ordered)
-    codes = {}
-    code = 0 << 1  # canonical start at length L is 0
-    for s in ordered:
-        codes[s] = (L, code)
-        code += 1
-    return counts, ordered, codes
-
-
-def _encode_jpeg(y_plane, chroma=None, restart_interval=0, sampling=(1, 1)):
-    """Baseline JFIF encoder with quant table all-ones (minimal loss).
-    y_plane: (H, W) uint8. chroma=(cb_val, cr_val) adds constant-chroma
-    color with Y at `sampling` (h, v) and chroma at (1, 1). Returns
-    (jpeg_bytes, expected_y) where expected_y is the reference
-    reconstruction of the Y plane (test's own IDCT over the quantized
-    coefficients), cropped to (H, W)."""
-    import numpy as np
-
-    h, w = y_plane.shape
-    sh, sv = sampling
-    mbw, mbh = 8 * sh, 8 * sv
-    mcux, mcuy = (w + mbw - 1) // mbw, (h + mbh - 1) // mbh
-    # pad by edge replication so partial blocks encode smoothly
-    pad = np.pad(
-        y_plane.astype(np.float64),
-        ((0, mcuy * mbh - h), (0, mcux * mbw - w)),
-        mode="edge",
-    )
-
-    comps = [(1, sh, sv)]
-    planes = {1: pad}
-    if chroma is not None:
-        cb, cr = chroma
-        comps += [(2, 1, 1), (3, 1, 1)]
-        planes[2] = np.full((mcuy * 8, mcux * 8), cb, dtype=np.float64)
-        planes[3] = np.full((mcuy * 8, mcux * 8), cr, dtype=np.float64)
-
-    # pass 1: quantize all blocks in MCU order, collect huffman symbols
-    expected = np.zeros_like(pad, dtype=np.uint8)
-    mcu_blocks = []  # per MCU: list of (comp_id, zz64_with_DIFF_in_slot0)
-    dc_syms, ac_syms = [], []
-    pred = {cid: 0 for cid, _, _ in comps}
-    total = mcux * mcuy
-    for m in range(total):
-        if restart_interval and m % restart_interval == 0:
-            pred = {cid: 0 for cid, _, _ in comps}
-        my, mx = divmod(m, mcux)
-        blocks = []
-        for cid, ch, cv in comps:
-            for by in range(cv):
-                for bx in range(ch):
-                    r0, c0 = (my * cv + by) * 8, (mx * ch + bx) * 8
-                    blk = planes[cid][r0 : r0 + 8, c0 : c0 + 8] - 128.0
-                    coef = np.round(_ref_fdct(blk)).astype(int)  # q == 1
-                    if cid == 1:
-                        expected[r0 : r0 + 8, c0 : c0 + 8] = _ref_idct(coef)
-                    zz = [int(coef.flat[_TEST_ZZ[k]]) for k in range(64)]
-                    diff = zz[0] - pred[cid]
-                    pred[cid] = zz[0]
-                    zz[0] = diff
-                    dc_syms.append(_mag_cat(diff))
-                    ac_syms.extend(_block_symbols(zz))
-                    blocks.append((cid, zz))
-        mcu_blocks.append(blocks)
-
-    dc_counts, dc_ord, dc_codes = _canonical_table(dc_syms)
-    ac_counts, ac_ord, ac_codes = _canonical_table(ac_syms)
-
-    # pass 2: emit segments
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + b"\x01" * 64
-    out += (
-        b"\xff\xc4"
-        + struct.pack(">H", 2 + 2 * 17 + len(dc_ord) + len(ac_ord))
-        + b"\x00" + bytes(dc_counts) + bytes(dc_ord)
-        + b"\x10" + bytes(ac_counts) + bytes(ac_ord)
-    )
-    ncomp = len(comps)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for cid, ch, cv in comps:
-        out += bytes([cid, (ch << 4) | cv, 0])
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    for cid, _, _ in comps:
-        out += bytes([cid, 0x00])
-    out += b"\x00\x3f\x00"
-
-    bw = _JBitWriter()
-    for m, blocks in enumerate(mcu_blocks):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.flush()
-            out += bw.buf
-            bw = _JBitWriter()
-            out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
-        for cid, zz in blocks:
-            dl, dc = dc_codes[_mag_cat(zz[0])]
-            bw.write(dl, dc)
-            t = _mag_cat(zz[0])
-            if t:
-                v = zz[0] if zz[0] > 0 else zz[0] + (1 << t) - 1
-                bw.write(t, v)
-            last = max((k for k in range(1, 64) if zz[k]), default=0)
-            run = 0
-            for k in range(1, last + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    al, ac_ = ac_codes[0xF0]
-                    bw.write(al, ac_)
-                    run -= 16
-                s = _mag_cat(zz[k])
-                al, ac_ = ac_codes[(run << 4) | s]
-                bw.write(al, ac_)
-                v = zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1
-                bw.write(s, v)
-                run = 0
-            if last < 63:
-                al, ac_ = ac_codes[0x00]
-                bw.write(al, ac_)
-    bw.flush()
-    out += bw.buf + b"\xff\xd9"
-    return bytes(out), expected[:h, :w]
 
 
 def test_jpeg_flat_gray_exact():
@@ -777,60 +494,6 @@ def test_jpeg_noninterleaved_single_component_grid():
 # round 6: MP4/ISO-BMFF box-walk video metadata (codec-free struct parse)
 
 
-def _box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
-    """Spec-side (ISO/IEC 14496-12 §4.2) box encoder, independent of the
-    parser under test."""
-    if largesize:
-        return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(body)) + body
-    return struct.pack(">I", 8 + len(body)) + btype + body
-
-
-def _mvhd(timescale: int, duration: int, version: int = 0) -> bytes:
-    if version == 0:
-        body = (
-            b"\x00" + b"\x00" * 3          # version 0 + flags
-            + struct.pack(">II", 0, 0)     # creation/modification
-            + struct.pack(">II", timescale, duration)
-        )
-    else:
-        body = (
-            b"\x01" + b"\x00" * 3
-            + struct.pack(">QQ", 0, 0)
-            + struct.pack(">I", timescale)
-            + struct.pack(">Q", duration)
-        )
-    body += struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100) + b"\x00" * 10
-    body += b"\x00" * 36 + b"\x00" * 24 + struct.pack(">I", 2)
-    return _box(b"mvhd", body)
-
-
-def _tkhd(width: int, height: int) -> bytes:
-    body = (
-        b"\x00" * 4 + struct.pack(">III", 0, 0, 1) + b"\x00" * 4
-        + struct.pack(">I", 0) + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
-        + struct.pack(">II", width << 16, height << 16)
-    )
-    return _box(b"tkhd", body)
-
-
-def _trak(handler: bytes, codec: bytes, width: int = 0, height: int = 0) -> bytes:
-    hdlr = _box(b"hdlr", b"\x00" * 4 + b"\x00" * 4 + handler + b"\x00" * 12 + b"x\x00")
-    entry = struct.pack(">I", 16) + codec + b"\x00" * 8
-    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
-    stbl = _box(b"stbl", stsd)
-    minf = _box(b"minf", stbl)
-    mdia = _box(b"mdia", hdlr + minf)
-    return _box(b"trak", _tkhd(width, height) + mdia)
-
-
-def _mp4(timescale=1000, duration=5400, mvhd_version=0, largesize_moov=False) -> bytes:
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"mp41")
-    moov_body = (
-        _mvhd(timescale, duration, mvhd_version)
-        + _trak(b"vide", b"avc1", 640, 360)
-        + _trak(b"soun", b"mp4a")
-    )
-    return ftyp + _box(b"moov", moov_body, largesize=largesize_moov)
 
 
 def test_mp4_box_walk_extracts_metadata():
@@ -883,71 +546,6 @@ def test_decode_video_meta_end_to_end(spark, tmp_path):
 # round 6: low-bit-depth + 16-bit + Adam7 PNG decode (spec-derived
 # independent encoder below; decoder under test is _decode_png_gray)
 
-_ADAM7 = [
-    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
-]
-
-
-def _pack_row(samples_row, bit_depth: int) -> bytes:
-    """Pack one scanline of samples to bytes: MSB-first bit groups for
-    depths 1/2/4, big-endian u16 for depth 16, raw bytes for depth 8."""
-    flat = [int(v) for v in samples_row.reshape(-1)]
-    if bit_depth == 8:
-        return bytes(flat)
-    if bit_depth == 16:
-        return b"".join(struct.pack(">H", v) for v in flat)
-    bits = []
-    for v in flat:
-        for k in range(bit_depth - 1, -1, -1):
-            bits.append((v >> k) & 1)
-    while len(bits) % 8:
-        bits.append(0)
-    return bytes(
-        sum(b << (7 - i) for i, b in enumerate(bits[j : j + 8]))
-        for j in range(0, len(bits), 8)
-    )
-
-
-def _encode_png_ext(
-    pixels, color_type: int, bit_depth: int = 8, palette=None, interlace: int = 0
-) -> bytes:
-    """PNG encoder covering every legal depth + Adam7 (per-pass independent
-    filtering, filter type rotating by row to exercise all five)."""
-    import zlib
-
-    import numpy as np
-
-    px = np.asarray(pixels, dtype=np.int64)
-    h, w, ch = px.shape
-    bpp = max(1, ch * bit_depth // 8)
-
-    def encode_pass(sub) -> bytes:
-        raw = bytearray()
-        stride = (sub.shape[1] * ch * bit_depth + 7) // 8
-        prev = bytes(stride)
-        for y in range(sub.shape[0]):
-            cur = _pack_row(sub[y], bit_depth)
-            f = y % 5
-            raw.append(f)
-            raw += _png_filter_row(f, cur, prev, bpp)
-            prev = cur
-        return bytes(raw)
-
-    if interlace == 0:
-        raw = encode_pass(px)
-    else:
-        raw = b"".join(
-            encode_pass(px[y0::dy, x0::dx])
-            for x0, y0, dx, dy in _ADAM7
-            if px[y0::dy, x0::dx].shape[0] and px[y0::dy, x0::dx].shape[1]
-        )
-    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
-    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-    if palette is not None:
-        out += _png_chunk(b"PLTE", bytes(palette))
-    out += _png_chunk(b"IDAT", zlib.compress(raw))
-    return out + _png_chunk(b"IEND", b"")
 
 
 def test_png_low_bit_depth_gray_scales_exactly():
