@@ -7,7 +7,8 @@ signal; exponents are a least-squares fit of log(time) on log(m).
 Interpretation guard: exponents here include a fixed per-query overhead
 (plan/codegen/driver, ~0.3-1 s) that DEFLATES b at small sizes, and host
 noisy-neighbor throttling that can inflate a single point — pathological
-fits deserve a re-run before belief (see .claude/skills/verify).
+fits deserve a re-run before belief (warm slower than cold in a pair is
+the throttling signature; report best-of).
 
 Usage: python tools/bench_scale.py /tmp/scale_m1 /tmp/scale_m3.162 /tmp/scale_m10
 
