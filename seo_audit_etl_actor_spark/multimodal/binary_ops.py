@@ -14,10 +14,14 @@ format:
   arbitrary sampling factors included; MP4/ISO-BMFF video metadata
   (round 6) is a pure-struct box walk. For all of these the decode
   functions produce true pixels/metadata (`real_decode = true`);
-- the REMAINING variants (progressive/12-bit/arithmetic JPEG — genuinely
-  codec-hard) still use the deterministic byte-sampling fake: header
-  parsing for dimensions is real, the pixel inner loop is the documented
-  stand-in (`real_decode = false`; swap point noted at the function).
+- progressive JPEG (SOF2) joined the real decoders in round 7 — spectral
+  selection + successive approximation over the same Huffman/IDCT
+  machinery (`_decode_jpeg_progressive`);
+- the REMAINING variants (12-bit, lossless, arithmetic-coded JPEG —
+  patent-era rarities, genuinely codec-hard) still use the deterministic
+  byte-sampling fake: header parsing for dimensions is real, the pixel
+  inner loop is the documented stand-in (`real_decode = false`; swap
+  point noted at the function).
 
 Scale design:
 - binary payloads ride `spark.read.format("binaryFile")` (one row per
@@ -377,9 +381,11 @@ def _decode_jpeg_gray(data: bytes):
     entropy-decoded to keep the bitstream position honest.
 
     Scope (returns None outside it, routing to the documented fake):
-    baseline sequential DCT (SOF0), 8-bit samples, Huffman coding, 1-4
-    components, any sampling factors, restart markers supported.
-    Progressive (SOF2), 12-bit, and arithmetic coding are out of scope."""
+    baseline sequential DCT (SOF0) and progressive DCT (SOF2, round 7 —
+    spectral selection + successive approximation, _decode_jpeg_progressive),
+    8-bit samples, Huffman coding, 1-4 components, any sampling factors,
+    restart markers supported. 12-bit, lossless, and arithmetic coding are
+    out of scope."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -443,8 +449,10 @@ def _decode_jpeg_gray(data: bytes):
                     cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
                     comps.append((cid, hv >> 4, hv & 15, tq))
                 sof = (iw, ih, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline SOF (progressive, arithmetic, ...)
+            elif marker == 0xC2:  # SOF2 progressive (round 7: real decode)
+                return _decode_jpeg_progressive(data)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF (lossless, arithmetic, ...)
             elif marker == 0xDD:  # DRI
                 restart_interval = struct.unpack(">H", body[:2])[0]
             elif marker == 0xDA:  # SOS
@@ -583,10 +591,361 @@ def _jpeg_decode_scan(ecs, sof, scan, qtables, htables, restart_interval):
     return plane
 
 
+
+def _jpeg_ecs_end(data: bytes, start: int) -> int:
+    """Index of the byte that ends an entropy-coded segment: the first
+    0xFF followed by anything that is neither a stuffed 0x00 nor an RSTn
+    (T.81 B.1.1.5). Returns len(data) if no such marker exists."""
+    i = start
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            return n
+        nxt = data[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i = j + 2
+            continue
+        return j
+
+
+def _decode_jpeg_progressive(data: bytes):
+    """REAL progressive JPEG (SOF2) decode in pure numpy — T.81 Annex G:
+    spectral selection + successive approximation over the same canonical
+    Huffman / dequant / separable-IDCT machinery as the baseline path.
+
+    Per-scan semantics implemented (G.1.2, matching the de-facto libjpeg
+    interpretation):
+    - DC first (Ss=Se=0, Ah=0): baseline DIFF coding of the DC value
+      arithmetic-shifted right by Al; decoder stores pred << Al.
+    - DC refinement (Ah>0): one raw bit per block, OR-ed in at bit Al
+      (two's-complement OR extends negatives correctly).
+    - AC first (Ss>0, Ah=0, always single-component): run/size coding
+      within the spectral band with EOBRUN = (1<<r)-1+receive(r) extra
+      skipped blocks; values are magnitudes shifted left by Al.
+    - AC refinement (Ss>0, Ah>0): newly-significant coefficients arrive
+      as ±1<<Al; every nonzero-history coefficient traversed (including
+      inside ZRL runs and EOB-covered tails) consumes one correction bit
+      that, when set, moves the value one quantum away from zero.
+
+    Only the Y component's coefficients persist (the emitted plane is
+    luma); chroma-only scans are skipped wholesale — each progressive
+    scan is an independent entropy segment, so skipping costs nothing —
+    while interleaved DC scans entropy-decode chroma to keep bit position
+    honest. Restart markers reset DC predictors and EOBRUN per segment.
+    Structurally corrupt input returns None (same contract as baseline).
+    """
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, "np.ndarray"] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    ycoef = None
+    y_meta = None  # (y_cid, y_h, y_v, y_tq, hmax, vmax, mcux, mcuy, nby, nbx)
+    i, n = 2, len(data)
+    try:
+        while i + 2 <= n:
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            if i + 4 > n:
+                return None
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if i + 2 + seg_len > n:
+                return None  # truncated segment — corrupt, not degradable
+            body = data[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT (tables may arrive between scans)
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 15
+                    j += 1
+                    if pq == 0:
+                        vals = np.frombuffer(body[j : j + 64], dtype=np.uint8)
+                        j += 64
+                    else:
+                        vals = np.frombuffer(body[j : j + 128], dtype=">u2")
+                        j += 128
+                    if len(vals) < 64:
+                        return None
+                    tbl = np.zeros(64, dtype=np.int64)
+                    tbl[_JPEG_ZIGZAG] = vals.astype(np.int64)
+                    qtables[tq] = tbl.reshape(8, 8)
+            elif marker == 0xC4:  # DHT (commonly per-scan in progressive)
+                j = 0
+                while j + 17 <= len(body):
+                    tc, th = body[j] >> 4, body[j] & 15
+                    counts = body[j + 1 : j + 17]
+                    j += 17
+                    table: dict[tuple[int, int], int] = {}
+                    code = 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            if j >= len(body):
+                                return None
+                            table[(length, code)] = body[j]
+                            j += 1
+                            code += 1
+                        code <<= 1
+                    htables[(tc, th)] = table
+            elif marker == 0xC2:  # SOF2
+                _prec, ih, iw, ncomp = struct.unpack(">BHHB", body[:6])
+                if _prec != 8 or ncomp == 0 or ncomp > 4 or iw == 0 or ih == 0:
+                    return None
+                comps = []
+                for c in range(ncomp):
+                    cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                sof = (iw, ih, comps)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if hmax == 0 or vmax == 0:
+                    return None
+                mcux = (iw + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (ih + 8 * vmax - 1) // (8 * vmax)
+                y_cid, y_h, y_v, y_tq = comps[0]
+                comp_w = (iw * y_h + hmax - 1) // hmax
+                comp_h = (ih * y_v + vmax - 1) // vmax
+                nby, nbx = (comp_h + 7) // 8, (comp_w + 7) // 8
+                ycoef = np.zeros((mcuy * y_v, mcux * y_h, 64), dtype=np.int32)
+                y_meta = (y_cid, y_h, y_v, y_tq, hmax, vmax, mcux, mcuy, nby, nbx)
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # mixed / non-progressive frame in this path
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:  # SOS — one progressive scan
+                if sof is None or ycoef is None:
+                    return None
+                ns = body[0]
+                scan = []
+                for c in range(ns):
+                    cs, tda = body[1 + c * 2 : 3 + c * 2]
+                    scan.append((cs, tda >> 4, tda & 15))
+                Ss, Se, ahal = body[1 + ns * 2 : 4 + ns * 2]
+                Ah, Al = ahal >> 4, ahal & 15
+                ecs_start = i + 2 + seg_len
+                ecs_end = _jpeg_ecs_end(data, ecs_start)
+                ok = _jpeg_progressive_scan(
+                    data[ecs_start:ecs_end], sof, scan, (Ss, Se, Ah, Al),
+                    htables, restart_interval, ycoef, y_meta,
+                )
+                if not ok:
+                    return None
+                i = ecs_end
+                continue
+            i += 2 + seg_len
+    except (EOFError, ValueError, IndexError, struct.error):
+        return None
+    if sof is None or ycoef is None:
+        return None
+
+    iw, ih, comps = sof
+    y_cid, y_h, y_v, y_tq, hmax, vmax, mcux, mcuy, nby, nbx = y_meta
+    if y_tq not in qtables:
+        return None
+    yq = qtables[y_tq].reshape(-1)
+
+    import numpy as np
+
+    u = np.arange(8)
+    x = np.arange(8)
+    A = 0.5 * np.cos((2 * x[:, None] + 1) * u[None, :] * np.pi / 16)
+    A[:, 0] *= 1 / np.sqrt(2)
+    gy, gx = ycoef.shape[:2]
+    plane = np.zeros((gy * 8, gx * 8), dtype=np.uint8)
+    for by in range(gy):
+        for bx in range(gx):
+            block = (ycoef[by, bx].astype(np.int64) * yq).reshape(8, 8)
+            spatial = A @ block.astype(np.float64) @ A.T
+            pix = np.clip(np.round(spatial) + 128, 0, 255)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix.astype(np.uint8)
+
+    y_w = (iw * y_h + hmax - 1) // hmax
+    y_hh = (ih * y_v + vmax - 1) // vmax
+    plane = plane[:y_hh, :y_w]
+    if y_h != hmax or y_v != vmax:
+        plane = np.repeat(
+            np.repeat(plane, vmax // y_v, axis=0), hmax // y_h, axis=1
+        )
+        plane = plane[:ih, :iw]
+    return plane
+
+
+def _jpeg_progressive_scan(ecs, sof, scan, band, htables, restart_interval, ycoef, y_meta):
+    """Decode ONE progressive scan into the persistent Y coefficient grid.
+    Returns False on structural corruption. Chroma-only scans return True
+    without touching the bitstream (independent entropy segments)."""
+    import re
+
+    iw, ih, comps = sof
+    Ss, Se, Ah, Al = band
+    y_cid, y_h, y_v, y_tq, hmax, vmax, mcux, mcuy, nby, nbx = y_meta
+    scan_by_id = {cs: (td, ta) for cs, td, ta in scan}
+    if y_cid not in scan_by_id:
+        return True  # chroma-only scan: skip wholesale
+    if Ss > Se or Se > 63 or (Ss == 0) != (Se == 0):
+        return False
+    if Ss > 0 and len(scan) != 1:
+        return False  # AC scans are single-component per T.81 G.1.1
+
+    segments = [
+        seg.replace(b"\xff\x00", b"\xff")
+        for seg in re.split(b"\xff[\xd0-\xd7]", ecs)
+    ]
+
+    if Ss == 0:
+        # DC scan — interleaved over the MCU grid (or the component grid
+        # when ns == 1)
+        order = [(cid, h, v) for cid, h, v, _tq in comps if cid in scan_by_id]
+        if len(order) != len(scan):
+            return False
+        if len(order) == 1:
+            cid0 = order[0][0]
+            if cid0 == y_cid:
+                grid = [(y_cid, 1, 1)]
+                tx, ty = nbx, nby
+            else:
+                return True  # single non-Y DC scan: skippable
+        else:
+            grid = order
+            tx, ty = mcux, mcuy
+        total = tx * ty
+        per_seg = restart_interval if restart_interval else total
+        idx = 0
+        dc_tbls = {}
+        for cid, _h, _v in grid:
+            td, _ta = scan_by_id[cid]
+            if Ah == 0:
+                t = htables.get((0, td))
+                if t is None:
+                    return False
+                dc_tbls[cid] = t
+        try:
+            for seg in segments:
+                bits = _JpegBits(seg)
+                pred = {cid: 0 for cid, _h, _v in grid}
+                seg_n = min(per_seg, total - idx)
+                for _ in range(seg_n):
+                    my, mx = divmod(idx, tx)
+                    for cid, ch, cv in grid:
+                        for by in range(cv):
+                            for bx in range(ch):
+                                if Ah == 0:
+                                    t = _jpeg_huff_decode(bits, dc_tbls[cid])
+                                    pred[cid] += _jpeg_extend(bits.receive(t), t)
+                                    if cid == y_cid:
+                                        r0 = my * cv + by if len(grid) > 1 else my
+                                        c0 = mx * ch + bx if len(grid) > 1 else mx
+                                        ycoef[r0, c0, 0] = pred[cid] << Al
+                                else:
+                                    bit = bits.read_bit()
+                                    if cid == y_cid and bit:
+                                        r0 = my * cv + by if len(grid) > 1 else my
+                                        c0 = mx * ch + bx if len(grid) > 1 else mx
+                                        ycoef[r0, c0, 0] |= bit << Al
+                    idx += 1
+            return idx == total
+        except (EOFError, ValueError, IndexError):
+            return False
+
+    # AC scan over the Y component's true block grid
+    _td, ta = scan_by_id[y_cid]
+    ac_tbl = htables.get((1, ta))
+    if ac_tbl is None:
+        return False
+    total = nbx * nby
+    per_seg = restart_interval if restart_interval else total
+    idx = 0
+    p1 = 1 << Al
+    m1 = -(1 << Al)
+    try:
+        for seg in segments:
+            bits = _JpegBits(seg)
+            eobrun = 0
+            seg_n = min(per_seg, total - idx)
+            for _ in range(seg_n):
+                by, bx = divmod(idx, nbx)
+                coef = ycoef[by, bx]
+                if Ah == 0:
+                    # AC first pass (G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = Ss
+                        while k <= Se:
+                            rs = _jpeg_huff_decode(bits, ac_tbl)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += bits.receive(r)
+                                break
+                            k += r
+                            if k > Se:
+                                return False
+                            coef[_JPEG_ZIGZAG[k]] = (
+                                _jpeg_extend(bits.receive(sz), sz) << Al
+                            )
+                            k += 1
+                else:
+                    # AC refinement pass (G.1.2.3)
+                    k = Ss
+                    if eobrun == 0:
+                        while k <= Se:
+                            rs = _jpeg_huff_decode(bits, ac_tbl)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += bits.receive(r)
+                                    break
+                                val = 0  # ZRL: skip 16 zero-history coefs
+                            else:
+                                if sz != 1:
+                                    return False
+                                val = p1 if bits.read_bit() else m1
+                            while k <= Se:
+                                pos = _JPEG_ZIGZAG[k]
+                                if coef[pos] != 0:
+                                    if bits.read_bit() and not (coef[pos] & p1):
+                                        coef[pos] += p1 if coef[pos] > 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= Se:
+                                coef[_JPEG_ZIGZAG[k]] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= Se:
+                            pos = _JPEG_ZIGZAG[k]
+                            if coef[pos] != 0:
+                                if bits.read_bit() and not (coef[pos] & p1):
+                                    coef[pos] += p1 if coef[pos] > 0 else m1
+                            k += 1
+                        eobrun -= 1
+                idx += 1
+        return idx == total
+    except (EOFError, ValueError, IndexError):
+        return False
+
+
 def _decode_gray_pixels(data: bytes):
     """REAL pixel decode: returns an (H, W) uint8 grayscale numpy array,
     or None for the formats/variants still outside the pure-python codecs
-    (progressive/arithmetic JPEG; exotic PNG variants).
+    (12-bit/lossless/arithmetic JPEG).
 
     - PGM (P5): raster IS the grayscale plane.
     - PPM (P6): RGB raster -> integer BT.601 luma (r*299+g*587+b*114)//1000.
@@ -714,12 +1073,13 @@ IMAGE_THUMB_SCHEMA = T.StructType(
 def decode_image_thumbs(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Resize/feature-extract step. Decode split (round 5):
 
-    - BMP (24-bit BI_RGB), binary PPM/PGM, 8-bit non-interlaced PNG, and
-      baseline JPEG decode FOR REAL (`_decode_gray_pixels` — struct+numpy,
-      stdlib zlib as the PNG inflate, pure-numpy Huffman+IDCT as the JPEG
-      codec): true BT.601 luma plane, area-averaged 8x8 thumbnail, exact
-      integer block means. `real_decode = true`.
-    - The remaining variants (progressive/arithmetic JPEG, exotic PNG)
+    - BMP (24-bit BI_RGB), binary PPM/PGM, every legal PNG layout, and
+      baseline AND progressive JPEG decode FOR REAL (`_decode_gray_pixels`
+      — struct+numpy, stdlib zlib as the PNG inflate, pure-numpy
+      Huffman+IDCT as the JPEG codec): true BT.601 luma plane,
+      area-averaged 8x8 thumbnail, exact integer block means.
+      `real_decode = true`.
+    - The remaining variants (12-bit/lossless/arithmetic JPEG)
       keep the DETERMINISTIC FAKE byte-sampling decode:
       deterministic per content so downstream thumb-distance dedup behaves
       like a real decoder's output. Swap the `_fake_gray_thumb` branch for

@@ -486,3 +486,221 @@ def encode_mp4(
         + _trak(b"soun", b"mp4a")
     )
     return ftyp + mp4_box(b"moov", moov_body, largesize=largesize_moov)
+
+
+def _trunc2(v: int) -> int:
+    """Truncate-toward-zero division by 2 (T.81 point transform for AC)."""
+    return -((-v) >> 1) if v < 0 else v >> 1
+
+
+def encode_jpeg_progressive(y_plane, chroma=None, sampling=(1, 1)):
+    """Progressive JFIF encoder (SOF2) with quant table all-ones — the
+    spec-side twin of `_decode_jpeg_progressive`, written from T.81
+    Annex G independently of it. Scan script (the common two-level
+    successive-approximation shape):
+
+      1. DC first, interleaved, Al=1
+      2. AC first  Y, band 1..5,   Al=1
+      3. AC first  Y, band 6..63,  Al=1
+      4. AC first  chroma, band 1..63, Al=0 (one scan per component)
+      5. DC refinement, interleaved, Ah=1 -> Al=0 (raw bits)
+      6. AC refinement Y, band 1..5,  Ah=1 -> Al=0
+      7. AC refinement Y, band 6..63, Ah=1 -> Al=0
+
+    Every Huffman-coded scan carries its own DHT (tables are redefined
+    between scans — the layout real encoders emit). Returns
+    (jpeg_bytes, expected_y) with expected_y the encoder's own
+    direct-formula IDCT reconstruction, cropped to the input shape."""
+    import numpy as np
+
+    h, w = y_plane.shape
+    sh, sv = sampling
+    mbw, mbh = 8 * sh, 8 * sv
+    mcux, mcuy = (w + mbw - 1) // mbw, (h + mbh - 1) // mbh
+    pad = np.pad(
+        y_plane.astype(np.float64),
+        ((0, mcuy * mbh - h), (0, mcux * mbw - w)),
+        mode="edge",
+    )
+    comps = [(1, sh, sv)]
+    planes = {1: pad}
+    if chroma is not None:
+        cb, cr = chroma
+        comps += [(2, 1, 1), (3, 1, 1)]
+        planes[2] = np.full((mcuy * 8, mcux * 8), cb, dtype=np.float64)
+        planes[3] = np.full((mcuy * 8, mcux * 8), cr, dtype=np.float64)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    # quantized zigzag coefficient blocks per component, row-major over the
+    # component's PADDED (MCU-aligned) block grid; expected_y from the
+    # encoder's own IDCT
+    zz_blocks: dict[int, list[list[int]]] = {}
+    grid_dims: dict[int, tuple[int, int]] = {}
+    expected = np.zeros_like(pad, dtype=np.uint8)
+    for cid, ch_, cv_ in comps:
+        gy, gx = mcuy * cv_, mcux * ch_
+        grid_dims[cid] = (gy, gx)
+        blocks = []
+        for by in range(gy):
+            for bx in range(gx):
+                blk = planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.round(_ref_fdct(blk)).astype(int)
+                if cid == 1:
+                    expected[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _ref_idct(coef)
+                blocks.append([int(coef.flat[ZIGZAG[k]]) for k in range(64)])
+        zz_blocks[cid] = blocks
+
+    # Y component's TRUE block grid (AC scans cover it, not the padding)
+    y_w = (w * sh + hmax - 1) // hmax
+    y_h2 = (h * sv + vmax - 1) // vmax
+    nbx, nby = (y_w + 7) // 8, (y_h2 + 7) // 8
+    gy, gx = grid_dims[1]
+    y_true = [zz_blocks[1][by * gx + bx] for by in range(nby) for bx in range(nbx)]
+
+    def mcu_dc_order(al_shift):
+        """(comp_id, dc>>al) in interleaved MCU traversal order."""
+        out = []
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for cid, ch_, cv_ in comps:
+                _gy, gxx = grid_dims[cid]
+                for by in range(cv_):
+                    for bx in range(ch_):
+                        zz = zz_blocks[cid][(my * cv_ + by) * gxx + (mx * ch_ + bx)]
+                        out.append((cid, zz[0] >> al_shift))
+        return out
+
+    def dc_first_events(al):
+        seq = mcu_dc_order(al)
+        pred = {cid: 0 for cid, _h, _v in comps}
+        ev = []
+        for cid, v in seq:
+            diff = v - pred[cid]
+            pred[cid] = v
+            t = _mag_cat(diff)
+            ev.append(("sym", t))
+            if t:
+                ev.append(("bits", t, diff if diff > 0 else diff + (1 << t) - 1))
+        return ev
+
+    def ac_first_events(blocks, ss, se, al):
+        ev = []
+        for zz in blocks:
+            va = [_trunc2(zz[k]) if al else zz[k] for k in range(64)]
+            last = max((k for k in range(ss, se + 1) if va[k]), default=ss - 1)
+            run = 0
+            for k in range(ss, last + 1):
+                if va[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ev.append(("sym", 0xF0))
+                    run -= 16
+                s = _mag_cat(va[k])
+                ev.append(("sym", (run << 4) | s))
+                v = va[k]
+                ev.append(("bits", s, v if v > 0 else v + (1 << s) - 1))
+                run = 0
+            if last < se:
+                ev.append(("sym", 0x00))  # EOB, eobrun = 0 extra blocks
+        return ev
+
+    def ac_refine_events(blocks, ss, se):
+        # Ah=1 -> Al=0: mirrors the decoder's correction-bit traversal
+        ev = []
+        for zz in blocks:
+            hist = [_trunc2(v) for v in zz]
+            k = ss
+            while k <= se:
+                r = 0
+                nk = None
+                j = k
+                while j <= se:
+                    if hist[j] != 0:
+                        j += 1
+                        continue
+                    if zz[j] != 0:
+                        nk = j
+                        break
+                    r += 1
+                    j += 1
+                if nk is None:
+                    ev.append(("sym", 0x00))  # EOB covers this block
+                    for j in range(k, se + 1):
+                        if hist[j] != 0:
+                            ev.append(("bit", abs(zz[j]) & 1))
+                    break
+                while r > 15:
+                    ev.append(("sym", 0xF0))
+                    cnt = 0
+                    while cnt < 16:
+                        if hist[k] != 0:
+                            ev.append(("bit", abs(zz[k]) & 1))
+                        else:
+                            cnt += 1
+                        k += 1
+                    r -= 16
+                ev.append(("sym", (r << 4) | 1))
+                ev.append(("bit", 1 if zz[nk] > 0 else 0))
+                while k < nk:
+                    if hist[k] != 0:
+                        ev.append(("bit", abs(zz[k]) & 1))
+                    k += 1
+                k = nk + 1
+        return ev
+
+    def dc_refine_bits():
+        return [("bit", v & 1) for _cid, v in mcu_dc_order(0)]
+
+    def emit_scan(out, scan_comps, ss, se, ah, al, events, table_class):
+        syms = [e[1] for e in events if e[0] == "sym"]
+        if syms:
+            counts, ordered, codes = _canonical_table(syms)
+            out += (
+                b"\xff\xc4"
+                + struct.pack(">H", 2 + 17 + len(ordered))
+                + bytes([(table_class << 4) | 0])
+                + bytes(counts)
+                + bytes(ordered)
+            )
+        else:
+            codes = {}
+        ns = len(scan_comps)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for cid in scan_comps:
+            out += bytes([cid, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _JBitWriter()
+        for e in events:
+            if e[0] == "sym":
+                ln, code = codes[e[1]]
+                bw.write(ln, code)
+            elif e[0] == "bit":
+                bw.write(1, e[1])
+            else:  # ("bits", n, value)
+                bw.write(e[1], e[2])
+        bw.flush()
+        out += bw.buf
+        return out
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + b"\x01" * 64
+    ncomp = len(comps)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid, ch_, cv_ in comps:
+        out += bytes([cid, (ch_ << 4) | cv_, 0])
+
+    all_ids = [cid for cid, _h, _v in comps]
+    out = emit_scan(out, all_ids, 0, 0, 0, 1, dc_first_events(1), 0)
+    out = emit_scan(out, [1], 1, 5, 0, 1, ac_first_events(y_true, 1, 5, 1), 1)
+    out = emit_scan(out, [1], 6, 63, 0, 1, ac_first_events(y_true, 6, 63, 1), 1)
+    for cid in all_ids[1:]:
+        gy_c, gx_c = grid_dims[cid]
+        cblocks = zz_blocks[cid]
+        out = emit_scan(out, [cid], 1, 63, 0, 0, ac_first_events(cblocks, 1, 63, 0), 1)
+    out = emit_scan(out, all_ids, 0, 0, 1, 0, dc_refine_bits(), 0)
+    out = emit_scan(out, [1], 1, 5, 1, 0, ac_refine_events(y_true, 1, 5), 1)
+    out = emit_scan(out, [1], 6, 63, 1, 0, ac_refine_events(y_true, 6, 63), 1)
+    out += b"\xff\xd9"
+    return bytes(out), expected[:h, :w]

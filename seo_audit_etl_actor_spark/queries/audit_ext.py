@@ -388,10 +388,14 @@ def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       8 jpeg_flat  16x16 baseline flat 77 (q=1: DC-only, exact) -> 4928
       9 png_trunc  fixture 4 minus its last 30 bytes: structurally
                    corrupt -> real_decode=false, excluded from checksum
+     10 jpeg_prog  16x16 PROGRESSIVE (SOF2, r7): four flat 8x8 quadrants
+                   40/80/120/200 — DC-only spectrum so q=1 reconstruction
+                   is exact; thumb = 4x4 cells per quadrant
+                   -> 16*(40+80+120+200) = 7040
 
       thumb_checksum = sum(id * thumb_sum over real decodes)
                      = 1*10176 + 2*2016 + 3*1152 + 4*4032 + 5*6912
-                       + 6*10944 + 7*1792 + 8*4928 = 185984
+                       + 6*10944 + 7*1792 + 8*4928 + 10*7040 = 256384
 
     Audio fixture: 16-bit PCM WAV, 8000 Hz mono, 8000 samples
     alternating +1000/-1000: rms_q = isqrt(8000*1000^2 // 8000) = 1000,
@@ -412,6 +416,8 @@ def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seo_audit_etl_actor_spark.multimodal import fixtures as FX
 
     grad8 = np.add.outer(np.arange(8) * 8, np.arange(8))  # y*8+x
+    quad = np.zeros((16, 16), dtype=np.uint8)  # four flat 8x8 quadrants
+    quad[:8, :8], quad[:8, 8:], quad[8:, :8], quad[8:, 8:] = 40, 80, 120, 200
     png_g8 = FX.encode_png((grad8 * 2)[:, :, None], color_type=0)
     palette = bytes(v for i in range(4) for v in (i * 20, i * 40, i * 60))
     assert palette[9:12] == bytes((60, 120, 180))  # PLTE[3]
@@ -437,6 +443,7 @@ def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ("8_jpeg_flat.jpg", FX.encode_jpeg(np.full((16, 16), 77, dtype=np.uint8))[0]),
         ("9_png_trunc.png", png_g8[:-30]),
+        ("10_jpeg_prog.jpg", FX.encode_jpeg_progressive(quad)[0]),
     ]
     img_df = spark.createDataFrame(
         [(n, bytearray(b)) for n, b in images], "path string, content binary"
@@ -500,9 +507,9 @@ def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_DECODE_AUDIT = """
-SELECT CAST(9 AS BIGINT)      AS n_images,
-       CAST(8 AS BIGINT)      AS n_image_real,
-       CAST(185984 AS BIGINT) AS thumb_checksum,
+SELECT CAST(10 AS BIGINT)     AS n_images,
+       CAST(9 AS BIGINT)      AS n_image_real,
+       CAST(256384 AS BIGINT) AS thumb_checksum,
        CAST(1000 AS BIGINT)   AS wav_rms_q,
        CAST(7999 AS BIGINT)   AS wav_zero_crossings,
        CAST(1000 AS BIGINT)   AS wav_duration_ms,

@@ -436,13 +436,20 @@ def test_jpeg_restart_markers():
 
 
 def test_jpeg_out_of_scope_routes_to_fake():
-    """Progressive (SOF2) and truncated scans must return None (fake)."""
+    """Malformed and genuinely out-of-scope streams must return None
+    (fake). A baseline stream with its SOF0 patched to SOF2 is a
+    STRUCTURALLY INVALID progressive file (its one scan has Ss=0, Se=63 —
+    a DC scan must have Se=0 per T.81 G.1.1), so it still routes to the
+    fake even though real progressive files decode since round 7."""
     import numpy as np
 
     img = np.full((8, 8), 50, dtype=np.uint8)
     data, _ = _encode_jpeg(img)
     prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert B._decode_gray_pixels(prog) is None
+    # arithmetic-coded frame (SOF10 = 0xCA) stays out of scope
+    arith = data.replace(b"\xff\xc0", b"\xff\xca", 1)
+    assert B._decode_gray_pixels(arith) is None
     # truncate mid-scan (gradient stream is long): MCUs run out of bits
     grad = ((np.add.outer(np.arange(32), np.arange(32)) * 13) % 256).astype(np.uint8)
     gdata, _ = _encode_jpeg(grad)
@@ -627,3 +634,86 @@ def test_png_illegal_depth_combos_return_none():
         )
         is None
     )
+
+
+# round 7: progressive JPEG (SOF2 — spectral selection + successive
+# approximation; spec-side encoder is fixtures.encode_jpeg_progressive,
+# written from T.81 Annex G independently of the decoder under test)
+
+_encode_jpeg_progressive = FX.encode_jpeg_progressive
+
+
+def test_jpeg_progressive_flat_exact():
+    """Flat gray: DC-only spectrum; two-level successive approximation
+    must reassemble the exact DC value."""
+    import numpy as np
+
+    img = np.full((16, 16), 77, dtype=np.uint8)
+    data, expected = _encode_jpeg_progressive(img)
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None and np.array_equal(dec, expected)
+
+
+def test_jpeg_progressive_gradient_and_noise_exact():
+    """Dense-AC content exercises every refinement path: newly-significant
+    coefficients (|v|==1), correction bits, ZRL runs inside the refine
+    scan, and EOB-covered tails. q=1 + full refinement must reproduce the
+    encoder's own IDCT reconstruction exactly."""
+    import numpy as np
+
+    grad = ((np.add.outer(np.arange(16) * 5, np.arange(24) * 3)) % 256).astype(np.uint8)
+    rng = np.random.default_rng(42)
+    noise = rng.integers(0, 256, size=(24, 40), dtype=np.uint8).astype(np.uint8)
+    spikes = np.full((32, 32), 128, dtype=np.uint8)
+    spikes[::7, ::5] = 255  # long zero runs -> ZRL in first AND refine scans
+    for img in (grad, noise, spikes):
+        data, expected = _encode_jpeg_progressive(img)
+        dec = B._decode_gray_pixels(data)
+        assert dec is not None and dec.shape == img.shape
+        assert np.array_equal(dec, expected), int(
+            np.abs(dec.astype(int) - expected.astype(int)).max()
+        )
+
+
+def test_jpeg_progressive_color_420_and_padded_grid():
+    """Color at (2,2) sampling: interleaved DC scans entropy-decode chroma
+    to keep bit position honest, chroma AC scans are skipped wholesale,
+    and odd dimensions make the padded interleaved block grid (4x4)
+    larger than the Y component's true AC grid (3x3)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(20, 20), dtype=np.uint8).astype(np.uint8)
+    data, expected = _encode_jpeg_progressive(img, chroma=(90, 160), sampling=(2, 2))
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None and dec.shape == (20, 20)
+    assert np.array_equal(dec, expected)
+
+
+def test_jpeg_progressive_malformed_returns_none():
+    import numpy as np
+
+    img = ((np.add.outer(np.arange(16), np.arange(16)) * 11) % 256).astype(np.uint8)
+    data, _ = _encode_jpeg_progressive(img)
+    # truncated mid-scan
+    assert B._decode_gray_pixels(data[: len(data) // 2]) is None
+    # SOS before SOF
+    sof_at = data.index(b"\xff\xc2")
+    sos_at = data.index(b"\xff\xda")
+    assert B._decode_gray_pixels(data[:sof_at] + data[sos_at:]) is None
+
+
+def test_jpeg_progressive_real_flag_end_to_end(spark, tmp_path):
+    """decode_image_thumbs must mark progressive files real_decode=true
+    and produce the exact area-mean thumb of the reconstruction."""
+    import numpy as np
+
+    d = tmp_path / "prog"
+    d.mkdir()
+    img = ((np.add.outer(np.arange(16) * 3, np.arange(16) * 7)) % 256).astype(np.uint8)
+    data, expected = _encode_jpeg_progressive(img)
+    (d / "p.jpg").write_bytes(data)
+    df = B.read_binary_dir(spark, str(d))
+    row = B.decode_image_thumbs(df).collect()[0]
+    assert row["real_decode"] is True
+    assert row["thumb"] == B._area_mean_thumb(expected, B.THUMB_SIDE)
