@@ -9,6 +9,11 @@ Usage: python tools/bench_hash.py /tmp/scale_m316 [/tmp/scale_m1000 ...]
 Prints one JSON line {"hash_study": {dir: {query: {md5: s, xxhash64: s}}}}.
 Warm numbers (second run) are the signal; memory discipline matches
 tools/bench_scale.py (clearCache + pin drain between runs).
+
+CAUTION (measured r7): at the m1000 rung the shared session accumulates
+checkpoint/shuffle state across the 8 configs faster than drain +
+clearCache reclaims it and the JVM dies mid-ladder even at 24g — use
+tools/bench_hash_one.py (one config per JVM) for m1000+.
 """
 
 from __future__ import annotations
