@@ -578,18 +578,31 @@ def _jpeg_decode_scan(ecs, sof, scan, qtables, htables, restart_interval):
     except (EOFError, ValueError, IndexError):
         return None
 
-    # crop to the Y component's true resolution; upsample if Y itself is
-    # subsampled (legal but rare)
+    return _jpeg_upsample_y(plane, true_h, true_v, hmax, vmax, iw, ih)
+
+
+
+def _jpeg_upsample_y(plane, true_h, true_v, hmax, vmax, iw, ih):
+    """Crop the decoded Y block grid to the component's true resolution
+    and upsample to image resolution when Y itself is subsampled (legal
+    but rare). Shared by the baseline and progressive paths so the
+    non-integer-ratio guard cannot diverge between them: for a Y whose
+    sampling does not divide hmax/vmax evenly (e.g. Y=(2,2) beside a
+    (3,3) component) an integer-floor repeat would silently emit a
+    wrong-scale plane, so return None to route to the documented fake."""
+    import numpy as np
+
     y_w = (iw * true_h + hmax - 1) // hmax
     y_hh = (ih * true_v + vmax - 1) // vmax
     plane = plane[:y_hh, :y_w]
     if true_h != hmax or true_v != vmax:
+        if vmax % true_v or hmax % true_h:
+            return None
         plane = np.repeat(
             np.repeat(plane, vmax // true_v, axis=0), hmax // true_h, axis=1
         )
         plane = plane[:ih, :iw]
     return plane
-
 
 
 def _jpeg_ecs_end(data: bytes, start: int) -> int:
@@ -752,8 +765,6 @@ def _decode_jpeg_progressive(data: bytes):
         return None
     yq = qtables[y_tq].reshape(-1)
 
-    import numpy as np
-
     u = np.arange(8)
     x = np.arange(8)
     A = 0.5 * np.cos((2 * x[:, None] + 1) * u[None, :] * np.pi / 16)
@@ -767,15 +778,7 @@ def _decode_jpeg_progressive(data: bytes):
             pix = np.clip(np.round(spatial) + 128, 0, 255)
             plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix.astype(np.uint8)
 
-    y_w = (iw * y_h + hmax - 1) // hmax
-    y_hh = (ih * y_v + vmax - 1) // vmax
-    plane = plane[:y_hh, :y_w]
-    if y_h != hmax or y_v != vmax:
-        plane = np.repeat(
-            np.repeat(plane, vmax // y_v, axis=0), hmax // y_h, axis=1
-        )
-        plane = plane[:ih, :iw]
-    return plane
+    return _jpeg_upsample_y(plane, y_h, y_v, hmax, vmax, iw, ih)
 
 
 def _jpeg_progressive_scan(ecs, sof, scan, band, htables, restart_interval, ycoef, y_meta):

