@@ -704,3 +704,117 @@ def encode_jpeg_progressive(y_plane, chroma=None, sampling=(1, 1)):
     out = emit_scan(out, [1], 6, 63, 1, 0, ac_refine_events(y_true, 6, 63), 1)
     out += b"\xff\xd9"
     return bytes(out), expected[:h, :w]
+
+
+# ----------------------------------------------------- lossless JPEG
+
+
+def encode_jpeg_lossless(
+    y_plane, predictor: int = 1, pt: int = 0, precision: int = 8,
+    chroma=None, sampling=(1, 1),
+):
+    """Lossless JPEG (SOF3, T.81 Annex H) encoder, written SPEC-SIDE and
+    independent of the decoder under test (the same agreement-is-evidence
+    discipline as encode_jpeg / encode_jpeg_progressive).
+
+    y_plane: (H, W) integer array of `precision`-bit samples. `predictor`
+    is the selection value 1-7 (H.1, Table H.1); `pt` the point transform
+    (samples are encoded as s >> pt and the decoder restores << pt).
+    chroma=(cb_val, cr_val) adds two constant (1,1)-sampled components
+    with Y at `sampling` — exercising interleaved MCUs (H.2: the data
+    unit is ONE SAMPLE, an MCU carries h×v samples per component).
+
+    Encoding per H.1.2: diff = (x - Px) mod 2^16 mapped to [-32768,
+    32767]; SSSS = magnitude category coded from a DC-class Huffman
+    table, followed by SSSS low-order bits (SSSS=16 carries none).
+    Prediction: first sample 2^(P-Pt-1); rest of first line Ra; first
+    column Rb; elsewhere the selected predictor.
+
+    Returns (jpeg_bytes, expected_y): expected_y is the ground truth the
+    decode contract emits — ((s >> pt) << pt) reduced to uint8 by
+    >> (precision - 8) — derived straight from the input, independent of
+    any decode machinery.
+    """
+    import numpy as np
+
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor selection value must be 1-7")
+    if not 8 <= precision <= 16 or not 0 <= pt < precision:
+        raise ValueError("need 8 <= precision <= 16 and 0 <= pt < precision")
+    y_plane = np.asarray(y_plane, dtype=np.int64)
+    h, w = y_plane.shape
+    sh, sv = sampling
+    mcux, mcuy = (w + sh - 1) // sh, (h + sv - 1) // sv
+
+    comps = [(1, sh, sv)]
+    planes = {1: np.pad(y_plane >> pt, ((0, mcuy * sv - h), (0, mcux * sh - w)), mode="edge")}
+    if chroma is not None:
+        cb, cr = chroma
+        comps += [(2, 1, 1), (3, 1, 1)]
+        planes[2] = np.full((mcuy, mcux), cb >> pt, dtype=np.int64)
+        planes[3] = np.full((mcuy, mcux), cr >> pt, dtype=np.int64)
+
+    default = 1 << (precision - pt - 1)
+
+    def predict(g, row, col):
+        if row == 0 and col == 0:
+            return default
+        if row == 0:
+            return int(g[0, col - 1])
+        if col == 0:
+            return int(g[row - 1, 0])
+        a, b, c = int(g[row, col - 1]), int(g[row - 1, col]), int(g[row - 1, col - 1])
+        return {
+            1: a, 2: b, 3: c, 4: a + b - c,
+            5: a + ((b - c) >> 1), 6: b + ((a - c) >> 1), 7: (a + b) >> 1,
+        }[predictor]
+
+    # pass 1: diffs in MCU order, collecting SSSS symbols
+    events = []  # (ssss, extra_bits_value)
+    syms = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, ch, cv in comps:
+                g = planes[cid]
+                for dy in range(cv):
+                    for dx in range(ch):
+                        row, col = my * cv + dy, mx * ch + dx
+                        d = (int(g[row, col]) - predict(g, row, col)) & 0xFFFF
+                        if d >= 32768:
+                            d -= 65536
+                        if d == -32768:
+                            ssss, extra = 16, None  # SSSS=16: no extra bits
+                        else:
+                            ssss = abs(d).bit_length()
+                            extra = None if ssss == 0 else (
+                                d if d > 0 else d + (1 << ssss) - 1
+                            )
+                        syms.append(ssss)
+                        events.append((ssss, extra))
+    counts, ordered, codes = _canonical_table(syms)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(ordered))
+        + b"\x00" + bytes(counts) + bytes(ordered)
+    )
+    ncomp = len(comps)
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
+    for cid, ch, cv in comps:
+        out += bytes([cid, (ch << 4) | cv, 0])  # Tq shall be 0 (lossless)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid, _, _ in comps:
+        out += bytes([cid, 0x00])
+    out += bytes([predictor, 0, pt])  # Ss=PSV, Se=0, Ah=0|Al=Pt
+
+    bw = _JBitWriter()
+    for ssss, extra in events:
+        ln, code = codes[ssss]
+        bw.write(ln, code)
+        if extra is not None and ssss:
+            bw.write(ssss, extra)
+    bw.flush()
+    out += bw.buf + b"\xff\xd9"
+
+    expected = ((y_plane >> pt) << pt) >> (precision - 8)
+    return bytes(out), expected.astype(np.uint8)

@@ -663,3 +663,96 @@ SELECT CAST(9 AS BIGINT)     AS n_rows,
        CAST(28549 AS BIGINT) AS byte_sum,
        CAST(1 AS BIGINT)     AS ds_equals_mapinpandas
 """
+
+
+# ------------------------------------ lossless JPEG decode audit (r8)
+
+
+def q_lossless_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracle row for the round-8 lossless JPEG decoder (SOF3,
+    T.81 Annex H — multimodal/binary_ops._decode_jpeg_lossless): a
+    6-blob fixture corpus built in-query from the spec-side encoder
+    (multimodal/fixtures.encode_jpeg_lossless), decoded through the real
+    Spark path (binaryFile-shaped rows -> Arrow-batched mapInPandas),
+    summarized to one row of hand-derived BIGINTs. Same discipline as
+    q_media_decode_audit: every constant in the oracle is derived in
+    this docstring, independent of the decoder.
+
+    Blobs (weight = leading digit of the path; THUMB_SIDE = 8, so an
+    8x8 image's thumb is the identity):
+      1_ll_flat.jpg   8x8 flat 77, psv=1      -> thumb sum 77*64 = 4928
+      2_ll_grad.jpg   8x8 of 4*(y+x), psv=4   -> sum 4*(28*8+28*8) = 1792
+      3_ll_pt.jpg     8x8 flat 77, Pt=2       -> (77>>2)<<2 = 76; 76*64 = 4864
+      4_ll_16bit.jpg  8x8 flat 0xAB12, P=16, psv=7 -> high byte 171; 171*64 = 10944
+      5_ll_color.jpg  16x16 flat 100, chroma (90,160), Y at (2,2), psv=5
+                      -> 8x8 thumb of flat 100 -> 6400
+      6_ll_dri.jpg    blob 1 with a DRI segment spliced before SOF3 —
+                      restart intervals are documented OUT of scope, so
+                      this must route to the fake (real_decode = false)
+    thumb_checksum = sum over REAL decodes of weight * sum(thumb)
+                   = 1*4928 + 2*1792 + 3*4864 + 4*10944 + 5*6400 = 98880
+    n_real = 5 of 6.
+    dims_checksum = sum over ALL blobs of weight*(width*1000 + height)
+    — header dimension sniffing is real even on the fake path, and SOF3
+    frames carry dimensions like any SOFn:
+                  = 8008*(1+2+3+4+6) + 16016*5 = 208208.
+
+    Scale: identical plumbing to q_media_decode_audit — the fixture
+    corpus is local by construction; the exercised operator is the
+    100 TB decode path itself."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal import binary_ops as B
+    from seo_audit_etl_actor_spark.multimodal import fixtures as FX
+
+    flat = np.full((8, 8), 77, dtype=np.int64)
+    grad = (np.add.outer(np.arange(8), np.arange(8)) * 4).astype(np.int64)
+    ll_flat = FX.encode_jpeg_lossless(flat, predictor=1)[0]
+    sof = ll_flat.index(b"\xff\xc3")
+    blobs = [
+        ("1_ll_flat.jpg", ll_flat),
+        ("2_ll_grad.jpg", FX.encode_jpeg_lossless(grad, predictor=4)[0]),
+        ("3_ll_pt.jpg", FX.encode_jpeg_lossless(flat, predictor=2, pt=2)[0]),
+        (
+            "4_ll_16bit.jpg",
+            FX.encode_jpeg_lossless(
+                np.full((8, 8), 0xAB12, dtype=np.int64), predictor=7, precision=16
+            )[0],
+        ),
+        (
+            "5_ll_color.jpg",
+            FX.encode_jpeg_lossless(
+                np.full((16, 16), 100, dtype=np.int64),
+                predictor=5,
+                chroma=(90, 160),
+                sampling=(2, 2),
+            )[0],
+        ),
+        ("6_ll_dri.jpg", ll_flat[:sof] + b"\xff\xdd\x00\x04\x00\x02" + ll_flat[sof:]),
+    ]
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b in blobs], "path string, content binary"
+    )
+    thumbs = B.decode_image_thumbs(df)
+    weight = F.regexp_extract("path", r"^(\d+)_", 1).cast("long")
+    return thumbs.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.col("real_decode").cast("long")).alias("n_real"),
+        F.sum(
+            F.when(
+                F.col("real_decode"),
+                weight * F.aggregate("thumb", F.lit(0).cast("long"), lambda a, x: a + x),
+            ).otherwise(F.lit(0))
+        ).alias("thumb_checksum"),
+        F.sum(weight * (F.col("width").cast("long") * 1000 + F.col("height"))).alias(
+            "dims_checksum"
+        ),
+    )
+
+
+SQL_LOSSLESS_DECODE_AUDIT = """
+SELECT CAST(6 AS BIGINT)      AS n_blobs,
+       CAST(5 AS BIGINT)      AS n_real,
+       CAST(98880 AS BIGINT)  AS thumb_checksum,
+       CAST(208208 AS BIGINT) AS dims_checksum
+"""

@@ -55,6 +55,8 @@ class QuerySpec:
 # Never append below position 50 — that silently exempts the entry from the
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
+    # --- NEW: no driver evidence yet ---
+    QuerySpec("lossless_decode_audit", ax.q_lossless_decode_audit, ax.SQL_LOSSLESS_DECODE_AUDIT),
     # --- latest green: r5 ---
     QuerySpec("above_nation_avg_balance", rs.q_above_nation_avg_balance, rs.SQL_ABOVE_NATION_AVG_BALANCE),
     QuerySpec("asof_join_enrichment", rel.q_asof_join_enrichment, rel.SQL_ASOF_JOIN_ENRICHMENT),

@@ -749,3 +749,85 @@ def test_jpeg_upsample_integer_ratio_exact():
     # full-resolution Y is returned cropped, untouched
     out = B._jpeg_upsample_y(plane, 2, 2, 2, 2, 8, 8)
     assert np.array_equal(out, plane)
+
+
+# round 8: lossless JPEG (SOF3 — T.81 Annex H predictor decode). Fixture
+# encoder is spec-side and independent (fixtures.encode_jpeg_lossless);
+# lossless means round-trips are EXACT, no ±1 tolerance anywhere.
+
+_encode_jpeg_lossless = FX.encode_jpeg_lossless
+
+
+def test_jpeg_lossless_all_predictors_exact():
+    import numpy as np
+
+    grad = ((np.add.outer(np.arange(16) * 5, np.arange(24) * 3)) % 256).astype(np.int64)
+    noise = (np.arange(15 * 17).reshape(15, 17) * 97 % 256).astype(np.int64)
+    for img in (np.full((8, 8), 77, dtype=np.int64), grad, noise):
+        for psv in range(1, 8):
+            data, expected = _encode_jpeg_lossless(img, predictor=psv)
+            dec = B._decode_gray_pixels(data)
+            assert dec is not None and np.array_equal(dec, expected), psv
+
+
+def test_jpeg_lossless_point_transform_and_high_precision():
+    import numpy as np
+
+    grad = ((np.add.outer(np.arange(12) * 11, np.arange(9) * 29)) % 256).astype(np.int64)
+    for pt in (1, 3):
+        data, expected = _encode_jpeg_lossless(grad, predictor=4, pt=pt)
+        dec = B._decode_gray_pixels(data)
+        assert dec is not None and np.array_equal(dec, expected), pt
+    # 16-bit: uint8 output is the high byte (PNG-16-bit discipline)
+    img16 = (np.add.outer(np.arange(9) * 7000, np.arange(11) * 911) % 65536).astype(np.int64)
+    data, expected = _encode_jpeg_lossless(img16, predictor=7, precision=16)
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None and np.array_equal(dec, expected)
+    assert np.array_equal(expected, (img16 >> 8).astype(np.uint8))
+    # 12-bit with point transform: lossless-mode 12-bit is REAL (only
+    # 12-bit DCT remains a fake)
+    img12 = (np.add.outer(np.arange(10) * 313, np.arange(10) * 97) % 4096).astype(np.int64)
+    data, expected = _encode_jpeg_lossless(img12, predictor=5, precision=12, pt=2)
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None and np.array_equal(dec, expected)
+
+
+def test_jpeg_lossless_interleaved_color():
+    import numpy as np
+
+    grad = ((np.add.outer(np.arange(16) * 5, np.arange(24) * 3)) % 256).astype(np.int64)
+    for sampling in ((1, 1), (2, 2), (2, 1)):
+        data, expected = _encode_jpeg_lossless(
+            grad, predictor=4, chroma=(100, 140), sampling=sampling
+        )
+        dec = B._decode_gray_pixels(data)
+        assert dec is not None and np.array_equal(dec, expected), sampling
+
+
+def test_jpeg_lossless_out_of_scope_returns_none():
+    import numpy as np
+
+    grad = ((np.add.outer(np.arange(8), np.arange(8))) * 4).astype(np.int64)
+    data, _ = _encode_jpeg_lossless(grad)
+    # truncated stream
+    assert B._decode_gray_pixels(data[: len(data) // 2]) is None
+    # restart intervals are documented out of scope: splice a DRI segment
+    sof = data.index(b"\xff\xc3")
+    with_dri = data[:sof] + b"\xff\xdd\x00\x04\x00\x02" + data[sof:]
+    assert B._decode_jpeg_lossless(with_dri) is None
+    # 12-bit DCT (SOF1 extended sequential) stays out of scope
+    assert B._decode_gray_pixels(data.replace(b"\xff\xc3", b"\xff\xc1", 1)) is None
+
+
+def test_jpeg_lossless_real_flag_end_to_end(spark, tmp_path):
+    import numpy as np
+
+    d = tmp_path / "ll"
+    d.mkdir()
+    img = ((np.add.outer(np.arange(16) * 3, np.arange(16) * 7)) % 256).astype(np.int64)
+    data, expected = _encode_jpeg_lossless(img, predictor=4)
+    (d / "ll.jpg").write_bytes(data)
+    row = B.decode_image_thumbs(B.read_binary_dir(spark, str(d))).collect()[0]
+    assert row["real_decode"] is True
+    assert row["format"] == "jpeg" and (row["width"], row["height"]) == (16, 16)
+    assert row["thumb"] == B._area_mean_thumb(expected, B.THUMB_SIDE)
