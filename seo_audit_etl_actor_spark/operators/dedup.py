@@ -195,13 +195,21 @@ def hashed_shingle_set(text_col, k: int = SHINGLE_K, hash_fn: str = "md5"):
     """
     toks = tokens(text_col)
     n = F.size(toks)
+
+    def h32(col):
+        if hash_fn == "xxhash64_hi":
+            # diagnostic bit selection (r8 hash study): the HIGH 32 bits
+            # of xxhash64 instead of the low 32 — distinguishes "low-bit
+            # correlation over overlapping shingle strings" from
+            # "xxhash64 unsuitable" in the m1000 candidate-volume probe
+            return F.shiftrightunsigned(F.xxhash64(col), 32)
+        return _hash64(col, hash_fn).bitwiseAND(F.lit(MASK32))
+
     return F.when(n < k, F.array().cast("array<long>")).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: _hash64(
-                    F.concat_ws(" ", F.slice(toks, i, k)), hash_fn
-                ).bitwiseAND(F.lit(MASK32)),
+                lambda i: h32(F.concat_ws(" ", F.slice(toks, i, k))),
             )
         )
     )

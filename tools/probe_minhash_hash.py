@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     d = sys.argv[1]
+    families = sys.argv[2:] or ["md5", "xxhash64"]
     from pyspark.sql import functions as F
 
     from seo_audit_etl_actor_spark.operators import dedup, pin_registry
@@ -27,7 +28,7 @@ def main() -> None:
 
     spark = get_spark("probe-minhash-hash")
     spark.sparkContext.setLogLevel("ERROR")
-    for hash_fn in ("md5", "xxhash64"):
+    for hash_fn in families:
         docs = ensure_parallelism(load_table(spark, d, "documents"))
         base = dedup.shingle_projection(docs, hash_fn=hash_fn)
         n_docs = base.count()
