@@ -155,3 +155,26 @@ def test_xxhash64_production_hash_variant(spark):
 
     with _pytest.raises(ValueError):
         dedup._hash64(None, "sha9000")
+
+
+def test_pure_python_xxh64_matches_spark(spark):
+    """tools/probe_simhash_entropy.py's offline attribution hashes with a
+    pure-Python XXH64(seed=42); it must be bit-exact vs Spark's
+    F.xxhash64 or the analysis speaks for a different function."""
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from probe_simhash_entropy import xxh64
+
+    vals = ["order", "hash", "spark", "the quick brown fox jumps over xyz", "a", "", "é↑🙂"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    for r in df.collect():
+        mine = xxh64(r["s"].encode(), 42)
+        if mine >= 1 << 63:
+            mine -= 1 << 64
+        assert mine == r["h"], r["s"]
