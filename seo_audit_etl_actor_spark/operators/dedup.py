@@ -13,8 +13,12 @@ Design for 100 TB:
 - SimHash reduces each doc to one 48-bit integer; near-dup candidates come
   from band equality on the fingerprint — again a uniform-key join;
 - token/shingle hashing defaults to md5 so every step is reproducible in
-  the DuckDB oracle; pass hash_fn="xxhash64" for the ~5× faster
-  production hash when oracle parity isn't needed (see _hash64).
+  the DuckDB oracle. md5 IS the production recommendation (r8 revision):
+  the xxhash64 swap's "~5× faster hash pass" held only in isolation —
+  at the big rungs its band-collision volume is corpus-dependent and
+  measured 3-5× md5's on the synthetic ladder, which at m1000 turns the
+  verification/refinement stages into the bottleneck (the simhash probe
+  fills the 65 GB disk and dies). See _hash64 and SURVEY §6 round-8.
 """
 
 from __future__ import annotations
@@ -131,13 +135,29 @@ def exact_dedup_keep_first(
 
 # Token/shingle hash families. "md5" (default) is ENGINE-PORTABLE — every
 # oracle-checked catalog value reproduces bit-for-bit in DuckDB — and is
-# what all catalog queries use. "xxhash64" is the PRODUCTION swap for
-# corpora where hashing dominates: the r5 316×-sf0.1 probe measured the
-# 85.6M-token hash pass at 43.7 s (md5: cast→md5 hex→substring→conv per
-# token) vs 9.0 s (xxhash64, effectively free next to the explode) — a
-# pure speed/portability trade, since every consumer (simhash votes,
-# minhash affine maps, Jaccard set ops) only needs a uniform 64/32-bit
-# hash, not md5 specifically. Only the default is DuckDB-checkable.
+# what all catalog queries use, AND the production recommendation.
+#
+# "xxhash64" is kept as a MEASURED-UNSAFE alternative, not a production
+# swap (r8 retraction of the r5 claim; VERDICT r7 task 2). The r5 "~5×
+# faster" number was the hash pass in isolation (43.7 s md5 vs 9.0 s
+# xxhash64 for 85.6M tokens at m316). Pipeline-level, the committed r8
+# probes show the candidate volume is hypersensitive to the hash
+# family's values on the corpus's dominant tokens/shingles, and on the
+# synthetic ladder xxhash64 drew badly at every big rung:
+#   - minhash m1000 (tier 3, r=4): 5.48M raw band pairs vs md5's 1.29M
+#     (4.2×), hot buckets 2560 vs 400; the high-32-bit selection probes
+#     4.11M — NOT a bit-selection defect (tools/probe_minhash_hash.py);
+#   - simhash m316: 74.97M verified Hamming≤3 pairs vs md5's 16.21M
+#     (4.6×) — lower effective fingerprint entropy, attributed offline:
+#     the 31-token vocabulary leaves xxhash64 30 near-balanced vote bits
+#     vs md5's 37 (tools/probe_simhash_entropy.py);
+#   - simhash m1000: the xxhash64 COUNT-ONLY probe dies on disk (>58 GB
+#     refinement spill, "No space left on device") where md5 completes —
+#     reproducing the r7 shared-session death in a fresh JVM.
+# The mechanism is luck-of-the-draw on a tiny support, not an xxhash64
+# defect — but that is exactly why the swap cannot be CLAIMED safe:
+# swap only after probing the target corpus (the probe tools are the
+# gate). Only the md5 default is DuckDB-checkable.
 def _hash64(col, hash_fn: str = "md5"):
     if hash_fn == "md5":
         return md5_long(col)

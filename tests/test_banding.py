@@ -132,11 +132,13 @@ def test_tier_selection_is_hash_independent(spark, monkeypatch):
 
 
 def test_xxhash64_production_hash_variant(spark):
-    """hash_fn="xxhash64" (the production swap measured ~5x faster at
-    316x sf0.1) must run both near-dup pipelines end-to-end with the same
-    contracts as md5: symmetric-free ordered pairs, thresholds respected,
-    and exact duplicates still found (identical texts have identical
-    shingle sets / fingerprints under ANY hash)."""
+    """hash_fn="xxhash64" (a measured-unsafe ALTERNATIVE since the r8
+    retraction — see operators/dedup._hash64; the r5 "~5x faster" claim
+    held only for the hash pass in isolation) must still run both
+    near-dup pipelines end-to-end with the same contracts as md5:
+    symmetric-free ordered pairs, thresholds respected, and exact
+    duplicates still found (identical texts have identical shingle
+    sets / fingerprints under ANY hash)."""
     rows = [(i, "the exact same duplicated text appears here always") for i in range(6)]
     rows += [(10 + i, f"entirely different content number {i} here") for i in range(4)]
     docs = spark.createDataFrame(rows, "doc_id: long, text: string")
