@@ -53,6 +53,28 @@ def gen_documents(out_dir: str, m: float, base_dir: str, seed: int = 7) -> int:
     docs = []
     for ln in out_lens:
         docs.append(" ".join(vocab_arr[rng.integers(0, len(vocab_arr), int(ln))]))
+    # r8: PLANT scale-invariant near-dup clusters. The r8 decomposition
+    # (tools/decompose_clusters.py) found chance similarity alone never
+    # reaches verified Jaccard >= 0.5 on this fresh-sample scheme, so the
+    # corpus-driven clusters ladder exercised an EMPTY graph above the
+    # driver SFs. Overwrite 1% of docs (in groups of 4: one seed + three
+    # perturbed copies, each with ~10% of word positions resampled —
+    # 3-shingle Jaccard ~ (0.9)^3/(2-(0.9)^3) ~ 0.57 > 0.5 threshold) so
+    # near-dup density is scale-INVARIANT: cluster count grows ~ m,
+    # cluster size stays 4, matching real-corpus dedup shape.
+    n_groups = n_out // 400  # 1% of docs in 4-doc groups
+    for g in range(n_groups):
+        s = g * 400  # group anchor: seed doc + 3 copies at s+1..s+3
+        seed_words = docs[s].split()
+        if len(seed_words) < 8:
+            continue
+        for j in range(1, 4):
+            w = list(seed_words)
+            n_swap = max(1, len(w) // 10)
+            pos = rng.integers(0, len(w), n_swap)
+            for p in pos:
+                w[int(p)] = str(vocab_arr[int(rng.integers(0, len(vocab_arr)))])
+            docs[s + j] = " ".join(w)
     out = pa.table(
         {
             "doc_id": pa.array(range(n_out), pa.int64()),
