@@ -83,8 +83,10 @@ def _sniff_image_header(data: bytes) -> tuple[str | None, int | None, int | None
                 break
             marker = data[i + 1]
             seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
-            # any SOFn (C0-CF except DHT C4 / DAC CC) carries dimensions
-            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xCC):
+            # any SOFn (C0-CF except DHT C4 / JPG-reserved C8 / DAC CC)
+            # carries dimensions; 0xC8 is reserved for extensions per
+            # T.81 Table B.1 — its payload is NOT a frame header
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", data[i + 5 : i + 9])
                 return "jpeg", int(w), int(h)
             i += 2 + seg_len

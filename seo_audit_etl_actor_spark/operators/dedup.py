@@ -163,7 +163,11 @@ def _hash64(col, hash_fn: str = "md5"):
         return md5_long(col)
     if hash_fn == "xxhash64":
         return F.xxhash64(col)
-    raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'md5' or 'xxhash64')")
+    raise ValueError(
+        f"unknown hash_fn {hash_fn!r} (use 'md5' or 'xxhash64'; 'xxhash64_hi' "
+        "is a minhash-probe-only bit selection handled inside "
+        "hashed_shingle_set and is not a full 64-bit hash family)"
+    )
 
 
 def shingle_set(text_col, k: int = SHINGLE_K):
@@ -207,8 +211,8 @@ def hashed_shingle_set(text_col, k: int = SHINGLE_K, hash_fn: str = "md5"):
     """Distinct k-word shingles as 32-bit hashes (array<long>).
 
     The shingle STRINGS never leave the expression: each k-gram is hashed
-    (md5 → 32-bit by default; see _hash64 for the xxhash64 production
-    swap) and deduplicated as an integer — 4-10× smaller rows through
+    (md5 → 32-bit by default; _hash64's decision table covers why md5 IS
+    production) and deduplicated as an integer — 4-10× smaller rows through
     every downstream shuffle, and set ops on longs instead of strings.
     Hash collisions (~n²/2³³ per doc) merge identically in any
     hash-agreeing engine, so oracle parity holds exactly for "md5".
@@ -290,8 +294,8 @@ def minhash_signatures(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-doc MinHash signature (id, mh0..mhN) via universal hashing: one
-    base hash per shingle (md5 by default; xxhash64 production swap — see
-    _hash64) giving a 32-bit value, then sig[i] = min over shingles of
+    base hash per shingle (md5 — production per _hash64's decision table)
+    giving a 32-bit value, then sig[i] = min over shingles of
     (a_i·h + b_i) mod 2^32 — n_hashes cheap affine maps instead of
     n_hashes full hash passes (the base hash dominates the hash work).
     See _signatures_from_shingles for the codegen-friendly shape."""

@@ -133,16 +133,76 @@ def test_no_stale_evidence():
     )
 
 
+def _rotate_module():
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import rotate_catalog
+
+    return rotate_catalog
+
+
+def _recorded_rounds() -> list[int]:
+    return sorted(int(f.stem.split("_r")[1]) for f in REPO.glob("CORRECTNESS_r*.json"))
+
+
+def _order_is_canonical(src: str) -> bool:
+    """True if the committed order is canonical under the full CORRECTNESS
+    history OR under the history minus the newest round. The second form
+    is what a correct rotation looks like at judge time: the driver has
+    just written an UNTRACKED CORRECTNESS_r{N}.json (which the committed
+    order could not have seen), so the order that correctly SERVED the
+    r{N} window is canonical w.r.t. r1..r{N-1} only. The r8 gate accepted
+    only the full-history form and so failed by construction the instant
+    every round ended (r8 verdict finding 1)."""
+    mod = _rotate_module()
+    rounds = _recorded_rounds()
+    caps: list[int | None] = [None]
+    if len(rounds) >= 2:
+        caps.append(rounds[-2])
+    return any(mod.rotate(src, max_round_cap=cap) == src for cap in caps)
+
+
 def test_catalog_order_canonical():
     """The QUERIES order must be exactly what tools/rotate_catalog.py
     generates from the CORRECTNESS history — hand edits drift (r7's
     rotation was manual and left 28 stale escapees at judge time)."""
-    import sys
-
-    sys.path.insert(0, str(REPO / "tools"))
-    from rotate_catalog import CATALOG, rotate
-
-    src = CATALOG.read_text()
-    assert rotate(src) == src, (
-        "queries/catalog.py order is not canonical — run tools/rotate_catalog.py"
+    mod = _rotate_module()
+    src = mod.CATALOG.read_text()
+    assert _order_is_canonical(src), (
+        "queries/catalog.py order is not canonical under the CORRECTNESS "
+        "history (with or without the newest round) — run tools/rotate_catalog.py"
     )
+
+
+def test_catalog_order_survives_new_driver_round():
+    """Judge-time robustness (r9 task 1): simulate the driver landing a
+    brand-new CORRECTNESS file — all first-window names green in a round
+    newer than anything committed — and assert the canonical-order gate
+    still passes. This is the exact tree state in which the judge runs
+    pytest every round."""
+    mod = _rotate_module()
+    src = mod.CATALOG.read_text()
+    names = [q.name for q in QUERIES][:DRIVER_WINDOW]
+    fake_round = _recorded_rounds()[-1] + 1
+    fake = REPO / f"CORRECTNESS_r{fake_round:02d}.json"
+    assert not fake.exists(), f"refusing to overwrite {fake}"
+    payload = {
+        n: {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": n not in ROWS_ONLY_ALLOWED,
+            "spark_rows": 1,
+            "oracle_rows": 1,
+            "err": "no_oracle" if n in ROWS_ONLY_ALLOWED else None,
+        }
+        for n in names
+    }
+    fake.write_text(json.dumps(payload))
+    try:
+        assert _order_is_canonical(src), (
+            "canonical-order gate fails when a new driver CORRECTNESS file "
+            "lands — the judge-time fragility the r8 verdict flagged"
+        )
+    finally:
+        fake.unlink()

@@ -139,6 +139,20 @@ def test_bmp_bottom_up_and_padding():
     assert (fmt, w, h) == ("bmp", 3, 2)
 
 
+def test_jpeg_sniff_skips_reserved_jpg_marker():
+    """ADVICE r8: 0xC8 (JPG, reserved for extensions per T.81 Table B.1) is
+    in the 0xC0-0xCF range but is NOT a frame header — a file carrying one
+    before its real SOF0 must not report the reserved segment's payload
+    bytes as width/height."""
+    import struct
+
+    jpg_ext = b"\xff\xc8" + struct.pack(">H", 6) + b"\x00\x09\x00\x07"  # fake dims 9x7
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 20, 30) + b"\x01\x11\x00"
+    data = b"\xff\xd8" + jpg_ext + sof0
+    fmt, w, h = B._sniff_image_header(data)
+    assert (fmt, w, h) == ("jpeg", 30, 20)
+
+
 def test_thumbs_real_flag_by_format(spark, tmp_path):
     """End-to-end through mapInPandas: uncompressed formats report
     real_decode=true with true means; the fixture's TRUNCATED png (header

@@ -57,8 +57,16 @@ def main() -> None:
             n_comp = comp.agg(F.countDistinct("component").alias("c")).first()["c"]
             runs.append(round(time.time() - t0, 2))
             spark.catalog.clearCache()
-        assert n_comp == v // 10, (n_comp, v)
-        out[str(v)] = {"shape": "cliques10", "n_edges": v - v // 10, "n_components": n_comp, "runs_sec": runs}
+        # expected components = distinct hubs with >=1 spoke. Hubs are
+        # multiples of 10 in [0, v); hub h contributes a component iff some
+        # id in (h, min(h+10, v)) exists — i.e. every hub except a trailing
+        # h == v-1 exactly (then the range (h, v) is empty). ADVICE r8:
+        # the old `v // 10` was wrong for v not a multiple of 10.
+        n_hubs = -(-v // 10)  # ceil(v/10)
+        expected = n_hubs - (1 if v % 10 == 1 else 0)
+        assert n_comp == expected, (n_comp, expected, v)
+        n_edges = v - n_hubs
+        out[str(v)] = {"shape": "cliques10", "n_edges": n_edges, "n_components": n_comp, "runs_sec": runs}
         print(f"V={v}: {runs}", file=sys.stderr)
     print(json.dumps({"cc_ladder": out}))
 
