@@ -459,6 +459,7 @@ def minhash_near_dup_pairs(
     n_hashes: int | None = None,
     n_bands: int | None = None,
     hash_fn: str = "md5",
+    compact_band_keys: bool | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     in-bucket candidate pairs → exact Jaccard verification
@@ -488,6 +489,21 @@ def minhash_near_dup_pairs(
     ~linear while the s-curve threshold holds at ≈0.35 (see ladder
     comment). Pass both explicitly to pin a tier (the oracle tests pin
     nothing — driver SFs land in tier 0, matching the static SQL).
+
+    Band-key representation (r9, the m3160 spill trim): above tier 0 the
+    band key is xxhash64(band_idx, mh…) — ONE long instead of an
+    `r`-value concat string, shrinking the band-exploded row from ~56 to
+    ~20 bytes through its persist and both its shuffles (at m3160 tier 3
+    that frame is ~1e9 rows × 64 bands worth of spill — the boundary the
+    r8 study hit). This is output-lossless BY CONSTRUCTION: a hash is a
+    function, so every true band-equal pair stays bucket-equal (zero
+    recall loss), and a collision can only ADD candidates, which exact
+    Jaccard verification then discards; the verified output could differ
+    only if a ≥threshold pair sharing NO true band collided
+    (P ≈ n_pairs·n_bands²/2⁶⁴ — negligible at any corpus this engine will
+    see). Tier 0 keeps the concat-string key so the driver-checked plan
+    stays bit-identical to the static DuckDB oracle, which encodes the
+    string form. Pass `compact_band_keys` to pin either representation.
     """
     from pyspark import StorageLevel
 
@@ -496,25 +512,41 @@ def minhash_near_dup_pairs(
         # row-group metadata — a sub-second probe even at 100 TB; cached
         # per (plan, file-stats) so repeated catalog runs pay it once
         n_hashes, n_bands = choose_banding(_probe_count(docs))
+    if compact_band_keys is None:
+        compact_band_keys = n_bands > BANDING_LADDER[0][2]
     # the one md5-bearing corpus pass, shared by signatures + verification
     base = shingle_projection(docs, text_col, id_col, hash_fn).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = _signatures_from_shingles(base, id_col, n_hashes)
     r = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = sigs.select(
-        F.col(id_col).alias("m"), F.explode(bands).alias("band")
-    ).select("m", "band.band_idx", "band.band_key")
-    pairs = _bucket_pairs(exploded, ["band_idx", "band_key"], "m", max_bucket_members)
+    if compact_band_keys:
+        # one 8-byte key folds (band_idx, mh…) — see docstring for why
+        # this is output-lossless above tier 0
+        band_vals = F.array(
+            *[
+                F.xxhash64(F.lit(b), *[F.col(f"mh{b * r + j}") for j in range(r)])
+                for b in range(n_bands)
+            ]
+        )
+        exploded = sigs.select(
+            F.col(id_col).alias("m"), F.explode(band_vals).alias("band_key")
+        )
+        pairs = _bucket_pairs(exploded, ["band_key"], "m", max_bucket_members)
+    else:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        exploded = sigs.select(
+            F.col(id_col).alias("m"), F.explode(bands).alias("band")
+        ).select("m", "band.band_idx", "band.band_key")
+        pairs = _bucket_pairs(exploded, ["band_idx", "band_key"], "m", max_bucket_members)
     # The deduped pair frame now has THREE consumers (the verification join
     # plus the two semi-join prunes below). It is the smallest frame in the
     # pipeline (two BIGINTs per row) but sits on top of the most expensive

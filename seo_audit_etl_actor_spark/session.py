@@ -104,6 +104,13 @@ def get_spark(app_name: str = "seo-audit-etl-actor-spark") -> SparkSession:
         .config("spark.sql.timestampType", "TIMESTAMP_LTZ")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # shuffle/spill block codec (static conf). zstd over the lz4
+        # default: the dedup family's scale boundary is scratch DISK, not
+        # CPU (minhash m3160 died at ~70 GB spill on lz4 — r8 scale study);
+        # zstd's ~1.3-2x better ratio on band-key/signature blocks buys
+        # headroom exactly where the host is capacity-bound, and at cluster
+        # scale shrinks shuffle I/O on the same reasoning.
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         # progress-bar escape codes would interleave with bench.py's
         # machine-parseable stdout (static conf: must be set pre-start)

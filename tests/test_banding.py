@@ -111,6 +111,37 @@ def test_deep_tiers_keep_recall_and_precision(spark):
         assert all(a < 1000 and b < 1000 for a, b in pairs)
 
 
+def test_compact_band_keys_match_string_keys(spark):
+    """r9 spill trim: above tier 0 the band key is xxhash64(band_idx, mh…)
+    — one long — instead of the r-value concat string. Both
+    representations must produce the IDENTICAL verified pair set (hashing
+    preserves band equality; collisions only add candidates that exact
+    Jaccard then removes), at every ladder tier."""
+    docs = _near_dup_corpus(spark)
+    for n_hashes, n_bands in [(16, 8), (72, 24), (256, 64)]:
+        compact = dedup.minhash_near_dup_pairs(
+            docs, n_hashes=n_hashes, n_bands=n_bands, compact_band_keys=True
+        )
+        strings = dedup.minhash_near_dup_pairs(
+            docs, n_hashes=n_hashes, n_bands=n_bands, compact_band_keys=False
+        )
+        assert [tuple(r) for r in compact.collect()] == [
+            tuple(r) for r in strings.collect()
+        ], (n_hashes, n_bands)
+
+
+def test_default_band_key_representation_by_tier(spark):
+    """Tier 0 must default to the string key (bit-exact vs the static
+    DuckDB oracle); deeper tiers default compact. Observable via the
+    analyzed plan's band_key type."""
+    docs = _near_dup_corpus(spark)
+    t0 = dedup.minhash_near_dup_pairs(docs, n_hashes=16, n_bands=8)
+    t2 = dedup.minhash_near_dup_pairs(docs, n_hashes=256, n_bands=64)
+    # the compact plan has no band_idx column anywhere; the string plan does
+    assert "band_idx" in t0._jdf.queryExecution().analyzed().toString()
+    assert "band_idx" not in t2._jdf.queryExecution().analyzed().toString()
+
+
 def test_tier_selection_is_hash_independent(spark, monkeypatch):
     """VERDICT r5 task 6 contract: the BANDING_LADDER tier is chosen from
     the corpus COUNT alone — switching hash_fn must feed choose_banding
