@@ -16,10 +16,11 @@ format:
   functions produce true pixels/metadata (`real_decode = true`);
 - progressive JPEG (SOF2) joined the real decoders in round 7 — spectral
   selection + successive approximation over the same Huffman/IDCT
-  machinery (`_decode_jpeg_progressive`) — and lossless JPEG (SOF3,
-  T.81 Annex H predictor decode, precision 8-16) in round 8
-  (`_decode_jpeg_lossless`);
-- the REMAINING variants (12-bit DCT, arithmetic-coded JPEG, and
+  machinery (`_decode_jpeg_progressive`) — lossless JPEG (SOF3, T.81
+  Annex H predictor decode, precision 8-16) in round 8
+  (`_decode_jpeg_lossless`), and 12-bit DCT (SOF1 extended sequential +
+  12-bit progressive: wider level shift, top 8 bits emitted) in round 9;
+- the REMAINING variants (arithmetic-coded JPEG and
   lossless-with-restart-intervals — patent-era rarities, genuinely
   codec-hard or spec-ambiguous) still use the deterministic
   byte-sampling fake: header parsing for dimensions is real, the pixel
@@ -387,13 +388,15 @@ def _decode_jpeg_gray(data: bytes):
     entropy-decoded to keep the bitstream position honest.
 
     Scope (returns None outside it, routing to the documented fake):
-    baseline sequential DCT (SOF0) and progressive DCT (SOF2, round 7 —
-    spectral selection + successive approximation, _decode_jpeg_progressive),
-    8-bit samples, Huffman coding, 1-4 components, any sampling factors,
-    restart markers supported; lossless (SOF3, round 8 — Annex H
-    predictor decode, precision 8-16, _decode_jpeg_lossless). 12-bit
-    DCT, arithmetic coding, and lossless restart intervals are out of
-    scope."""
+    baseline sequential DCT (SOF0, 8-bit), extended sequential DCT
+    (SOF1, 8/12-bit — round 9: the same Huffman decode with a wider
+    level shift, top 8 bits emitted), progressive DCT (SOF2, 8/12-bit;
+    round 7 — spectral selection + successive approximation,
+    _decode_jpeg_progressive), Huffman coding, 1-4 components, any
+    sampling factors, restart markers supported; lossless (SOF3, round
+    8 — Annex H predictor decode, precision 8-16,
+    _decode_jpeg_lossless). Arithmetic coding and lossless restart
+    intervals are out of scope."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -448,21 +451,25 @@ def _decode_jpeg_gray(data: bytes):
                             code += 1
                         code <<= 1
                     htables[(tc, th)] = table
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
                 _prec, ih, iw, ncomp = struct.unpack(">BHHB", body[:6])
-                if _prec != 8 or ncomp == 0 or ncomp > 4 or iw == 0 or ih == 0:
+                # T.81 B.2.2: baseline is 8-bit only; extended sequential
+                # (Huffman) allows 8 or 12 — the same decode procedure with
+                # a wider level shift (r9: the 12-bit DCT generalization)
+                ok_prec = _prec == 8 if marker == 0xC0 else _prec in (8, 12)
+                if not ok_prec or ncomp == 0 or ncomp > 4 or iw == 0 or ih == 0:
                     return None
                 comps = []
                 for c in range(ncomp):
                     cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
                     comps.append((cid, hv >> 4, hv & 15, tq))
-                sof = (iw, ih, comps)
+                sof = (iw, ih, comps, _prec)
             elif marker == 0xC2:  # SOF2 progressive (round 7: real decode)
                 return _decode_jpeg_progressive(data)
             elif marker == 0xC3:  # SOF3 lossless (round 8: real decode)
                 return _decode_jpeg_lossless(data)
-            elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline SOF (12-bit, arithmetic, ...)
+            elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-Huffman-sequential SOF (arithmetic, ...)
             elif marker == 0xDD:  # DRI
                 restart_interval = struct.unpack(">H", body[:2])[0]
             elif marker == 0xDA:  # SOS
@@ -484,14 +491,18 @@ def _decode_jpeg_gray(data: bytes):
 
 
 def _jpeg_decode_scan(ecs, sof, scan, qtables, htables, restart_interval):
-    """Decode the first baseline scan into the Y plane. Interleaved scans
+    """Decode the first sequential scan into the Y plane. Interleaved scans
     (ns > 1) walk the usual hmax x vmax MCU grid; a single-component scan
     is NON-interleaved per T.81 (MCU = one data unit over the component's
     own block grid) — which also makes multi-scan baseline files decode
-    correctly, since their first scan is the Y component."""
+    correctly, since their first scan is the Y component. `sof` carries
+    the frame precision (8 baseline, 8/12 extended sequential): the level
+    shift is 2^(P-1), clipping [0, 2^P-1], and the emitted luma is the
+    top 8 bits (>> (P-8)) — the same output contract as the lossless
+    path."""
     import numpy as np
 
-    iw, ih, comps = sof
+    iw, ih, comps, precision = sof
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax == 0 or vmax == 0:
@@ -578,10 +589,16 @@ def _jpeg_decode_scan(ecs, sof, scan, qtables, htables, restart_interval):
                                 continue  # chroma: bitstream advanced, done
                             block = coef.reshape(8, 8) * yq
                             spatial = A @ block.astype(np.float64) @ A.T
-                            pix = np.clip(np.round(spatial) + 128, 0, 255)
+                            pix = np.clip(
+                                np.round(spatial) + (1 << (precision - 1)),
+                                0,
+                                (1 << precision) - 1,
+                            )
                             r0 = (my * y_v + by) * 8
                             c0 = (mx * y_h + bx) * 8
-                            plane[r0 : r0 + 8, c0 : c0 + 8] = pix.astype(np.uint8)
+                            plane[r0 : r0 + 8, c0 : c0 + 8] = (
+                                pix.astype(np.int64) >> (precision - 8)
+                            ).astype(np.uint8)
                 mcu_idx += 1
         if mcu_idx < total_mcus:
             return None
@@ -831,6 +848,7 @@ def _decode_jpeg_progressive(data: bytes):
     qtables: dict[int, "np.ndarray"] = {}
     htables: dict[tuple[int, int], dict] = {}
     sof = None
+    precision = 8
     restart_interval = 0
     ycoef = None
     y_meta = None  # (y_cid, y_h, y_v, y_tq, hmax, vmax, mcux, mcuy, nby, nbx)
@@ -886,8 +904,12 @@ def _decode_jpeg_progressive(data: bytes):
                     htables[(tc, th)] = table
             elif marker == 0xC2:  # SOF2
                 _prec, ih, iw, ncomp = struct.unpack(">BHHB", body[:6])
-                if _prec != 8 or ncomp == 0 or ncomp > 4 or iw == 0 or ih == 0:
+                # progressive allows 8 or 12-bit precision (T.81 B.2.2);
+                # the coefficient machinery is precision-free — only the
+                # final level shift / clip / top-8-bit output widens (r9)
+                if _prec not in (8, 12) or ncomp == 0 or ncomp > 4 or iw == 0 or ih == 0:
                     return None
+                precision = _prec
                 comps = []
                 for c in range(ncomp):
                     cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
@@ -951,8 +973,12 @@ def _decode_jpeg_progressive(data: bytes):
         for bx in range(gx):
             block = (ycoef[by, bx].astype(np.int64) * yq).reshape(8, 8)
             spatial = A @ block.astype(np.float64) @ A.T
-            pix = np.clip(np.round(spatial) + 128, 0, 255)
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix.astype(np.uint8)
+            pix = np.clip(
+                np.round(spatial) + (1 << (precision - 1)), 0, (1 << precision) - 1
+            )
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                pix.astype(np.int64) >> (precision - 8)
+            ).astype(np.uint8)
 
     return _jpeg_upsample_y(plane, y_h, y_v, hmax, vmax, iw, ih)
 
@@ -1124,7 +1150,7 @@ def _jpeg_progressive_scan(ecs, sof, scan, band, htables, restart_interval, ycoe
 def _decode_gray_pixels(data: bytes):
     """REAL pixel decode: returns an (H, W) uint8 grayscale numpy array,
     or None for the formats/variants still outside the pure-python codecs
-    (12-bit/lossless/arithmetic JPEG).
+    (arithmetic-coded JPEG, lossless restart intervals).
 
     - PGM (P5): raster IS the grayscale plane.
     - PPM (P6): RGB raster -> integer BT.601 luma (r*299+g*587+b*114)//1000.
@@ -1253,13 +1279,14 @@ def decode_image_thumbs(df: DataFrame, content_col: str = "content") -> DataFram
     """Resize/feature-extract step. Decode split (round 5):
 
     - BMP (24-bit BI_RGB), binary PPM/PGM, every legal PNG layout, and
-      baseline AND progressive JPEG decode FOR REAL (`_decode_gray_pixels`
+      baseline/extended-sequential (8/12-bit), progressive, and lossless
+      JPEG decode FOR REAL (`_decode_gray_pixels`
       — struct+numpy, stdlib zlib as the PNG inflate, pure-numpy
       Huffman+IDCT as the JPEG codec): true BT.601 luma plane,
       area-averaged 8x8 thumbnail, exact integer block means.
       `real_decode = true`.
-    - The remaining variants (12-bit/lossless/arithmetic JPEG)
-      keep the DETERMINISTIC FAKE byte-sampling decode:
+    - The remaining variants (arithmetic-coded JPEG, lossless restart
+      intervals) keep the DETERMINISTIC FAKE byte-sampling decode:
       deterministic per content so downstream thumb-distance dedup behaves
       like a real decoder's output. Swap the `_fake_gray_thumb` branch for
       `PIL.Image.open(...).convert("L").resize(...)` when a codec exists;

@@ -206,8 +206,10 @@ def _ref_fdct(block):
     return out
 
 
-def _ref_idct(coef):
-    """Direct-formula inverse DCT (T.81 A.3.3) + level shift, uint8."""
+def _ref_idct(coef, precision: int = 8):
+    """Direct-formula inverse DCT (T.81 A.3.3) + level shift 2^(P-1),
+    clipped to [0, 2^P-1]; returned as the TOP 8 bits (>> (P-8)) — the
+    luma contract every decode path in binary_ops emits."""
     import math
 
     import numpy as np
@@ -226,7 +228,10 @@ def _ref_idct(coef):
                         * math.cos((2 * y + 1) * v * math.pi / 16)
                     )
             out[x, y] = 0.25 * s
-    return np.clip(np.round(out) + 128, 0, 255).astype(np.uint8)
+    full = np.clip(
+        np.round(out) + (1 << (precision - 1)), 0, (1 << precision) - 1
+    ).astype(np.int64)
+    return (full >> (precision - 8)).astype(np.uint8)
 
 
 class _JBitWriter:
@@ -291,16 +296,21 @@ def _canonical_table(symbols):
     return counts, ordered, codes
 
 
-def encode_jpeg(y_plane, chroma=None, restart_interval=0, sampling=(1, 1)):
-    """Baseline JFIF encoder with quant table all-ones (minimal loss).
-    y_plane: (H, W) uint8. chroma=(cb_val, cr_val) adds constant-chroma
-    color with Y at `sampling` (h, v) and chroma at (1, 1). Returns
-    (jpeg_bytes, expected_y) where expected_y is the encoder's OWN
-    direct-formula IDCT reconstruction of the Y plane over the quantized
-    coefficients, cropped to (H, W) — ground truth independent of the
-    decoder under test."""
+def encode_jpeg(y_plane, chroma=None, restart_interval=0, sampling=(1, 1), precision=8):
+    """Sequential JFIF encoder with quant table all-ones (minimal loss):
+    SOF0 baseline at precision 8, SOF1 extended sequential at precision
+    12 (T.81 B.2.2 — same entropy coding, wider level shift).
+    y_plane: (H, W) `precision`-bit samples. chroma=(cb_val, cr_val) adds
+    constant-chroma color with Y at `sampling` (h, v) and chroma at
+    (1, 1). Returns (jpeg_bytes, expected_y) where expected_y is the
+    encoder's OWN direct-formula IDCT reconstruction of the Y plane over
+    the quantized coefficients reduced to uint8 via >> (precision - 8),
+    cropped to (H, W) — ground truth independent of the decoder under
+    test."""
     import numpy as np
 
+    if precision not in (8, 12):
+        raise ValueError("sequential DCT precision must be 8 or 12")
     h, w = y_plane.shape
     sh, sv = sampling
     mbw, mbh = 8 * sh, 8 * sv
@@ -335,10 +345,12 @@ def encode_jpeg(y_plane, chroma=None, restart_interval=0, sampling=(1, 1)):
             for by in range(cv):
                 for bx in range(ch):
                     r0, c0 = (my * cv + by) * 8, (mx * ch + bx) * 8
-                    blk = planes[cid][r0 : r0 + 8, c0 : c0 + 8] - 128.0
+                    blk = planes[cid][r0 : r0 + 8, c0 : c0 + 8] - float(
+                        1 << (precision - 1)
+                    )
                     coef = np.round(_ref_fdct(blk)).astype(int)  # q == 1
                     if cid == 1:
-                        expected[r0 : r0 + 8, c0 : c0 + 8] = _ref_idct(coef)
+                        expected[r0 : r0 + 8, c0 : c0 + 8] = _ref_idct(coef, precision)
                     zz = [int(coef.flat[ZIGZAG[k]]) for k in range(64)]
                     diff = zz[0] - pred[cid]
                     pred[cid] = zz[0]
@@ -361,7 +373,8 @@ def encode_jpeg(y_plane, chroma=None, restart_interval=0, sampling=(1, 1)):
         + b"\x10" + bytes(ac_counts) + bytes(ac_ord)
     )
     ncomp = len(comps)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
     for cid, ch, cv in comps:
         out += bytes([cid, (ch << 4) | cv, 0])
     if restart_interval:
@@ -493,10 +506,12 @@ def _trunc2(v: int) -> int:
     return -((-v) >> 1) if v < 0 else v >> 1
 
 
-def encode_jpeg_progressive(y_plane, chroma=None, sampling=(1, 1)):
+def encode_jpeg_progressive(y_plane, chroma=None, sampling=(1, 1), precision=8):
     """Progressive JFIF encoder (SOF2) with quant table all-ones — the
     spec-side twin of `_decode_jpeg_progressive`, written from T.81
-    Annex G independently of it. Scan script (the common two-level
+    Annex G independently of it. `precision` 8 or 12 (T.81 B.2.2:
+    progressive allows both; only the level shift and the uint8
+    reduction of expected_y widen). Scan script (the common two-level
     successive-approximation shape):
 
       1. DC first, interleaved, Al=1
@@ -513,6 +528,8 @@ def encode_jpeg_progressive(y_plane, chroma=None, sampling=(1, 1)):
     direct-formula IDCT reconstruction, cropped to the input shape."""
     import numpy as np
 
+    if precision not in (8, 12):
+        raise ValueError("progressive DCT precision must be 8 or 12")
     h, w = y_plane.shape
     sh, sv = sampling
     mbw, mbh = 8 * sh, 8 * sv
@@ -544,10 +561,14 @@ def encode_jpeg_progressive(y_plane, chroma=None, sampling=(1, 1)):
         blocks = []
         for by in range(gy):
             for bx in range(gx):
-                blk = planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                blk = planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - float(
+                    1 << (precision - 1)
+                )
                 coef = np.round(_ref_fdct(blk)).astype(int)
                 if cid == 1:
-                    expected[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _ref_idct(coef)
+                    expected[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _ref_idct(
+                        coef, precision
+                    )
                 blocks.append([int(coef.flat[ZIGZAG[k]]) for k in range(64)])
         zz_blocks[cid] = blocks
 
@@ -687,7 +708,7 @@ def encode_jpeg_progressive(y_plane, chroma=None, sampling=(1, 1)):
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + b"\x01" * 64
     ncomp = len(comps)
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
     for cid, ch_, cv_ in comps:
         out += bytes([cid, (ch_ << 4) | cv_, 0])
 

@@ -756,3 +756,108 @@ SELECT CAST(6 AS BIGINT)      AS n_blobs,
        CAST(98880 AS BIGINT)  AS thumb_checksum,
        CAST(208208 AS BIGINT) AS dims_checksum
 """
+
+
+# --------------------------------- 12-bit DCT JPEG decode audit (r9)
+
+
+def q_extended_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracle row for the round-9 12-bit DCT decoders (SOF1
+    extended sequential + 12-bit SOF2 progressive —
+    multimodal/binary_ops._decode_jpeg_gray/_decode_jpeg_progressive):
+    a 6-blob fixture corpus built in-query from the spec-side encoders
+    (multimodal/fixtures.encode_jpeg / encode_jpeg_progressive with
+    precision=12), decoded through the real Spark path
+    (binaryFile-shaped rows -> Arrow-batched mapInPandas), summarized to
+    one row of hand-derived BIGINTs. Only FLAT (DC-only) planes go into
+    the checksum: with the all-ones quant table a flat plane's spectrum
+    is a single exactly-representable DC coefficient, so the decode is
+    bit-exact and every constant below derives by hand — gradients would
+    drag float-IDCT rounding into the oracle.
+
+    Blobs (weight = leading digit of the path; THUMB_SIDE = 8, so an
+    8x8 image's thumb is the identity; 12-bit output contract is the
+    TOP 8 bits, s >> 4):
+      1_x12_flat.jpg  8x8 flat 3210, SOF1 P=12   -> 3210>>4 = 200;  thumb sum 200*64 = 12800
+      2_x12_color.jpg 16x16 flat 1600, chroma (1600,2400), Y at (2,2),
+                      SOF1 P=12                  -> 1600>>4 = 100; 8x8 area-mean
+                                                    thumb of flat 100 -> 6400
+      3_x12_prog.jpg  8x8 flat 4095, SOF2 P=12   -> 4095>>4 = 255; 255*64 = 16320
+      4_x8_sof1.jpg   8x8 flat 90, SOF0 encode patched to SOF1 (P=8 is
+                      legal extended sequential) -> 90*64 = 5760
+      5_x12_sof0.jpg  blob 1 patched SOF1->SOF0: baseline is 8-bit ONLY
+                      (T.81 B.2.2), must route to the fake
+      6_x10_sof1.jpg  blob 1 with precision byte patched to 10: SOF1
+                      allows 8/12 only, must route to the fake
+    thumb_checksum = sum over REAL decodes of weight * sum(thumb)
+                   = 1*12800 + 2*6400 + 3*16320 + 4*5760 = 97600
+    n_real = 4 of 6.
+    dims_checksum = sum over ALL blobs of weight*(width*1000 + height)
+    — header dimension sniffing is real even on the fake path (every
+    SOFn in C0-CF minus C4/C8/CC carries dimensions):
+                  = 8008*(1+3+4+5+6) + 16016*2 = 184184.
+
+    Scale: identical plumbing to q_media_decode_audit — the fixture
+    corpus is local by construction; the exercised operator is the
+    100 TB decode path itself."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal import binary_ops as B
+    from seo_audit_etl_actor_spark.multimodal import fixtures as FX
+
+    x12_flat = FX.encode_jpeg(np.full((8, 8), 3210, dtype=np.int64), precision=12)[0]
+    sof1_at = x12_flat.index(b"\xff\xc1")
+    ten = bytearray(x12_flat)
+    ten[sof1_at + 4] = 10  # precision byte inside SOF1
+    blobs = [
+        ("1_x12_flat.jpg", x12_flat),
+        (
+            "2_x12_color.jpg",
+            FX.encode_jpeg(
+                np.full((16, 16), 1600, dtype=np.int64),
+                chroma=(1600, 2400),
+                sampling=(2, 2),
+                precision=12,
+            )[0],
+        ),
+        (
+            "3_x12_prog.jpg",
+            FX.encode_jpeg_progressive(
+                np.full((8, 8), 4095, dtype=np.int64), precision=12
+            )[0],
+        ),
+        (
+            "4_x8_sof1.jpg",
+            FX.encode_jpeg(np.full((8, 8), 90, dtype=np.uint8))[0].replace(
+                b"\xff\xc0", b"\xff\xc1", 1
+            ),
+        ),
+        ("5_x12_sof0.jpg", x12_flat.replace(b"\xff\xc1", b"\xff\xc0", 1)),
+        ("6_x10_sof1.jpg", bytes(ten)),
+    ]
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b in blobs], "path string, content binary"
+    )
+    thumbs = B.decode_image_thumbs(df)
+    weight = F.regexp_extract("path", r"^(\d+)_", 1).cast("long")
+    return thumbs.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.col("real_decode").cast("long")).alias("n_real"),
+        F.sum(
+            F.when(
+                F.col("real_decode"),
+                weight * F.aggregate("thumb", F.lit(0).cast("long"), lambda a, x: a + x),
+            ).otherwise(F.lit(0))
+        ).alias("thumb_checksum"),
+        F.sum(weight * (F.col("width").cast("long") * 1000 + F.col("height"))).alias(
+            "dims_checksum"
+        ),
+    )
+
+
+SQL_EXTENDED_DECODE_AUDIT = """
+SELECT CAST(6 AS BIGINT)      AS n_blobs,
+       CAST(4 AS BIGINT)      AS n_real,
+       CAST(97600 AS BIGINT)  AS thumb_checksum,
+       CAST(184184 AS BIGINT) AS dims_checksum
+"""

@@ -55,6 +55,8 @@ class QuerySpec:
 # Never append below position 50 — that silently exempts the entry from the
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
+    # --- NEW: no driver evidence yet ---
+    QuerySpec("extended_decode_audit", ax.q_extended_decode_audit, ax.SQL_EXTENDED_DECODE_AUDIT),
     # --- latest green: r6 ---
     QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),
     QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),

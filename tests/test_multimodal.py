@@ -733,6 +733,112 @@ def test_jpeg_progressive_real_flag_end_to_end(spark, tmp_path):
     assert row["thumb"] == B._area_mean_thumb(expected, B.THUMB_SIDE)
 
 
+# round 9: 12-bit DCT JPEG (SOF1 extended sequential + 12-bit SOF2
+# progressive) — the precision generalization over the existing
+# Huffman/IDCT machinery. Encoders are the spec-side fixtures with
+# precision=12; the decode contract emits the TOP 8 bits.
+
+
+def test_jpeg12_flat_exact():
+    """Flat 12-bit plane: DC-only spectrum survives q=1 exactly; the
+    decoded luma must be the sample's top 8 bits (3210 >> 4 == 200)."""
+    import numpy as np
+
+    img = np.full((16, 8), 3210, dtype=np.int64)
+    data, expected = FX.encode_jpeg(img, precision=12)
+    assert b"\xff\xc1" in data  # SOF1, not SOF0
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None and dec.shape == (16, 8)
+    assert np.array_equal(expected, np.full((16, 8), 3210 >> 4, dtype=np.uint8))
+    assert np.array_equal(dec, expected)
+
+
+def test_jpeg12_gradient_color_and_restarts():
+    """12-bit gradient over the full 0..4095 range with partial MCUs,
+    (2,2)-sampled constant chroma, and restart markers: the wider level
+    shift and top-8-bit reduction must match the encoder's own
+    reconstruction within the float-IDCT rounding budget (the >> 4 output
+    absorbs the ±1 12-bit wobble except at bucket boundaries — allow ±1
+    in 8-bit space)."""
+    import numpy as np
+
+    h, w = 17, 24
+    img = ((np.arange(h)[:, None] * 113 + np.arange(w)[None, :] * 79) % 4096).astype(
+        np.int64
+    )
+    for kwargs in (
+        {},
+        {"chroma": (1600, 2400), "sampling": (2, 2)},
+        {"restart_interval": 2},
+    ):
+        data, expected = FX.encode_jpeg(img, precision=12, **kwargs)
+        dec = B._decode_gray_pixels(data)
+        assert dec is not None and dec.shape == (h, w), kwargs
+        assert int(np.abs(dec.astype(int) - expected.astype(int)).max()) <= 1, kwargs
+
+
+def test_jpeg12_progressive_exact():
+    """12-bit progressive: successive approximation reassembles the exact
+    quantized spectrum, so decode == the encoder's reconstruction
+    exactly (same q=1 argument as the 8-bit progressive tests)."""
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 4096, size=(20, 20)).astype(np.int64)
+    data, expected = FX.encode_jpeg_progressive(img, precision=12)
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None and dec.shape == (20, 20)
+    assert np.array_equal(dec, expected)
+
+
+def test_jpeg_sof1_8bit_equals_sof0():
+    """Extended sequential at precision 8 is byte-identical to baseline
+    except the SOF marker; the decoder must accept SOF1/8-bit and emit
+    the same plane."""
+    import numpy as np
+
+    img = ((np.add.outer(np.arange(16), np.arange(16)) * 13) % 256).astype(np.uint8)
+    base, _ = FX.encode_jpeg(img)
+    patched = base.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    assert np.array_equal(B._decode_gray_pixels(base), B._decode_gray_pixels(patched))
+
+
+def test_jpeg12_illegal_precisions_route_to_fake():
+    """SOF1 allows 8/12 only (T.81 B.2.2): a patched 10-bit precision
+    byte must return None; SOF0 stays 8-bit-only even at precision 12."""
+    import numpy as np
+
+    img = np.full((8, 8), 2000, dtype=np.int64)
+    data, _ = FX.encode_jpeg(img, precision=12)
+    sof_at = data.index(b"\xff\xc1")
+    ten = bytearray(data)
+    ten[sof_at + 4] = 10  # precision byte inside SOF1
+    assert B._decode_gray_pixels(bytes(ten)) is None
+    sof0_12bit = data.replace(b"\xff\xc1", b"\xff\xc0", 1)
+    assert B._decode_gray_pixels(sof0_12bit) is None
+
+
+def test_jpeg12_real_flag_end_to_end(spark, tmp_path):
+    """decode_image_thumbs must mark 12-bit files real_decode=true with
+    the exact area-mean thumb of the top-8-bit reconstruction."""
+    import numpy as np
+
+    d = tmp_path / "jpeg12"
+    d.mkdir()
+    img = ((np.add.outer(np.arange(16) * 201, np.arange(16) * 67)) % 4096).astype(
+        np.int64
+    )
+    data, expected = FX.encode_jpeg(img, precision=12)
+    (d / "x.jpg").write_bytes(data)
+    df = B.read_binary_dir(spark, str(d))
+    row = B.decode_image_thumbs(df).collect()[0]
+    assert row["real_decode"] is True
+    assert row["thumb"] == B._area_mean_thumb(
+        B._decode_gray_pixels(data), B.THUMB_SIDE
+    )
+    assert int(np.abs(np.asarray(B._decode_gray_pixels(data), dtype=int) - expected.astype(int)).max()) <= 1
+
+
 # round 8 (ADVICE r7): non-integer Y sampling ratios must degrade to the
 # fake (return None), never emit a wrong-scale integer-floor upsample.
 # The guard lives in _jpeg_upsample_y, shared by the baseline
