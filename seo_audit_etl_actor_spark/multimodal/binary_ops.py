@@ -18,14 +18,17 @@ format:
   selection + successive approximation over the same Huffman/IDCT
   machinery (`_decode_jpeg_progressive`) — lossless JPEG (SOF3, T.81
   Annex H predictor decode, precision 8-16) in round 8
-  (`_decode_jpeg_lossless`), and 12-bit DCT (SOF1 extended sequential +
-  12-bit progressive: wider level shift, top 8 bits emitted) in round 9;
-- the REMAINING variants (arithmetic-coded JPEG and
-  lossless-with-restart-intervals — patent-era rarities, genuinely
-  codec-hard or spec-ambiguous) still use the deterministic
-  byte-sampling fake: header parsing for dimensions is real, the pixel
-  inner loop is the documented stand-in (`real_decode = false`; swap
-  point noted at the function).
+  (`_decode_jpeg_lossless`), 12-bit DCT (SOF1 extended sequential +
+  12-bit progressive: wider level shift, top 8 bits emitted) in round 9,
+  and arithmetic-coded sequential DCT (SOF9 — T.81 Annex D QM-coder +
+  F.1.4.4 statistics model, `multimodal/jpeg_arith.py`) also in round 9;
+- the REMAINING variants (arithmetic progressive/lossless SOF10/SOF11,
+  hierarchical SOF5-7/13-15, restart intervals in the lossless and
+  arithmetic paths — patent-era rarities, genuinely codec-hard or
+  spec-ambiguous) still use the deterministic byte-sampling fake:
+  header parsing for dimensions is real, the pixel inner loop is the
+  documented stand-in (`real_decode = false`; swap point noted at the
+  function).
 
 Scale design:
 - binary payloads ride `spark.read.format("binaryFile")` (one row per
@@ -395,8 +398,11 @@ def _decode_jpeg_gray(data: bytes):
     _decode_jpeg_progressive), Huffman coding, 1-4 components, any
     sampling factors, restart markers supported; lossless (SOF3, round
     8 — Annex H predictor decode, precision 8-16,
-    _decode_jpeg_lossless). Arithmetic coding and lossless restart
-    intervals are out of scope."""
+    _decode_jpeg_lossless); arithmetic-coded sequential (SOF9, round 9 —
+    Annex D QM-coder + F.1.4.4 statistics model,
+    jpeg_arith.decode_jpeg_arith). Arithmetic progressive/lossless,
+    hierarchical, and restart intervals in the lossless/arithmetic
+    paths are out of scope."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -468,8 +474,14 @@ def _decode_jpeg_gray(data: bytes):
                 return _decode_jpeg_progressive(data)
             elif marker == 0xC3:  # SOF3 lossless (round 8: real decode)
                 return _decode_jpeg_lossless(data)
-            elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-Huffman-sequential SOF (arithmetic, ...)
+            elif marker == 0xC9:  # SOF9 arithmetic sequential (round 9)
+                from seo_audit_etl_actor_spark.multimodal.jpeg_arith import (
+                    decode_jpeg_arith,
+                )
+
+                return decode_jpeg_arith(data)
+            elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # remaining non-decodable SOFs (arith progressive/lossless, hierarchical)
             elif marker == 0xDD:  # DRI
                 restart_interval = struct.unpack(">H", body[:2])[0]
             elif marker == 0xDA:  # SOS
@@ -1150,7 +1162,8 @@ def _jpeg_progressive_scan(ecs, sof, scan, band, htables, restart_interval, ycoe
 def _decode_gray_pixels(data: bytes):
     """REAL pixel decode: returns an (H, W) uint8 grayscale numpy array,
     or None for the formats/variants still outside the pure-python codecs
-    (arithmetic-coded JPEG, lossless restart intervals).
+    (arithmetic progressive/lossless JPEG, restart intervals in the
+    lossless/arithmetic paths).
 
     - PGM (P5): raster IS the grayscale plane.
     - PPM (P6): RGB raster -> integer BT.601 luma (r*299+g*587+b*114)//1000.
@@ -1285,8 +1298,9 @@ def decode_image_thumbs(df: DataFrame, content_col: str = "content") -> DataFram
       Huffman+IDCT as the JPEG codec): true BT.601 luma plane,
       area-averaged 8x8 thumbnail, exact integer block means.
       `real_decode = true`.
-    - The remaining variants (arithmetic-coded JPEG, lossless restart
-      intervals) keep the DETERMINISTIC FAKE byte-sampling decode:
+    - The remaining variants (arithmetic progressive/lossless JPEG,
+      restart intervals in the lossless/arithmetic paths) keep the
+      DETERMINISTIC FAKE byte-sampling decode:
       deterministic per content so downstream thumb-distance dedup behaves
       like a real decoder's output. Swap the `_fake_gray_thumb` branch for
       `PIL.Image.open(...).convert("L").resize(...)` when a codec exists;

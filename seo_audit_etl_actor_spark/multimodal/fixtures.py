@@ -839,3 +839,231 @@ def encode_jpeg_lossless(
 
     expected = ((y_plane >> pt) << pt) >> (precision - 8)
     return bytes(out), expected.astype(np.uint8)
+
+
+# -------------------------------------------- arithmetic-coded JPEG (r9)
+
+
+class _QMEncoder:
+    """T.81 Annex D.1 QM arithmetic encoder, the spec-side twin of
+    `multimodal/jpeg_arith.QMDecoder` (written separately from the D.1
+    ENCODE/CODEMPS/CODELPS flowcharts; the Table D.3 state table and the
+    bit-transport framing are SHARED data/conventions — see the decoder
+    module's evidence note). Carry propagation is handled exactly by
+    accumulating the code register in an arbitrary-precision integer
+    instead of the flowcharts' byte-stack machinery; `finish` serializes
+    it MSB-first with the 0xFF zero-bit-stuffing rule."""
+
+    def __init__(self):
+        self.a = 1 << 16
+        self.c = 0
+        self.nshift = 0
+
+    def encode(self, bit: int, ctx: list) -> None:
+        from seo_audit_etl_actor_spark.multimodal.jpeg_arith import QM_TABLE
+
+        i, mps = ctx
+        qe, nmps, nlps, switch = QM_TABLE[i]
+        amq = self.a - qe
+        if bit == mps:
+            if amq & 0x8000:  # no renorm; exchange impossible (amq >= 0x8000 > qe)
+                self.c += qe
+                self.a = amq
+                return
+            if amq < qe:  # conditional exchange: MPS takes the low interval
+                self.a = qe
+            else:
+                self.c += qe
+                self.a = amq
+            ctx[0] = nmps
+        else:
+            if amq < qe:  # conditional exchange: LPS takes the high interval
+                self.c += qe
+                self.a = amq
+            else:
+                self.a = qe
+            if switch:
+                ctx[1] = 1 - mps
+            ctx[0] = nlps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.nshift += 1
+
+    def finish(self) -> bytes:
+        """Close the interval and serialize: 16 zero flush bits keep the
+        decoder's 16-bit lookahead inside real data; a zero bit is
+        stuffed after every 0xFF byte (T.81 D.1.6), mirrored by the
+        decoder's _BitSource."""
+        c = self.c << 16
+        nbits = 16 + self.nshift + 16
+        out = bytearray()
+        pos = nbits
+        while pos > 0:
+            take = 7 if (out and out[-1] == 0xFF) else 8
+            got = min(take, pos)
+            chunk = (c >> (pos - got)) & ((1 << got) - 1)
+            chunk <<= take - got  # left-align; zero-pad the tail
+            out.append(chunk)
+            pos -= got
+        return bytes(out)
+
+
+def _encode_dc_diff(enc, stats, ctx_base, L, U, diff):
+    """F.1.4.4.1 DC DIFF encode (Figures F.4-F.7 mirror). Returns the
+    next block's conditioning context base."""
+    if diff == 0:
+        enc.encode(0, stats[ctx_base])
+        return 0
+    enc.encode(1, stats[ctx_base])
+    sign = 1 if diff < 0 else 0
+    enc.encode(sign, stats[ctx_base + 1])
+    v = abs(diff) - 1
+    st = ctx_base + 2 + sign
+    m = 0
+    if v:
+        enc.encode(1, stats[st])
+        m = 1
+        st = 20
+        while v >= (m << 1):
+            enc.encode(1, stats[st])
+            m <<= 1
+            st += 1
+    enc.encode(0, stats[st])
+    if m < ((1 << L) >> 1):
+        nxt = 0
+    elif m > ((1 << U) >> 1):
+        nxt = 12 + sign * 4
+    else:
+        nxt = 4 + sign * 4
+    st += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(1 if (v & mm) else 0, stats[st])
+    return nxt
+
+
+def _encode_ac_block(enc, stats, kx, sign_ctx, coef_zz):
+    """F.1.4.4.2 AC encode (Figures F.5-F.9 mirror) over zigzag indices
+    1..63 of one block."""
+    from seo_audit_etl_actor_spark.multimodal.jpeg_arith import (
+        AC_HIGH_BASE,
+        AC_LOW_BASE,
+    )
+
+    last = max((k for k in range(1, 64) if coef_zz[k]), default=0)
+    k = 1
+    while k <= last:
+        base = 3 * (k - 1)
+        enc.encode(0, stats[base])  # not EOB
+        while coef_zz[k] == 0:
+            enc.encode(0, stats[3 * (k - 1) + 1])
+            k += 1
+        enc.encode(1, stats[3 * (k - 1) + 1])
+        val = coef_zz[k]
+        sign = 1 if val < 0 else 0
+        enc.encode(sign, sign_ctx)
+        v = abs(val) - 1
+        st = 3 * (k - 1) + 2
+        m = 0
+        if v:
+            enc.encode(1, stats[st])
+            m = 1
+            if v >= 2:
+                enc.encode(1, stats[st])
+                m = 2
+                st = AC_LOW_BASE if k <= kx else AC_HIGH_BASE
+                while v >= (m << 1):
+                    enc.encode(1, stats[st])
+                    m <<= 1
+                    st += 1
+        enc.encode(0, stats[st])
+        st += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            enc.encode(1 if (v & mm) else 0, stats[st])
+        k += 1
+    if k <= 63:
+        enc.encode(1, stats[3 * (k - 1)])  # EOB
+
+
+def encode_jpeg_arith(y_plane, chroma=None, sampling=(1, 1), precision=8):
+    """Arithmetic-coded sequential JPEG encoder (SOF9) with quant table
+    all-ones — the spec-side twin of `jpeg_arith.decode_jpeg_arith`.
+    Emits an explicit DAC segment with the default conditioning
+    (DC L=0/U=1, AC Kx=5). Returns (jpeg_bytes, expected_y) with
+    expected_y the encoder's own direct-formula IDCT reconstruction
+    reduced to uint8 via >> (precision - 8)."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal.jpeg_arith import (
+        AC_STAT_BINS,
+        DC_STAT_BINS,
+        fixed_ctx,
+    )
+
+    if precision not in (8, 12):
+        raise ValueError("sequential DCT precision must be 8 or 12")
+    h, w = y_plane.shape
+    sh, sv = sampling
+    mbw, mbh = 8 * sh, 8 * sv
+    mcux, mcuy = (w + mbw - 1) // mbw, (h + mbh - 1) // mbh
+    pad = np.pad(
+        np.asarray(y_plane, dtype=np.float64),
+        ((0, mcuy * mbh - h), (0, mcux * mbw - w)),
+        mode="edge",
+    )
+    comps = [(1, sh, sv)]
+    planes = {1: pad}
+    if chroma is not None:
+        cb, cr = chroma
+        comps += [(2, 1, 1), (3, 1, 1)]
+        planes[2] = np.full((mcuy * 8, mcux * 8), cb, dtype=np.float64)
+        planes[3] = np.full((mcuy * 8, mcux * 8), cr, dtype=np.float64)
+
+    L, U, KX = 0, 1, 5
+    enc = _QMEncoder()
+    dc_stats = [[0, 0] for _ in range(DC_STAT_BINS)]
+    ac_stats = [[0, 0] for _ in range(AC_STAT_BINS)]
+    sign_ctx = fixed_ctx()
+    pred = {cid: 0 for cid, _, _ in comps}
+    dc_ctx = {cid: 0 for cid, _, _ in comps}
+    expected = np.zeros_like(pad, dtype=np.uint8)
+    level = float(1 << (precision - 1))
+
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for cid, ch, cv in comps:
+            for by in range(cv):
+                for bx in range(ch):
+                    r0, c0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                    blk = planes[cid][r0 : r0 + 8, c0 : c0 + 8] - level
+                    coef = np.round(_ref_fdct(blk)).astype(int)  # q == 1
+                    if cid == 1:
+                        expected[r0 : r0 + 8, c0 : c0 + 8] = _ref_idct(
+                            coef, precision
+                        )
+                    zz = [int(coef.flat[ZIGZAG[k]]) for k in range(64)]
+                    diff = zz[0] - pred[cid]
+                    pred[cid] = zz[0]
+                    dc_ctx[cid] = _encode_dc_diff(
+                        enc, dc_stats, dc_ctx[cid], L, U, diff
+                    )
+                    _encode_ac_block(enc, ac_stats, KX, sign_ctx, zz)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + b"\x01" * 64
+    # DAC: explicit default conditioning (DC: Cs = U<<4 | L; AC: Cs = Kx)
+    out += b"\xff\xcc" + struct.pack(">H", 2 + 4) + bytes([0x00, (U << 4) | L, 0x10, KX])
+    ncomp = len(comps)
+    out += b"\xff\xc9" + struct.pack(">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
+    for cid, ch, cv in comps:
+        out += bytes([cid, (ch << 4) | cv, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid, _, _ in comps:
+        out += bytes([cid, 0x00])
+    out += b"\x00\x3f\x00"
+    out += enc.finish() + b"\xff\xd9"
+    return bytes(out), expected[:h, :w]

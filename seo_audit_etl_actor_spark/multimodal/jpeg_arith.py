@@ -1,0 +1,460 @@
+"""REAL arithmetic-coded sequential JPEG decode (SOF9) — ITU-T T.81
+Annex D QM-coder + §F.1.4.4 statistics model, pure Python/numpy (round 9;
+previously the last major documented fake in the decode family).
+
+What is implemented:
+- the QM binary arithmetic decoder (Annex D.2): 16-bit interval register
+  A, per-context (index, MPS) adaptive state over the Annex D Table D.3
+  transition table, conditional exchange on both paths, renormalization;
+- the sequential DCT statistics model (F.1.4.4): DC diff coding with the
+  5-class previous-diff conditioning (L/U thresholds from DAC, defaults
+  0/1) over a 49-bin state area; AC coding per coefficient index k with
+  the 3-bins-per-k (EOB, significance, first magnitude category) layout,
+  the Kx-conditioned high-magnitude regions at bins 189/217, magnitude
+  bits at category+14, and the non-adaptive fixed bin for AC signs;
+- DAC (0xCC) conditioning parameters; 8/12-bit precision (same top-8-bit
+  output contract as every other decode path); interleaved and
+  single-component scans; 1-4 components with any sampling factors.
+
+Out of scope (returns None → the documented fake): restart intervals
+(DRI > 0), arithmetic progressive (SOF10) and arithmetic lossless (SOF11).
+
+Evidence honesty — what "encoder/decoder agreement" covers here: the
+DECODE procedures below and the ENCODE procedures in
+`multimodal/fixtures.py` are written separately from the Annex D
+flowcharts, so round-trip agreement evidences the interval arithmetic,
+conditional exchange, renormalization and the whole F.1.4.4 statistics
+model. Two things are SHARED data/conventions and therefore NOT evidenced
+by agreement (same status as the ZIGZAG constant): the Table D.3 state
+table transcription, and the bit-transport framing (this implementation
+initializes the code window with the first 16 entropy bits and applies
+T.81's 0xFF byte-stuffing rule — a zero bit follows every 0xFF byte, a
+post-0xFF byte > 0x8F is a marker, and exhausted streams feed 1-bits —
+rather than reproducing the flowcharts' byte-aligned 32-bit register
+bookkeeping, so bit-exact interop with external codecs is plausible but
+UNVERIFIED in this container, which ships no reference JPEG codec).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# Annex D Table D.3: (Qe, NMPS, NLPS, SWITCH) per state 0..112, plus the
+# non-adaptive "fixed" state 113 (used for AC signs, F.1.4.4.2.1) that
+# transitions to itself. SHARED DATA with the fixtures encoder — a
+# transcription error here round-trips invisibly (documented above).
+QM_TABLE: list[tuple[int, int, int, int]] = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+    (0x5A1D, 113, 113, 0),  # fixed, non-adaptive (AC sign)
+]
+FIXED_BIN = 113
+
+# F.1.4.4.1 DC statistics layout: context base in {0,4,8,12,16} by the
+# previous diff's class, +0 S0 / +1 SS / +2 SP / +3 SN; magnitude
+# categories at 20..; magnitude bits at category bin + 14.  49 bins.
+DC_STAT_BINS = 49
+# F.1.4.4.2 AC layout: 3*(k-1) -> (SE, S0, X1); X2+ at 189 (k <= Kx) or
+# 217 (k > Kx); magnitude bits at category bin + 14.  245 bins.
+AC_STAT_BINS = 245
+AC_LOW_BASE = 189
+AC_HIGH_BASE = 217
+
+
+class _BitSource:
+    """Entropy-bit reader with T.81 arithmetic-coding framing: a zero bit
+    is stuffed after every 0xFF byte (so the post-0xFF byte's MSB is the
+    stuff, leaving 7 payload bits); a post-0xFF byte > 0x8F is a marker —
+    from there on (and past end of data) the source feeds 1-bits
+    (D.2: marker reached, decoder pads with 1s)."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0
+        self._bits = 0
+        self._nbits = 0
+        self._done = False
+
+    def _load_byte(self) -> None:
+        if self._done or self._pos >= len(self._data):
+            self._done = True
+            self._bits = (self._bits << 8) | 0xFF
+            self._nbits += 8
+            return
+        b = self._data[self._pos]
+        self._pos += 1
+        if b != 0xFF:
+            self._bits = (self._bits << 8) | b
+            self._nbits += 8
+            return
+        nxt = self._data[self._pos] if self._pos < len(self._data) else 0xFF
+        if nxt > 0x8F:  # marker: do not consume, feed 1s forever
+            self._done = True
+            self._bits = (self._bits << 8) | 0xFF
+            self._nbits += 8
+            return
+        # 0xFF payload byte; the NEXT byte carries a stuffed 0 MSB
+        self._pos += 1
+        self._bits = (self._bits << 15) | (0xFF << 7) | (nxt & 0x7F)
+        self._nbits += 15
+
+    def next_bit(self) -> int:
+        if self._nbits == 0:
+            self._load_byte()
+        self._nbits -= 1
+        return (self._bits >> self._nbits) & 1
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.next_bit()
+        return v
+
+
+class QMDecoder:
+    """Annex D.2 QM arithmetic decoder over a _BitSource. Contexts are
+    mutable [state_index, mps] pairs; LPS owns the LOW [0, Qe) subinterval
+    (the fixtures encoder mirrors this), with conditional exchange when
+    the MPS subinterval A-Qe falls below Qe."""
+
+    def __init__(self, data: bytes):
+        self._src = _BitSource(data)
+        self.a = 1 << 16
+        self.cx = self._src.read(16)
+
+    def decode(self, ctx: list) -> int:
+        i, mps = ctx
+        qe = QM_TABLE[i][0]
+        self.a -= qe
+        if self.cx < qe:
+            # low subinterval — nominal LPS
+            if self.a < qe:  # conditional exchange: low belongs to MPS
+                d = mps
+                ctx[0] = QM_TABLE[i][1]
+            else:
+                d = 1 - mps
+                if QM_TABLE[i][3]:
+                    ctx[1] = 1 - mps
+                ctx[0] = QM_TABLE[i][2]
+            self.a = qe
+            self._renorm()
+        else:
+            self.cx -= qe
+            if self.a & 0x8000 == 0:
+                if self.a < qe:  # conditional exchange: high belongs to LPS
+                    d = 1 - mps
+                    if QM_TABLE[i][3]:
+                        ctx[1] = 1 - mps
+                    ctx[0] = QM_TABLE[i][2]
+                else:
+                    d = mps
+                    ctx[0] = QM_TABLE[i][1]
+                self._renorm()
+            else:
+                d = mps
+        return d
+
+    def _renorm(self) -> None:
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.cx = (self.cx << 1) | self._src.next_bit()
+
+
+def _new_stats(n: int) -> list[list[int]]:
+    return [[0, 0] for _ in range(n)]
+
+
+def fixed_ctx() -> list[int]:
+    """A fresh non-adaptive 0.5-probability context (AC sign)."""
+    return [FIXED_BIN, 0]
+
+
+def decode_dc_diff(dec: QMDecoder, stats: list[list[int]], ctx_base: int,
+                   L: int, U: int) -> tuple[int, int]:
+    """Decode one DC DIFF per F.1.4.4.1 (the decode mirror of Figures
+    F.4-F.7). Returns (diff, next_ctx_base) — the caller threads the
+    conditioning class of THIS diff into the next block's context."""
+    if dec.decode(stats[ctx_base]) == 0:
+        return 0, 0
+    sign = dec.decode(stats[ctx_base + 1])
+    st = ctx_base + 2 + sign
+    m = dec.decode(stats[st])
+    if m != 0:
+        st = 20
+        while dec.decode(stats[st]):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("DC magnitude overflow")
+            st += 1
+    # conditioning class of this diff for the NEXT block (F.1.4.4.1.2)
+    if m < ((1 << L) >> 1):
+        nxt = 0
+    elif m > ((1 << U) >> 1):
+        nxt = 12 + sign * 4
+    else:
+        nxt = 4 + sign * 4
+    v = m
+    st += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        if dec.decode(stats[st]):
+            v |= mm
+    v += 1
+    return (-v if sign else v), nxt
+
+
+def decode_ac_block(dec: QMDecoder, stats: list[list[int]], kx: int,
+                    sign_ctx: list[int], coef_zz: list[int]) -> None:
+    """Decode AC coefficients 1..63 into coef_zz (zigzag order) per
+    F.1.4.4.2 (decode mirror of Figures F.8-F.10)."""
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(stats[base]):  # SE: end of block
+            return
+        while dec.decode(stats[base + 1]) == 0:  # S0: coefficient zero
+            k += 1
+            if k > 63:
+                raise ValueError("AC run past k=63")
+            base = 3 * (k - 1)
+        sign = dec.decode(sign_ctx)
+        st = base + 2
+        m = dec.decode(stats[st])
+        if m != 0:
+            if dec.decode(stats[st]):
+                m = 2
+                st = AC_LOW_BASE if k <= kx else AC_HIGH_BASE
+                while dec.decode(stats[st]):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("AC magnitude overflow")
+                    st += 1
+        v = m
+        st += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            if dec.decode(stats[st]):
+                v |= mm
+        v += 1
+        coef_zz[k] = -v if sign else v
+        k += 1
+
+
+def decode_jpeg_arith(data: bytes):
+    """Decode an arithmetic-coded sequential JPEG (SOF9) to the uint8 Y
+    luma plane (top 8 bits at 12-bit precision), or None when the stream
+    is structurally corrupt or out of scope (restart intervals,
+    SOF10/SOF11). Mirrors `_decode_jpeg_gray`'s contract so
+    `_decode_gray_pixels` can route to it transparently."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal.binary_ops import (
+        _JPEG_ZIGZAG,
+        _jpeg_upsample_y,
+    )
+
+    if data[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, "np.ndarray"] = {}
+    # DAC conditioning: DC (L, U) per table id; AC Kx per table id
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
+    sof = None
+    precision = 8
+    restart_interval = 0
+    i, n = 2, len(data)
+    try:
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:
+                return None
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            body = data[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 15
+                    j += 1
+                    if pq == 0:
+                        vals = np.frombuffer(body[j : j + 64], dtype=np.uint8)
+                        j += 64
+                    else:
+                        vals = np.frombuffer(body[j : j + 128], dtype=">u2")
+                        j += 128
+                    if len(vals) < 64:
+                        return None
+                    tbl = np.zeros(64, dtype=np.int64)
+                    tbl[_JPEG_ZIGZAG] = vals.astype(np.int64)
+                    qtables[tq] = tbl.reshape(8, 8)
+            elif marker == 0xCC:  # DAC
+                j = 0
+                while j + 2 <= len(body):
+                    tc, tb = body[j] >> 4, body[j] & 15
+                    cs = body[j + 1]
+                    j += 2
+                    if tc == 0:
+                        dc_cond[tb] = (cs & 15, cs >> 4)  # (L, U)
+                    else:
+                        ac_cond[tb] = cs  # Kx
+            elif marker == 0xC9:  # SOF9 arithmetic sequential
+                precision, ih, iw, ncomp = struct.unpack(">BHHB", body[:6])
+                if precision not in (8, 12) or ncomp == 0 or ncomp > 4 or iw == 0 or ih == 0:
+                    return None
+                comps = []
+                for c in range(ncomp):
+                    cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                sof = (iw, ih, comps)
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # not arithmetic-sequential — wrong path
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:  # SOS
+                if sof is None or restart_interval:
+                    return None  # restart intervals out of scope
+                ns = body[0]
+                scan = []
+                for c in range(ns):
+                    cs, tda = body[1 + c * 2 : 3 + c * 2]
+                    scan.append((cs, tda >> 4, tda & 15))
+                ecs = data[i + 2 + seg_len :]
+                return _decode_arith_scan(
+                    ecs, sof, scan, qtables, dc_cond, ac_cond, precision
+                )
+            i += 2 + seg_len
+    except (ValueError, IndexError, struct.error):
+        return None
+    return None
+
+
+def _decode_arith_scan(ecs, sof, scan, qtables, dc_cond, ac_cond, precision):
+    """Sequential arithmetic scan → Y plane (same MCU walk as the Huffman
+    `_jpeg_decode_scan`, with QM statistics instead of Huffman tables)."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal.binary_ops import (
+        _JPEG_ZIGZAG,
+        _jpeg_upsample_y,
+    )
+
+    iw, ih, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    mcux = (iw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (ih + 8 * vmax - 1) // (8 * vmax)
+
+    scan_by_id = {cs: (td, ta) for cs, td, ta in scan}
+    order = [(cid, h, v, tq) for cid, h, v, tq in comps if cid in scan_by_id]
+    if len(order) != len(scan):
+        return None
+    y_cid, y_h, y_v, y_tq = order[0]
+    true_h, true_v = y_h, y_v
+    if len(order) == 1:
+        comp_w = (iw * true_h + hmax - 1) // hmax
+        comp_h = (ih * true_v + vmax - 1) // vmax
+        mcux, mcuy = (comp_w + 7) // 8, (comp_h + 7) // 8
+        y_h = y_v = 1
+        order = [(y_cid, 1, 1, y_tq)]
+    if y_tq not in qtables:
+        return None
+    yq = qtables[y_tq]
+
+    u = np.arange(8)
+    x = np.arange(8)
+    A = 0.5 * np.cos((2 * x[:, None] + 1) * u[None, :] * np.pi / 16)
+    A[:, 0] *= 1 / np.sqrt(2)
+
+    dec = QMDecoder(ecs)
+    dc_stats: dict[int, list] = {}
+    ac_stats: dict[int, list] = {}
+    sign_ctx = fixed_ctx()
+    pred = {cid: 0 for cid, _, _, _ in order}
+    dc_ctx_base = {cid: 0 for cid, _, _, _ in order}
+
+    plane = np.zeros((mcuy * 8 * y_v, mcux * 8 * y_h), dtype=np.uint8)
+    level = 1 << (precision - 1)
+    maxval = (1 << precision) - 1
+    try:
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for cid, ch, cv, _tq in order:
+                td, ta = scan_by_id[cid]
+                if td not in dc_stats:
+                    dc_stats[td] = _new_stats(DC_STAT_BINS)
+                if ta not in ac_stats:
+                    ac_stats[ta] = _new_stats(AC_STAT_BINS)
+                L, U = dc_cond.get(td, (0, 1))
+                kx = ac_cond.get(ta, 5)
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = [0] * 64
+                        diff, nxt = decode_dc_diff(
+                            dec, dc_stats[td], dc_ctx_base[cid], L, U
+                        )
+                        dc_ctx_base[cid] = nxt
+                        pred[cid] += diff
+                        coef[0] = pred[cid]
+                        decode_ac_block(dec, ac_stats[ta], kx, sign_ctx, coef)
+                        if cid != y_cid:
+                            continue
+                        cz = np.zeros(64, dtype=np.int64)
+                        cz[_JPEG_ZIGZAG] = np.array(
+                            [coef[k] for k in range(64)], dtype=np.int64
+                        )
+                        block = cz.reshape(8, 8) * yq
+                        spatial = A @ block.astype(np.float64) @ A.T
+                        pix = np.clip(np.round(spatial) + level, 0, maxval)
+                        r0 = (my * y_v + by) * 8
+                        c0 = (mx * y_h + bx) * 8
+                        plane[r0 : r0 + 8, c0 : c0 + 8] = (
+                            pix.astype(np.int64) >> (precision - 8)
+                        ).astype(np.uint8)
+    except (ValueError, IndexError):
+        return None
+    return _jpeg_upsample_y(plane, true_h, true_v, hmax, vmax, iw, ih)

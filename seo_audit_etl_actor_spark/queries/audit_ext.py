@@ -861,3 +861,89 @@ SELECT CAST(6 AS BIGINT)      AS n_blobs,
        CAST(97600 AS BIGINT)  AS thumb_checksum,
        CAST(184184 AS BIGINT) AS dims_checksum
 """
+
+
+# ---------------------------- arithmetic JPEG decode audit (r9)
+
+
+def q_arith_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracle row for the round-9 arithmetic-coded sequential JPEG
+    decoder (SOF9 — T.81 Annex D QM-coder + F.1.4.4 statistics model,
+    multimodal/jpeg_arith.py): a 5-blob fixture corpus built in-query
+    from the spec-side encoder (multimodal/fixtures.encode_jpeg_arith),
+    decoded through the real Spark path (binaryFile-shaped rows ->
+    Arrow-batched mapInPandas), summarized to one row of hand-derived
+    BIGINTs. Flat (DC-only) planes keep every constant derivable by hand
+    (all-ones quant table -> a single exactly-representable DC
+    coefficient; arithmetic entropy coding is lossless over the
+    quantized spectrum by construction).
+
+    Blobs (weight = leading digit; THUMB_SIDE = 8; 12-bit output
+    contract = top 8 bits):
+      1_ar_flat.jpg   8x8 flat 200, SOF9 P=8     -> thumb sum 200*64 = 12800
+      2_ar12_flat.jpg 8x8 flat 3210, SOF9 P=12   -> 3210>>4 = 200; 12800
+      3_ar_color.jpg  16x16 flat 90, chroma (100,140), Y at (2,2)
+                                                 -> 8x8 thumb of flat 90 -> 5760
+      4_ar_dri.jpg    blob 1 with DRI spliced before SOF9: restart
+                      intervals are out of scope -> fake
+      5_ar10_prec.jpg blob 1 precision byte patched to 10 -> fake
+    thumb_checksum = 1*12800 + 2*12800 + 3*5760 = 55680; n_real = 3 of 5.
+    dims_checksum = sum of weight*(width*1000 + height) over ALL blobs
+    (SOF9 carries dimensions like any SOFn, fake path included):
+                  = 8008*(1+2+4+5) + 16016*3 = 144144.
+
+    Scale: identical plumbing to q_media_decode_audit — the fixture
+    corpus is local by construction; the exercised operator is the
+    100 TB decode path itself."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal import binary_ops as B
+    from seo_audit_etl_actor_spark.multimodal import fixtures as FX
+
+    ar_flat = FX.encode_jpeg_arith(np.full((8, 8), 200, dtype=np.uint8))[0]
+    sof_at = ar_flat.index(b"\xff\xc9")
+    ten = bytearray(ar_flat)
+    ten[sof_at + 4] = 10
+    blobs = [
+        ("1_ar_flat.jpg", ar_flat),
+        (
+            "2_ar12_flat.jpg",
+            FX.encode_jpeg_arith(np.full((8, 8), 3210, dtype=np.int64), precision=12)[0],
+        ),
+        (
+            "3_ar_color.jpg",
+            FX.encode_jpeg_arith(
+                np.full((16, 16), 90, dtype=np.uint8),
+                chroma=(100, 140),
+                sampling=(2, 2),
+            )[0],
+        ),
+        ("4_ar_dri.jpg", ar_flat[:sof_at] + b"\xff\xdd\x00\x04\x00\x02" + ar_flat[sof_at:]),
+        ("5_ar10_prec.jpg", bytes(ten)),
+    ]
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b in blobs], "path string, content binary"
+    )
+    thumbs = B.decode_image_thumbs(df)
+    weight = F.regexp_extract("path", r"^(\d+)_", 1).cast("long")
+    return thumbs.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.col("real_decode").cast("long")).alias("n_real"),
+        F.sum(
+            F.when(
+                F.col("real_decode"),
+                weight * F.aggregate("thumb", F.lit(0).cast("long"), lambda a, x: a + x),
+            ).otherwise(F.lit(0))
+        ).alias("thumb_checksum"),
+        F.sum(weight * (F.col("width").cast("long") * 1000 + F.col("height"))).alias(
+            "dims_checksum"
+        ),
+    )
+
+
+SQL_ARITH_DECODE_AUDIT = """
+SELECT CAST(5 AS BIGINT)      AS n_blobs,
+       CAST(3 AS BIGINT)      AS n_real,
+       CAST(55680 AS BIGINT)  AS thumb_checksum,
+       CAST(144144 AS BIGINT) AS dims_checksum
+"""

@@ -56,6 +56,7 @@ class QuerySpec:
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
     # --- NEW: no driver evidence yet ---
+    QuerySpec("arith_decode_audit", ax.q_arith_decode_audit, ax.SQL_ARITH_DECODE_AUDIT),
     QuerySpec("extended_decode_audit", ax.q_extended_decode_audit, ax.SQL_EXTENDED_DECODE_AUDIT),
     # --- latest green: r6 ---
     QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),

@@ -839,6 +839,129 @@ def test_jpeg12_real_flag_end_to_end(spark, tmp_path):
     assert int(np.abs(np.asarray(B._decode_gray_pixels(data), dtype=int) - expected.astype(int)).max()) <= 1
 
 
+# round 9: arithmetic-coded sequential JPEG (SOF9) — T.81 Annex D
+# QM-coder + F.1.4.4 statistics model. Decoder is multimodal/jpeg_arith;
+# encoder twin is fixtures.encode_jpeg_arith (procedures written
+# separately from the Annex D/F flowcharts; the Table D.3 state table
+# and bit framing are shared data — see jpeg_arith's evidence note).
+
+
+def test_qm_coder_random_roundtrip():
+    """The arithmetic core, independent of JPEG structure: biased random
+    bit sequences through rotating adaptive contexts (plus the fixed
+    bin) must round-trip exactly — this exercises conditional exchange
+    on both paths, MPS switches, renormalization, carry propagation,
+    and the 0xFF bit-stuffing framing."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal.jpeg_arith import QMDecoder, fixed_ctx
+
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        bits = rng.integers(0, 2, size=600).tolist()
+        bits[100:200] = [0] * 100  # long MPS runs drive deep Qe states
+        bits[300:350] = [1] * 50
+        enc = FX._QMEncoder()
+        ectx = [[0, 0] for _ in range(4)] + [fixed_ctx()]
+        for j, b in enumerate(bits):
+            enc.encode(int(b), ectx[j % 5])
+        data = enc.finish()
+        dec = QMDecoder(data)
+        dctx = [[0, 0] for _ in range(4)] + [fixed_ctx()]
+        got = [dec.decode(dctx[j % 5]) for j in range(len(bits))]
+        assert got == [int(b) for b in bits], trial
+        # the adaptive state trajectories must agree too
+        assert ectx == dctx
+
+
+def test_qm_table_structure():
+    """Sanity bounds on the shared Table D.3 transcription: Qe in
+    (0, 0x8000), transitions in range, the fixed bin self-loops without
+    switching."""
+    from seo_audit_etl_actor_spark.multimodal.jpeg_arith import FIXED_BIN, QM_TABLE
+
+    assert len(QM_TABLE) == 114
+    for qe, nmps, nlps, sw in QM_TABLE:
+        assert 0 < qe < 0x8000
+        assert 0 <= nmps < len(QM_TABLE) and 0 <= nlps < len(QM_TABLE)
+        assert sw in (0, 1)
+    qe, nmps, nlps, sw = QM_TABLE[FIXED_BIN]
+    assert (nmps, nlps, sw) == (FIXED_BIN, FIXED_BIN, 0)
+
+
+def test_jpeg_arith_flat_exact():
+    import numpy as np
+
+    img = np.full((16, 8), 200, dtype=np.uint8)
+    data, expected = FX.encode_jpeg_arith(img)
+    assert b"\xff\xc9" in data and b"\xff\xcc" in data  # SOF9 + DAC
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None and np.array_equal(dec, img)
+    assert np.array_equal(expected, img)
+
+
+def test_jpeg_arith_gradient_noise_color_and_12bit():
+    """Dense-AC content drives the full statistics model: DC context
+    class transitions (small/large, both signs), AC runs, EOBs at every
+    k, Kx-region magnitude categories, and thousands of adaptive-state
+    updates. q=1 makes the spectrum integer, so decode must equal the
+    encoder's own reconstruction within the ±1 float-IDCT budget."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    grad = ((np.arange(17)[:, None] * 7 + np.arange(24)[None, :] * 5) % 251).astype(np.uint8)
+    noise = rng.integers(0, 256, size=(24, 16), dtype=np.uint8).astype(np.uint8)
+    for img, kwargs in (
+        (grad, {}),
+        (noise, {}),
+        (grad, {"chroma": (100, 140), "sampling": (2, 2)}),
+    ):
+        data, expected = FX.encode_jpeg_arith(img, **kwargs)
+        dec = B._decode_gray_pixels(data)
+        assert dec is not None and dec.shape == img.shape, kwargs
+        assert int(np.abs(dec.astype(int) - expected.astype(int)).max()) <= 1, kwargs
+    img12 = ((np.arange(17)[:, None] * 113 + np.arange(24)[None, :] * 79) % 4096).astype(np.int64)
+    data, expected = FX.encode_jpeg_arith(img12, precision=12)
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None
+    assert int(np.abs(dec.astype(int) - expected.astype(int)).max()) <= 1
+
+
+def test_jpeg_arith_out_of_scope_routes_to_fake():
+    import numpy as np
+
+    img = np.full((8, 8), 150, dtype=np.uint8)
+    data, _ = FX.encode_jpeg_arith(img)
+    # restart intervals: DRI spliced before SOF9 must fake-route
+    sof_at = data.index(b"\xff\xc9")
+    dri = data[:sof_at] + b"\xff\xdd\x00\x04\x00\x02" + data[sof_at:]
+    assert B._decode_gray_pixels(dri) is None
+    # arithmetic progressive (SOF10) stays out of scope
+    assert B._decode_gray_pixels(data.replace(b"\xff\xc9", b"\xff\xca", 1)) is None
+    # illegal precision
+    ten = bytearray(data)
+    ten[sof_at + 4] = 10
+    assert B._decode_gray_pixels(bytes(ten)) is None
+    # truncated entropy data must not crash (garbage decisions are
+    # tolerated by QM decoding itself; structural walk still None-safe)
+    sos_at = data.index(b"\xff\xda")
+    assert B._decode_gray_pixels(data[: sos_at + 4]) is None
+
+
+def test_jpeg_arith_real_flag_end_to_end(spark, tmp_path):
+    import numpy as np
+
+    d = tmp_path / "arith"
+    d.mkdir()
+    img = ((np.add.outer(np.arange(16) * 3, np.arange(16) * 7)) % 256).astype(np.uint8)
+    data, _ = FX.encode_jpeg_arith(img)
+    (d / "a.jpg").write_bytes(data)
+    df = B.read_binary_dir(spark, str(d))
+    row = B.decode_image_thumbs(df).collect()[0]
+    assert row["real_decode"] is True
+    assert row["thumb"] == B._area_mean_thumb(B._decode_gray_pixels(data), B.THUMB_SIDE)
+
+
 # round 8 (ADVICE r7): non-integer Y sampling ratios must degrade to the
 # fake (return None), never emit a wrong-scale integer-floor upsample.
 # The guard lives in _jpeg_upsample_y, shared by the baseline
