@@ -947,3 +947,87 @@ SELECT CAST(5 AS BIGINT)      AS n_blobs,
        CAST(55680 AS BIGINT)  AS thumb_checksum,
        CAST(144144 AS BIGINT) AS dims_checksum
 """
+
+
+# ------------------------------------ JSONL sink/source round-trip audit
+
+
+def q_jsonl_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source parity audit: write the documents table
+    to JSONL with the native sink, read it back with the native source
+    under the ORIGINAL schema (no inference — inference is a separate
+    concern and nondeterministic under sampling), full-outer join the
+    round trip against the original on doc_id, and report per-lang
+    counts, volumes, and mismatch tallies. The volume columns
+    (sum_chars, sum_text_len) are computed from the ROUND-TRIPPED side,
+    so any silent corruption (escaping, truncation, type mangling)
+    surfaces as a value mismatch against the parquet-derived oracle, and
+    any row loss/duplication surfaces in the only_* tallies the oracle
+    pins at zero.
+
+    Reference parity: the reference emits its result as JSON documents
+    (src/main.js:24-33 pushing schema.js documents to the dataset); this
+    audit is the engine-side guarantee that a JSONL hop is lossless for
+    the documents data model.
+
+    Scale: the sink is a parallel per-partition write, the source a
+    splittable parallel scan; the join shuffles on the uniform doc_id.
+    The collect here is ≤ n_langs rows (bounded by construction). The
+    temp dir is removed in finally, so results materialize before return.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_jsonl_audit_")
+    try:
+        path = os.path.join(tmp, "docs_jsonl")
+        docs.write.mode("overwrite").json(path)
+        rt = spark.read.schema(docs.schema).json(path)
+
+        o, r = docs.alias("o"), rt.alias("r")
+        j = o.join(r, "doc_id", "full_outer")
+        both = F.col("o.lang").isNotNull() & F.col("r.lang").isNotNull()
+        same = F.lit(True)
+        for c in ("text", "lang", "source", "n_chars"):
+            same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"r.{c}"))
+        rows = (
+            j.groupBy(F.coalesce("o.lang", "r.lang").alias("lang"))
+            .agg(
+                F.sum(F.col("o.doc_id").isNotNull().cast("long")).alias("n_docs"),
+                F.sum(F.coalesce(F.col("r.n_chars"), F.lit(0))).alias("sum_chars"),
+                F.sum(F.coalesce(F.length("r.text"), F.lit(0))).alias("sum_text_len"),
+                F.sum(
+                    (F.col("o.doc_id").isNotNull() & F.col("r.text").isNull() & ~both)
+                    .cast("long")
+                ).alias("n_only_original"),
+                F.sum(
+                    (F.col("o.lang").isNull()).cast("long")
+                ).alias("n_only_roundtrip"),
+                F.sum((both & ~same).cast("long")).alias("n_field_mismatch"),
+            )
+            .orderBy("lang")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "lang string, n_docs long, sum_chars long, sum_text_len long, "
+            "n_only_original long, n_only_roundtrip long, n_field_mismatch long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_JSONL_ROUNDTRIP_AUDIT = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(0 AS BIGINT) AS n_only_original,
+       CAST(0 AS BIGINT) AS n_only_roundtrip,
+       CAST(0 AS BIGINT) AS n_field_mismatch
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""

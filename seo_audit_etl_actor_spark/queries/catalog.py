@@ -58,6 +58,9 @@ QUERIES: list[QuerySpec] = [
     # --- NEW: no driver evidence yet ---
     QuerySpec("arith_decode_audit", ax.q_arith_decode_audit, ax.SQL_ARITH_DECODE_AUDIT),
     QuerySpec("extended_decode_audit", ax.q_extended_decode_audit, ax.SQL_EXTENDED_DECODE_AUDIT),
+    QuerySpec("jsonl_roundtrip_audit", ax.q_jsonl_roundtrip_audit, ax.SQL_JSONL_ROUNDTRIP_AUDIT),
+    QuerySpec("pii_redaction_audit", qx.q_pii_redaction_audit, qx.SQL_PII_REDACTION_AUDIT),
+    QuerySpec("semantic_dedup_stats", ext.q_semantic_dedup_stats, ext.SQL_SEMANTIC_DEDUP_STATS),
     # --- latest green: r6 ---
     QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),
     QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),

@@ -1461,3 +1461,93 @@ FROM ranked
 WHERE rnk <= {TFIDF_TOP_K}
 ORDER BY source, rnk
 """
+
+
+# ------------------------------------------------- SemDeDup-style dedup
+def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup retention report (SemDeDup, Abbas et al. 2023):
+    cluster the corpus into IVF cells, call any vector whose cosine to a
+    LOWER-id cell-mate exceeds the threshold a semantic duplicate, keep
+    the rest. This composes the full-corpus IVF pair generation
+    (embedding_near_dup_ivf) into a DEDUP DECISION + per-label retention
+    stats — the pair queries report candidate pairs; this reports what a
+    curation pass would actually drop.
+
+    Keep-lowest-id against ALL lower-id cell-mates (not just previously
+    KEPT ones) slightly over-drops versus the greedy chain — A~B, B~C,
+    A!~C drops both B and C where greedy keeps C — but is one join
+    instead of an iterative fixpoint, and it is the standard one-pass
+    approximation. Documented trade-off, identical in the oracle.
+
+    Scale: inherits embedding_near_dup_ivf's linear-growth design
+    (scale-aware codebook pins mean cell membership, Σ|cell|² linear);
+    the decision adds one distinct on id_b (shuffle on vec_id) and one
+    broadcast-size join against labels. At 100 TB the drop-set is the
+    only new materialization and it is ids-only.
+    """
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    pairs = similarity.embedding_near_dup_ivf_pairs(emb, threshold=EMB_NEAR_DUP_T)
+    dropped = (
+        pairs.select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    flagged = emb.join(dropped, "vec_id", "left")
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)).cast("long")).alias(
+                "n_dropped"
+            ),
+        )
+        .withColumn("n_kept", F.col("n_vecs") - F.col("n_dropped"))
+        .orderBy("label")
+    )
+
+
+def _sql_semantic_dedup_stats(dim: int = EMB_DIM, n_cells: int = 16) -> str:
+    def chain(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+        )
+
+    def cos_sql(a: str, b: str) -> str:
+        return f"({chain(a, b)}) / (sqrt({chain(a, a)}) * sqrt({chain(b, b)}))"
+
+    sim = cos_sql("a.embedding", "b.embedding")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_cells}
+),
+cell_sims AS (
+  SELECT e.vec_id, c.cid, {cos_sql('e.embedding', 'c.cv')} AS sim
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid AS cell
+  FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY round(sim, 6) DESC, cid ASC) AS rn
+        FROM cell_sims)
+  WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT ab.vec_id
+  FROM assigned aa
+  JOIN assigned ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+  JOIN embeddings a ON a.vec_id = aa.vec_id
+  JOIN embeddings b ON b.vec_id = ab.vec_id
+  WHERE {sim} >= {EMB_NEAR_DUP_T}
+)
+SELECT e.label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+GROUP BY e.label
+ORDER BY label
+"""
+
+
+SQL_SEMANTIC_DEDUP_STATS = _sql_semantic_dedup_stats()

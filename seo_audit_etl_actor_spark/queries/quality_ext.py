@@ -314,3 +314,123 @@ WHERE c.c_acctbal IS NOT NULL
 GROUP BY c.c_nationkey
 ORDER BY c.c_nationkey
 """
+
+
+# ----------------------------------------------------------- PII exposure
+def _plant_pii(doc_id, text):  # Spark Columns in, Column out
+    """Deterministic PII derived from doc_id, appended to text. The
+    driver's synthetic corpus contains no PII-shaped strings (verified in
+    operators/pii.py's module note), so a stats query over raw text would
+    be vacuously all-zero; planting from doc_id makes the oracle exercise
+    every pattern, the sequential-stage counting, and the redaction
+    arithmetic. Every doc gets an email; docs with doc_id%3==0 get an
+    IPv4; doc_id%5==0 get a phone — so sources differ in exposure mix."""
+    did = doc_id.cast("string")
+    email = F.concat(F.lit(" reach me at user"), did, F.lit("@example.com"))
+    ip = F.when(
+        doc_id % 3 == 0,
+        F.concat(
+            F.lit(" host 10."),
+            (doc_id % 200).cast("string"),
+            F.lit("."),
+            (F.expr("doc_id DIV 200") % 200).cast("string"),
+            F.lit(".7"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        doc_id % 5 == 0,
+        F.concat(
+            F.lit(" call +1 (415) 555-0"),
+            F.lpad((doc_id % 900 + 100).cast("string"), 3, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(text, email, ip, phone)
+
+
+def q_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure report over a deterministically PII-planted
+    corpus — the driver-visible twin of operators/pii.py (whose raw-corpus
+    stats would be vacuous; see tests/test_pii.py for the synthetic-corpus
+    property tests). Counts are taken at each SEQUENTIAL redaction stage
+    (email on raw text, ip after email-redaction, phone after both), so
+    every count is exactly what redact_pii masks at that stage.
+
+    Scale: pure map-side regexp expressions inside whole-stage codegen —
+    the only shuffle is the one-row-per-source rollup. At 100 TB this is
+    a single pruned scan; the regexes are the Java∩RE2 intersection
+    (operators/pii.py:22-25) so the DuckDB oracle hash-matches exactly.
+    """
+    from seo_audit_etl_actor_spark.operators.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        MASKS,
+        PHONE_RE,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = _plant_pii(F.col("doc_id"), F.col("text"))
+    after_email = F.regexp_replace(t, EMAIL_RE, MASKS["email"])
+    after_ip = F.regexp_replace(after_email, IPV4_RE, MASKS["ip"])
+    counts = {
+        "email": F.regexp_count(t, F.lit(EMAIL_RE)),
+        "ip": F.regexp_count(after_email, F.lit(IPV4_RE)),
+        "phone": F.regexp_count(after_ip, F.lit(PHONE_RE)),
+    }
+    scored = docs.select(
+        "source",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        (F.length(t) - F.length(redact_pii(t))).alias("chars_delta"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for k in ("email", "ip", "phone"):
+        aggs.append(F.sum((F.col(f"n_{k}") > 0).cast("long")).alias(f"docs_with_{k}"))
+        aggs.append(F.sum(f"n_{k}").alias(f"total_{k}"))
+    aggs.append(F.sum("chars_delta").alias("chars_redacted"))
+    return scored.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def _sql_pii_redaction_audit() -> str:
+    from seo_audit_etl_actor_spark.operators.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        MASKS,
+        PHONE_RE,
+    )
+
+    planted = (
+        "text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.' || CAST((doc_id // 200) % 200 AS VARCHAR) || '.7' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (415) 555-0'"
+        " || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') ELSE '' END"
+    )
+    after_email = f"regexp_replace(t, '{EMAIL_RE}', '{MASKS['email']}', 'g')"
+    after_ip = f"regexp_replace({after_email}, '{IPV4_RE}', '{MASKS['ip']}', 'g')"
+    after_all = f"regexp_replace({after_ip}, '{PHONE_RE}', '{MASKS['phone']}', 'g')"
+    return f"""
+WITH planted AS (SELECT source, {planted} AS t FROM documents),
+scored AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all({after_email}, '{IPV4_RE}')) AS n_ip,
+         len(regexp_extract_all({after_ip}, '{PHONE_RE}')) AS n_phone,
+         length(t) - length({after_all}) AS chars_delta
+  FROM planted
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(SUM(n_email) AS BIGINT) AS total_email,
+       CAST(SUM(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
+       CAST(SUM(n_ip) AS BIGINT) AS total_ip,
+       CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       CAST(SUM(n_phone) AS BIGINT) AS total_phone,
+       CAST(SUM(chars_delta) AS BIGINT) AS chars_redacted
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+SQL_PII_REDACTION_AUDIT = _sql_pii_redaction_audit()
