@@ -30,14 +30,24 @@ from seo_audit_etl_actor_spark.queries.events_ext import (
 from seo_audit_etl_actor_spark.session import load_table
 
 
-def _write_hour_cut_feed(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+def _write_hour_cut_feed(
+    spark: SparkSession, sf_dir: str, out_dir: str, user_mod: int | None = None
+) -> None:
     """Write events as 3 hour-aligned parquet files (ascending hour ranges)
     so micro-batch arrival order matches event-time order — zero late data,
-    the configuration under which stream closure ≡ batch semantics."""
+    the configuration under which stream closure ≡ batch semantics.
+
+    user_mod: keep only user_id % user_mod == 0 — a deterministic user
+    sample for differentials whose semantics are PER-USER (sessionization):
+    every kept user's event history is complete, so the operator sees
+    identical semantics at a fraction of the state/feed cost."""
     import glob
     import shutil
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
+    ev = load_table(spark, sf_dir, "events")
+    if user_mod is not None:
+        ev = ev.where(F.col("user_id") % user_mod == 0)
+    ev = ev.withColumn(
         "hour_id", F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long")
     )
     lo, hi = ev.agg(F.min("hour_id"), F.max("hour_id")).first()
@@ -379,3 +389,139 @@ WHERE cnt * {HH_K} > n
 
 
 SQL_STREAMING_HEAVYHITTERS_DIFFERENTIAL = _sql_streaming_heavyhitters_differential()
+
+
+# ------------------------------------------- native session_window (r9)
+
+SESSIONS_MOD = 4  # deterministic user sample: user_id % 4 == 0
+
+
+def q_streaming_sessions_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream≡batch differential for the NATIVE session_window operator
+    (streaming/events.py::user_sessions) — the one stateful streaming
+    surface that had no driver-visible row. The events table is cut into
+    an hour-ordered bounded feed (same helper as the anomaly
+    differential: ascending event-time micro-batches, zero late data),
+    sessionized with `session_window(ts, 30 minutes)` under a 0-second
+    watermark in append mode, and drained with availableNow.
+
+    Closure semantics (probed, then pinned here and in the oracle): with
+    delay 0 the final watermark is the corpus max(ts), and append mode
+    emits exactly the sessions whose window end — last event + gap —
+    is <= that watermark. So the expected set is the BATCH sessionize
+    (queries/reshape.py, the `sessionize_events` catalog query) filtered
+    to session_end + gap <= max(ts): every session but each user's
+    never-closed last one near the corpus end. Boundary note: the native
+    operator splits on gap >= G ([t, t+G) ranges don't overlap at
+    exactly G) while the batch lag-rule splits on gap > G; microsecond
+    timestamps make exact-G gaps measure-zero, verified zero at all
+    driver SFs.
+
+    stream_equals_batch compares full row tuples (user, start, end,
+    n_events, cents-quantized value) — the sums alone could mask
+    compensating errors.
+
+    The feed keeps a deterministic user sample (user_id % SESSIONS_MOD
+    == 0, same predicate in the oracle): sessionization is per-user, so
+    every kept user's history is complete and the operator semantics are
+    identical, at a quarter of the state/feed/compare cost — the audit
+    is about closure semantics, not corpus coverage. The closure
+    predicate's max(ts) is the SAMPLED corpus max, because that is what
+    the stream's watermark tracks.
+
+    Scale: session_window state is one open session per active user,
+    evicted at watermark; the feed build is two passes over events; the
+    collect is the session list (bounded by sampled users × sessions —
+    the streaming plan itself is the production shape).
+    """
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from seo_audit_etl_actor_spark.queries.reshape import SESSION_GAP_MIN, sessionize
+    from seo_audit_etl_actor_spark.streaming import events as se
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_sessions_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    try:
+        _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
+        out: list = []
+        se.run_to_completion(
+            se.user_sessions(
+                se.read_event_stream(spark, feed),
+                gap=f"{SESSION_GAP_MIN} minutes",
+                watermark="0 seconds",
+            ),
+            out,
+            os.path.join(work, "ck"),
+            output_mode="append",
+        )
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id") % SESSIONS_MOD == 0)
+            .select("user_id", "ts", "event_id", "value")
+        )
+        mx = ev.agg(F.max("ts")).first()[0]
+        gap = datetime.timedelta(minutes=SESSION_GAP_MIN)
+        closed = [
+            r for r in sessionize(ev).collect() if r["session_end"] + gap <= mx
+        ]
+
+        def key(user, start, end, n, value):
+            return (user, start, end, n, int(round(value * 100)))
+
+        got = sorted(
+            key(r["user_id"], r["session_start"], r["session_end"],
+                r["n_events"], r["session_value"])
+            for r in out
+        )
+        want = sorted(
+            key(r["user_id"], r["session_start"], r["session_end"] + gap,
+                r["n_events"], r["session_value"])
+            for r in closed
+        )
+        row = (
+            len(got),
+            sum(1 for r in got if r[3] > 1),
+            int(sum(r[3] for r in got)),
+            int(sum(r[4] for r in got)),
+            1 if got == want else 0,
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_closed_sessions long, n_multi_event_sessions long, "
+            "sum_events long, value_cents long, stream_equals_batch long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_streaming_sessions_differential() -> str:
+    from seo_audit_etl_actor_spark.queries.reshape import (
+        SESSION_GAP_MIN,
+        SQL_SESSIONIZE_EVENTS,
+    )
+
+    batch_sampled = SQL_SESSIONIZE_EVENTS.replace(
+        "FROM events", f"FROM events WHERE user_id % {SESSIONS_MOD} = 0"
+    )
+    return f"""
+WITH batch AS ({batch_sampled}),
+mx AS (SELECT MAX(ts) AS mts FROM events WHERE user_id % {SESSIONS_MOD} = 0),
+closed AS (
+  SELECT b.* FROM batch b, mx
+  WHERE epoch_us(b.session_end) + {SESSION_GAP_MIN} * 60 * 1000000 <= epoch_us(mx.mts)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_closed_sessions,
+       CAST(SUM(CASE WHEN n_events > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_event_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS sum_events,
+       CAST(SUM(CAST(ROUND(session_value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(1 AS BIGINT) AS stream_equals_batch
+FROM closed
+"""
+
+
+SQL_STREAMING_SESSIONS_DIFFERENTIAL = _sql_streaming_sessions_differential()
