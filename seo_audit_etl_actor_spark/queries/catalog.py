@@ -61,6 +61,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("jsonl_roundtrip_audit", ax.q_jsonl_roundtrip_audit, ax.SQL_JSONL_ROUNDTRIP_AUDIT),
     QuerySpec("pii_redaction_audit", qx.q_pii_redaction_audit, qx.SQL_PII_REDACTION_AUDIT),
     QuerySpec("semantic_dedup_stats", ext.q_semantic_dedup_stats, ext.SQL_SEMANTIC_DEDUP_STATS),
+    QuerySpec("streaming_attribution_differential", stx.q_streaming_attribution_differential, stx.SQL_STREAMING_ATTRIBUTION_DIFFERENTIAL),
     QuerySpec("streaming_sessions_differential", stx.q_streaming_sessions_differential, stx.SQL_STREAMING_SESSIONS_DIFFERENTIAL),
     # --- latest green: r6 ---
     QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),

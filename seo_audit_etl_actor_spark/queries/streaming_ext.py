@@ -30,6 +30,28 @@ from seo_audit_etl_actor_spark.queries.events_ext import (
 from seo_audit_etl_actor_spark.session import load_table
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _drain_partitions(spark: SparkSession, n: int = 8):
+    """Size streaming STATE partitioning to the bounded audit feed for the
+    duration of a drain. `spark.sql.shuffle.partitions` at first-checkpoint
+    time fixes the number of state-store instances for the query's life;
+    the differentials' feeds are a few MB, so the session default (32)
+    buys nothing but 32 per-operator checkpoint directories' worth of
+    fsync per micro-batch — the dominant cost of a warm drain. At
+    production scale the knob goes UP with load instead; each audit owns a
+    fresh checkpoint, so the setting is per-drain, restored in finally."""
+    conf = spark.conf
+    old = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _write_hour_cut_feed(
     spark: SparkSession, sf_dir: str, out_dir: str, user_mod: int | None = None
 ) -> None:
@@ -86,15 +108,16 @@ def q_streaming_anomaly_differential(spark: SparkSession, sf_dir: str) -> DataFr
         def sink(batch_df: DataFrame, _epoch: int) -> None:
             collected.extend(tuple(r) for r in batch_df.collect())
 
-        q = (
-            sa.monitor_event_rates(sa.read_event_stream(spark, feed))
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_partitions(spark):
+            q = (
+                sa.monitor_event_rates(sa.read_event_stream(spark, feed))
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
         hour_id = F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long")
         last_hours = {
@@ -209,14 +232,15 @@ def q_streaming_curation_differential(spark: SparkSession, sf_dir: str) -> DataF
         _write_doc_cut_feed(spark, sf_dir, feed, docs=docs)
         verdicts = sc.curate_document_stream(sc.read_document_stream(spark, feed))
         sink, totals = sc.funnel_stats_sink(spark)
-        q = (
-            verdicts.writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_partitions(spark):
+            q = (
+                verdicts.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
         batch = {
             (r["source"], r["stage"]): (int(r["n_docs"]), int(r["total_tokens"]))
@@ -311,14 +335,15 @@ def q_streaming_heavyhitters_differential(spark: SparkSession, sf_dir: str) -> D
             hh.read_document_stream(spark, feed), HH_K
         )
         sink, latest = hh.summary_sink()
-        q = (
-            summaries.writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_partitions(spark):
+            q = (
+                summaries.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
         summary_rows = [
             (b, tok, int(lower), int(dec))
@@ -448,16 +473,17 @@ def q_streaming_sessions_differential(spark: SparkSession, sf_dir: str) -> DataF
     try:
         _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
         out: list = []
-        se.run_to_completion(
-            se.user_sessions(
-                se.read_event_stream(spark, feed),
-                gap=f"{SESSION_GAP_MIN} minutes",
-                watermark="0 seconds",
-            ),
-            out,
-            os.path.join(work, "ck"),
-            output_mode="append",
-        )
+        with _drain_partitions(spark):
+            se.run_to_completion(
+                se.user_sessions(
+                    se.read_event_stream(spark, feed),
+                    gap=f"{SESSION_GAP_MIN} minutes",
+                    watermark="0 seconds",
+                ),
+                out,
+                os.path.join(work, "ck"),
+                output_mode="append",
+            )
 
         ev = (
             load_table(spark, sf_dir, "events")
@@ -525,3 +551,138 @@ FROM closed
 
 
 SQL_STREAMING_SESSIONS_DIFFERENTIAL = _sql_streaming_sessions_differential()
+
+
+# --------------------------------------- stream-stream interval join (r9)
+
+ATTR_LOOKBACK_MIN = 60
+
+
+def q_streaming_attribution_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream≡batch differential for the stream-STREAM interval join
+    (streaming/events.py::purchase_view_attribution) — §2.9's
+    two-unbounded-sides case, previously driver-invisible: each purchase
+    inner-joined to the same user's view events in the trailing hour,
+    both sides watermarked so buffered state evicts.
+
+    Inner-join emission needs no watermark closure — a pair emits in the
+    micro-batch where both sides are present — and the 2-hour watermark
+    delay exceeds the 1-hour lookback, so on the hour-ordered feed no
+    view is evicted before its last possible purchase arrives. The
+    bounded drain therefore emits EXACTLY the batch interval join, with
+    no never-closed tail (probed at sf0.01: 40 = 40 pairs; asserted per
+    run by stream_equals_batch over full pair tuples).
+
+    The feed keeps the same deterministic user sample as the sessions
+    differential (user_id % SESSIONS_MOD == 0, mirrored in the oracle):
+    the join key is user_id, so per-user join semantics are complete.
+
+    Scale: state is O(events per lookback window per side) — watermark
+    eviction keeps both buffers bounded regardless of corpus size; the
+    feed build is two passes; the collect is the attributed-pair list
+    (purchases × views within an hour — sparse by construction).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from seo_audit_etl_actor_spark.streaming import events as se
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_attr_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    try:
+        _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
+        out: list = []
+        with _drain_partitions(spark):
+            se.run_to_completion(
+                se.purchase_view_attribution(
+                    se.read_event_stream(spark, feed),
+                    watermark="2 hours",
+                    lookback=f"{ATTR_LOOKBACK_MIN} minutes",
+                ),
+                out,
+                os.path.join(work, "ck"),
+                output_mode="append",
+            )
+
+        ev = load_table(spark, sf_dir, "events").where(
+            F.col("user_id") % SESSIONS_MOD == 0
+        )
+        p = ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        v = ev.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("vu"),
+            F.col("ts").alias("view_ts"),
+        )
+        batch = (
+            p.join(
+                v,
+                (F.col("user_id") == F.col("vu"))
+                & (F.col("view_ts") <= F.col("purchase_ts"))
+                & (
+                    F.col("view_ts")
+                    >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_MIN} MINUTES")
+                ),
+                "inner",
+            )
+            .drop("vu")
+            .collect()
+        )
+
+        def key(r):
+            return (
+                r["purchase_id"],
+                r["view_id"],
+                r["user_id"],
+                r["purchase_ts"],
+                r["view_ts"],
+                int(round((r["purchase_value"] or 0.0) * 100)),
+            )
+
+        got = sorted(key(r) for r in out)
+        want = sorted(key(r) for r in batch)
+        row = (
+            len(got),
+            len({r[0] for r in got}),
+            len({r[1] for r in got}),
+            int(sum(r[5] for r in got)),
+            1 if got == want else 0,
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_pairs long, n_attributed_purchases long, n_touching_views long, "
+            "pair_value_cents long, stream_equals_batch long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_streaming_attribution_differential() -> str:
+    return f"""
+WITH ev AS (SELECT * FROM events WHERE user_id % {SESSIONS_MOD} = 0),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS purchase_value
+      FROM ev WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM ev WHERE event_type = 'view'),
+pairs AS (
+  SELECT p.purchase_id, v.view_id, p.purchase_value
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v.view_ts <= p.purchase_ts
+   AND v.view_ts >= p.purchase_ts - INTERVAL {ATTR_LOOKBACK_MIN} MINUTES
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_attributed_purchases,
+       CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_touching_views,
+       CAST(COALESCE(SUM(CAST(ROUND(purchase_value * 100) AS BIGINT)), 0) AS BIGINT) AS pair_value_cents,
+       CAST(1 AS BIGINT) AS stream_equals_batch
+FROM pairs
+"""
+
+
+SQL_STREAMING_ATTRIBUTION_DIFFERENTIAL = _sql_streaming_attribution_differential()
