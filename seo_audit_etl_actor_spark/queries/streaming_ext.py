@@ -686,3 +686,205 @@ FROM pairs
 
 
 SQL_STREAMING_ATTRIBUTION_DIFFERENTIAL = _sql_streaming_attribution_differential()
+
+
+# ------------------------- native tumbling windows + streaming dedup (r9)
+
+
+def q_streaming_hourly_windows_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream≡batch differential for the NATIVE tumbling-window streaming
+    aggregation (streaming/events.py::hourly_event_windows — watermarked
+    `window(ts, '1 hour')` groupBy, the canonical streaming agg). Same
+    harness as the sessions differential: hour-ordered bounded feed,
+    0-second watermark, append drain; a tumbling window emits when the
+    final watermark (= corpus max ts) passes its END, so the expected set
+    is every (hour, event_type) group except those in the corpus's last
+    hour. The batch twin is computed with the same expression tree over
+    the sampled events; full row tuples are compared (hour, type, count,
+    cents-quantized value sum).
+
+    Scale: state is one row per open (hour, type) window, evicted at
+    watermark — bounded by cardinality(event_type) regardless of corpus
+    size. The feed reuses the user_id % SESSIONS_MOD sample purely to
+    share the cheap feed shape (window semantics are row-local; any
+    deterministic subset is equally valid, and the oracle applies the
+    same predicate).
+    """
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from seo_audit_etl_actor_spark.streaming import events as se
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_hourly_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    try:
+        _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
+        out: list = []
+        with _drain_partitions(spark):
+            se.run_to_completion(
+                se.hourly_event_windows(
+                    se.read_event_stream(spark, feed), watermark="0 seconds"
+                ),
+                out,
+                os.path.join(work, "ck"),
+                output_mode="append",
+            )
+
+        ev = load_table(spark, sf_dir, "events").where(
+            F.col("user_id") % SESSIONS_MOD == 0
+        )
+        mx = ev.agg(F.max("ts")).first()[0]
+        batch = (
+            ev.groupBy(
+                F.window(F.col("ts"), "1 hour")["start"].alias("hour"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .collect()
+        )
+        closed = [
+            r for r in batch if r["hour"] + datetime.timedelta(hours=1) <= mx
+        ]
+
+        def key(r):
+            return (
+                r["hour"],
+                r["event_type"],
+                r["n_events"],
+                int(round(r["total_value"] * 100)),
+            )
+
+        got = sorted(key(r) for r in out)
+        want = sorted(key(r) for r in closed)
+        row = (
+            len(got),
+            len({r[0] for r in got}),
+            int(sum(r[2] for r in got)),
+            int(sum(r[3] for r in got)),
+            1 if got == want else 0,
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_closed_windows long, n_hours long, sum_events long, "
+            "value_cents long, stream_equals_batch long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_streaming_hourly_windows_differential() -> str:
+    return f"""
+WITH ev AS (SELECT * FROM events WHERE user_id % {SESSIONS_MOD} = 0),
+mx AS (SELECT MAX(ts) AS mts FROM ev),
+win AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM ev GROUP BY 1, 2
+),
+closed AS (
+  SELECT w.* FROM win w, mx
+  WHERE epoch_us(w.hour) + 3600000000 <= epoch_us(mx.mts)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_closed_windows,
+       CAST(COUNT(DISTINCT hour) AS BIGINT) AS n_hours,
+       CAST(SUM(n_events) AS BIGINT) AS sum_events,
+       CAST(SUM(CAST(ROUND(total_value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(1 AS BIGINT) AS stream_equals_batch
+FROM closed
+"""
+
+
+SQL_STREAMING_HOURLY_WINDOWS_DIFFERENTIAL = _sql_streaming_hourly_windows_differential()
+
+
+def q_streaming_dedup_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream≡batch differential for streaming exact dedup
+    (streaming/events.py::dedup_event_stream —
+    dropDuplicatesWithinWatermark on event_id, the bounded-state streaming
+    twin of the batch exact-dedup family). The corpus has unique
+    event_ids, so the feed PLANTS duplicates: every sampled event is
+    written twice — once in its hour-cut file and once more in the NEXT
+    micro-batch's file (the corpus-last cut duplicates into its own
+    file). All replays land well inside the 2-hour watermark of an
+    hour-ordered feed, so the stream must emit each event_id exactly
+    once; the summary checksums the survivors against the original
+    (un-duplicated) sample, which is what the oracle computes from
+    parquet.
+
+    Scale: dropDuplicatesWithinWatermark state is the seen-key set per
+    watermark window — O(events per 2h), evicted, never O(corpus).
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from seo_audit_etl_actor_spark.streaming import events as se
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    try:
+        _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
+        # replay each cut's file into the next cut (duplicate arrival in a
+        # later micro-batch but within the watermark); last cut replays
+        # into itself (same-batch duplicate)
+        parts = sorted(_glob.glob(os.path.join(feed, "part-*.parquet")))
+        for i, p in enumerate(parts):
+            nxt = min(i + 1, len(parts) - 1)
+            shutil.copy(p, os.path.join(feed, f"part-{nxt:02d}99-dup{i}.parquet"))
+
+        out: list = []
+        with _drain_partitions(spark):
+            se.run_to_completion(
+                se.dedup_event_stream(se.read_event_stream(spark, feed)),
+                out,
+                os.path.join(work, "ck"),
+                output_mode="append",
+            )
+
+        ids = [r["event_id"] for r in out]
+        # decimal-exact value sum (the engine-portable idiom used by every
+        # value checksum here): per-event double rounding would diverge
+        # between Python banker's and SQL half-away rounding
+        val = (
+            spark.createDataFrame(out)
+            .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+            .first()[0]
+            or 0.0
+        )
+        row = (
+            len(ids),
+            len(set(ids)),
+            int(sum(ids)),
+            int(round(val * 100)),
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_survivors long, n_distinct_ids long, id_checksum long, "
+            "value_cents long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_streaming_dedup_differential() -> str:
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100) AS BIGINT) AS value_cents
+FROM events WHERE user_id % {SESSIONS_MOD} = 0
+"""
+
+
+SQL_STREAMING_DEDUP_DIFFERENTIAL = _sql_streaming_dedup_differential()

@@ -39,13 +39,21 @@ def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
 def hourly_event_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour windows with watermarked state eviction — the
     streaming twin of the batch q_hourly_event_windows."""
-    win = F.window(F.col("ts"), "1 hour")
+    # group by the WINDOW STRUCT, not window.start: projecting start inside
+    # the groupBy strips the event-time attribute, and append mode then
+    # rejects the aggregation as unwatermarked (closure is undecidable)
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(win["start"].alias("hour"), F.col("event_type"))
+        .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
         )
     )
 
