@@ -63,7 +63,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("semantic_dedup_stats", ext.q_semantic_dedup_stats, ext.SQL_SEMANTIC_DEDUP_STATS),
     QuerySpec("streaming_attribution_differential", stx.q_streaming_attribution_differential, stx.SQL_STREAMING_ATTRIBUTION_DIFFERENTIAL),
     QuerySpec("streaming_dedup_differential", stx.q_streaming_dedup_differential, stx.SQL_STREAMING_DEDUP_DIFFERENTIAL),
+    QuerySpec("streaming_enrichment_differential", stx.q_streaming_enrichment_differential, stx.SQL_STREAMING_ENRICHMENT_DIFFERENTIAL),
     QuerySpec("streaming_hourly_windows_differential", stx.q_streaming_hourly_windows_differential, stx.SQL_STREAMING_HOURLY_WINDOWS_DIFFERENTIAL),
+    QuerySpec("streaming_running_totals_differential", stx.q_streaming_running_totals_differential, stx.SQL_STREAMING_RUNNING_TOTALS_DIFFERENTIAL),
     QuerySpec("streaming_sessions_differential", stx.q_streaming_sessions_differential, stx.SQL_STREAMING_SESSIONS_DIFFERENTIAL),
     # --- latest green: r6 ---
     QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),

@@ -888,3 +888,177 @@ FROM events WHERE user_id % {SESSIONS_MOD} = 0
 
 
 SQL_STREAMING_DEDUP_DIFFERENTIAL = _sql_streaming_dedup_differential()
+
+
+# ---------------- custom stateful totals + stream-static enrichment (r9)
+
+
+def q_streaming_running_totals_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream≡batch differential for the CUSTOM stateful operator
+    (streaming/events.py::running_user_totals, applyInPandasWithState in
+    update mode — cumulative per-user count/value, state that never
+    closes). Update mode re-emits a user's running total every
+    micro-batch it appears in; after a bounded drain, each user's LAST
+    emission is the cumulative total, which must equal the batch groupBy
+    over the same sampled events. Counts compare exactly; the value side
+    is cents-quantized per user (the operator accumulates Python/pandas
+    float64, whose low bits lawfully differ from the batch decimal sum —
+    per-user magnitudes here keep float error orders below a cent, and
+    the oracle computes the same decimal-exact cents).
+
+    Scale: state is two scalars per user forever (the documented
+    trade-off of the never-closing operator); emission is one row per
+    (user, micro-batch) — bounded by the drain's batch count.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from seo_audit_etl_actor_spark.streaming import events as se
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_running_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    try:
+        _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
+        out: list = []
+        with _drain_partitions(spark):
+            se.run_to_completion(
+                se.running_user_totals(se.read_event_stream(spark, feed)),
+                out,
+                os.path.join(work, "ck"),
+                output_mode="update",
+            )
+        # last emission per user wins: foreachBatch appends in epoch order,
+        # so a plain dict overwrite keeps the final cumulative row
+        final: dict = {}
+        for r in out:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+        ev = load_table(spark, sf_dir, "events").where(
+            F.col("user_id") % SESSIONS_MOD == 0
+        )
+        batch = {
+            r["user_id"]: (r["n"], r["v"])
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+            )
+            .collect()
+        }
+        same = set(final) == set(batch) and all(
+            final[u][0] == batch[u][0]
+            and int(round(final[u][1] * 100)) == int(round(batch[u][1] * 100))
+            for u in batch
+        )
+        row = (
+            len(final),
+            int(sum(n for n, _ in final.values())),
+            int(sum(int(round(v * 100)) for _, v in final.values())),
+            1 if same else 0,
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_users long, sum_events long, value_cents long, "
+            "stream_equals_batch long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_streaming_running_totals_differential() -> str:
+    return f"""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id % {SESSIONS_MOD} = 0 GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS sum_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents,
+       CAST(1 AS BIGINT) AS stream_equals_batch
+FROM per_user
+"""
+
+
+SQL_STREAMING_RUNNING_TOTALS_DIFFERENTIAL = _sql_streaming_running_totals_differential()
+
+
+def q_streaming_enrichment_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream≡batch differential for the stream-STATIC broadcast join
+    (streaming/events.py::enrich_with_dimension): each micro-batch of the
+    sampled events feed left-joins the customer dimension on user_id =
+    c_custkey. Stream-static joins are STATELESS — every batch plans a
+    fresh broadcast of the dimension — so the drained union must equal
+    the batch left join row-for-row; the summary checksums match counts
+    and the joined dimension columns (nation keys, cents-quantized
+    balances), which the oracle recomputes relationally.
+
+    Scale: the dimension broadcast is per-trigger and the stream side
+    never buffers — the production shape for slowly-changing enrichment;
+    a 1000-executor stream pays one small broadcast per trigger.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from seo_audit_etl_actor_spark.streaming import events as se
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_enrich_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    try:
+        _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        out: list = []
+        with _drain_partitions(spark):
+            se.run_to_completion(
+                se.enrich_with_dimension(
+                    se.read_event_stream(spark, feed), dim
+                ).select("event_id", "user_id", "nation", "acctbal"),
+                out,
+                os.path.join(work, "ck"),
+                output_mode="append",
+            )
+        row = (
+            len(out),
+            sum(1 for r in out if r["nation"] is not None),
+            int(sum(r["nation"] for r in out if r["nation"] is not None)),
+            int(
+                sum(
+                    int(round(r["acctbal"] * 100))
+                    for r in out
+                    if r["acctbal"] is not None
+                )
+            ),
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_rows long, n_matched long, nation_checksum long, "
+            "balance_cents long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_streaming_enrichment_differential() -> str:
+    return f"""
+WITH ev AS (SELECT * FROM events WHERE user_id % {SESSIONS_MOD} = 0),
+j AS (
+  SELECT e.event_id, c.c_nationkey, c.c_acctbal
+  FROM ev e LEFT JOIN customer c ON e.user_id = c.c_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c_nationkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(c_nationkey), 0) AS BIGINT) AS nation_checksum,
+       CAST(COALESCE(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)), 0) AS BIGINT) AS balance_cents
+FROM j
+"""
+
+
+SQL_STREAMING_ENRICHMENT_DIFFERENTIAL = _sql_streaming_enrichment_differential()
