@@ -1031,3 +1031,230 @@ FROM documents
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ----------------------------- ORC + CSV sink/source round-trip audit
+
+
+def q_format_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC + CSV sink/source parity audit — the columnar and the
+    text-delimited siblings of `jsonl_roundtrip_audit`, one row per
+    (format, lang). Each format: write documents with the native sink,
+    read back under the ORIGINAL schema (CSV with header, explicit
+    schema — inference is a separate concern), full-outer join on
+    doc_id, report per-lang counts/volumes from the ROUND-TRIPPED side
+    plus only-one-side and field-mismatch tallies the oracle pins at
+    zero. A lossy hop (CSV quoting/escaping, ORC type mangling, row
+    loss) breaks the hash against the parquet-derived oracle.
+
+    Scale: both sinks write per-partition in parallel and both sources
+    are splittable scans; the joins shuffle on the uniform doc_id; the
+    collect is ≤ formats × langs rows.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_fmt_audit_")
+    try:
+        collected = []
+        for fmt in ("csv", "orc"):
+            path = os.path.join(tmp, fmt)
+            w = docs.write.mode("overwrite")
+            if fmt == "csv":
+                w.option("header", "true").csv(path)
+                rt = (
+                    spark.read.schema(docs.schema)
+                    .option("header", "true")
+                    .csv(path)
+                )
+            else:
+                w.orc(path)
+                rt = spark.read.schema(docs.schema).orc(path)
+
+            o, r = docs.alias("o"), rt.alias("r")
+            j = o.join(r, "doc_id", "full_outer")
+            both = F.col("o.lang").isNotNull() & F.col("r.lang").isNotNull()
+            same = F.lit(True)
+            for c in ("text", "lang", "source", "n_chars"):
+                same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"r.{c}"))
+            rows = (
+                j.groupBy(F.coalesce("o.lang", "r.lang").alias("lang"))
+                .agg(
+                    F.sum(F.col("o.doc_id").isNotNull().cast("long")).alias("n_docs"),
+                    F.sum(F.coalesce(F.col("r.n_chars"), F.lit(0))).alias("sum_chars"),
+                    F.sum(F.coalesce(F.length("r.text"), F.lit(0))).alias(
+                        "sum_text_len"
+                    ),
+                    F.sum(
+                        (
+                            F.col("o.doc_id").isNotNull()
+                            & F.col("r.text").isNull()
+                            & ~both
+                        ).cast("long")
+                    ).alias("n_only_original"),
+                    F.sum((F.col("o.lang").isNull()).cast("long")).alias(
+                        "n_only_roundtrip"
+                    ),
+                    F.sum((both & ~same).cast("long")).alias("n_field_mismatch"),
+                )
+                .collect()
+            )
+            collected.extend((fmt, r2["lang"], *tuple(r2)[1:]) for r2 in rows)
+        collected.sort(key=lambda t: (t[0], t[1]))
+        return spark.createDataFrame(
+            collected,
+            "format string, lang string, n_docs long, sum_chars long, "
+            "sum_text_len long, n_only_original long, n_only_roundtrip long, "
+            "n_field_mismatch long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_FORMAT_ROUNDTRIP_AUDIT = """
+SELECT f.format, d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(d.text)) AS BIGINT) AS sum_text_len,
+       CAST(0 AS BIGINT) AS n_only_original,
+       CAST(0 AS BIGINT) AS n_only_roundtrip,
+       CAST(0 AS BIGINT) AS n_field_mismatch
+FROM documents d CROSS JOIN (VALUES ('csv'), ('orc')) AS f(format)
+GROUP BY f.format, d.lang
+ORDER BY f.format, d.lang
+"""
+
+
+# ------------------------------------ lake maintenance audit (r9)
+
+_LAKE_CLONE_OFFSET = 3_000_000_000  # divisible by 3: clones keep doc_id%3
+_LAKE_COMPACT_TARGET = 500
+
+
+def q_lake_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible oracle for the lake MAINTENANCE surface that
+    mv_merge_audit doesn't reach: multi-version time travel, compaction's
+    content-preserving + file-count contract, and vacuum retention.
+
+    Deterministic lake built from documents(lang='en'):
+      v1 = the English docs;
+      v2 = v1 plus clones of doc_id%5==0 rows under doc_id+3e9 (offset
+           divisible by 3, so a clone keeps its original doc_id%3);
+      v3 = v2 filtered to doc_id%3 != 0;
+      v4 = compact(v3, target_rows=500) — content equal to v3 in exactly
+           max(1, ceil(n3/500)) parquet part-files (repartition contract);
+      vacuum(keep=2) then removes exactly [v1, v2].
+    Every count/checksum below is predicted by the oracle from the
+    documents table alone; the two flags assert retained versions still
+    read after vacuum and the evicted v1 raises on time travel.
+
+    Scale: publish = one parquet write per version; time travel = pruned
+    scans of immutable snapshot dirs; compact repartitions (keeps the
+    upstream scan parallel); vacuum is metadata-only. The collects here
+    are per-version one-row aggregates.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from seo_audit_etl_actor_spark.operators import lake_maintenance as lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    # coalesce(4): the filtered base is a few thousand rows, but it inherits
+    # the scan's 32 partitions — every publish would write 32 near-empty
+    # part-files and every version read would schedule 32 tasks. At real
+    # scale the frame arrives with data-proportional partitioning and this
+    # collapse is unnecessary (and compact() is the operator that fixes
+    # small-file lakes); the audit sizes its own fixture.
+    en = (
+        docs.where(F.col("lang") == "en")
+        .select("doc_id", "text", "n_chars")
+        .coalesce(4)
+    )
+    lake = tempfile.mkdtemp(prefix="spark_graft_lake_audit_")
+    try:
+        lm.publish_version(en, lake)
+        clones = en.where(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(_LAKE_CLONE_OFFSET)
+        )
+        lm.publish_version(en.unionByName(clones), lake)
+        v2_df = lm.read_lake(spark, lake, 2)
+        lm.publish_version(v2_df.where(F.col("doc_id") % 3 != 0), lake)
+
+        def stats(version: int) -> tuple[int, int]:
+            r = (
+                lm.read_lake(spark, lake, version)
+                .agg(F.count(F.lit(1)), F.sum("n_chars"))
+                .first()
+            )
+            return int(r[0]), int(r[1] or 0)
+
+        n1, _ = stats(1)
+        n2, _ = stats(2)
+        n3, chars3 = stats(3)
+
+        v4 = lm.compact(spark, lake, target_rows=_LAKE_COMPACT_TARGET)
+        n4, chars4 = stats(v4)
+        n_files4 = len(
+            _glob.glob(os.path.join(lake, f"v{v4:08d}", "*.parquet"))
+        )
+
+        removed = lm.vacuum(lake, keep=2)
+        retained_ok = 1
+        try:
+            if stats(3) != (n3, chars3) or stats(v4) != (n4, chars4):
+                retained_ok = 0
+        except FileNotFoundError:
+            retained_ok = 0
+        evicted_raises = 0
+        try:
+            lm.read_lake(spark, lake, 1)
+        except FileNotFoundError:
+            evicted_raises = 1
+
+        row = (
+            n1,
+            n2,
+            n3,
+            chars3,
+            1 if (n4, chars4) == (n3, chars3) else 0,
+            n_files4,
+            len(removed),
+            int(sum(removed)),
+            retained_ok,
+            evicted_raises,
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_v1 long, n_v2 long, n_v3 long, chars_v3 long, "
+            "compact_preserves long, compact_files long, n_vacuumed long, "
+            "vacuumed_sum long, retained_reads_ok long, evicted_raises long",
+        )
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+SQL_LAKE_MAINTENANCE_AUDIT = f"""
+WITH en AS (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'),
+v3 AS (
+  SELECT doc_id, n_chars FROM en WHERE doc_id % 3 != 0
+  UNION ALL
+  SELECT doc_id + {_LAKE_CLONE_OFFSET}, n_chars FROM en
+  WHERE doc_id % 5 = 0 AND doc_id % 3 != 0
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM en) AS n_v1,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM en)
+         + (SELECT CAST(COUNT(*) AS BIGINT) FROM en WHERE doc_id % 5 = 0) AS n_v2,
+       CAST(COUNT(*) AS BIGINT) AS n_v3,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_v3,
+       CAST(1 AS BIGINT) AS compact_preserves,
+       CAST(GREATEST(1, CEIL(COUNT(*) / {_LAKE_COMPACT_TARGET}.0)) AS BIGINT) AS compact_files,
+       CAST(2 AS BIGINT) AS n_vacuumed,
+       CAST(3 AS BIGINT) AS vacuumed_sum,
+       CAST(1 AS BIGINT) AS retained_reads_ok,
+       CAST(1 AS BIGINT) AS evicted_raises
+FROM v3
+"""
