@@ -69,6 +69,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("streaming_hourly_windows_differential", stx.q_streaming_hourly_windows_differential, stx.SQL_STREAMING_HOURLY_WINDOWS_DIFFERENTIAL),
     QuerySpec("streaming_running_totals_differential", stx.q_streaming_running_totals_differential, stx.SQL_STREAMING_RUNNING_TOTALS_DIFFERENTIAL),
     QuerySpec("streaming_sessions_differential", stx.q_streaming_sessions_differential, stx.SQL_STREAMING_SESSIONS_DIFFERENTIAL),
+    QuerySpec("user_ewma_profile", ev.q_user_ewma_profile, ev.SQL_USER_EWMA_PROFILE),
     # --- latest green: r6 ---
     QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),
     QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),

@@ -439,3 +439,66 @@ FROM flagged
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ------------------------------------------ grouped-map EWMA (r9)
+
+EWMA_ALPHA = 0.3
+_EWMA_Q = 10_000  # quantum chosen so recurrence-vs-closed-form float noise
+# (~1e-10 abs on these magnitudes) cannot straddle a rounding boundary
+
+
+def q_user_ewma_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the batch grouped-map recurrence path
+    (operators/grouped.py::ewma_per_user, applyInPandas — SURVEY §2.10's
+    "genuinely recursive per-group semantics" case, previously validated
+    only by tests/test_grouped.py): per-user FINAL EWMA of event values
+    ordered by (ts, event_id), plus the series length.
+
+    Oracle parity: the operator computes the recurrence
+    s_i = α·x_i + (1−α)·s_{i−1} (s_1 = x_1); the oracle evaluates the
+    closed form (1−α)^(n−1)·x_1 + Σ_{i≥2} α(1−α)^(n−i)·x_i, which is the
+    same value through a DIFFERENT float evaluation order — so the
+    comparison quantizes to 1e-4 (noise is ~1e-10 on these magnitudes;
+    the quantum keeps ten-thousandths meaningful while making a boundary
+    straddle impossible). The closed form is O(n²)-as-SQL and underflows
+    for long series — exactly why the engine runs the recurrence — but
+    it is a fine ORACLE at driver scale.
+
+    Scale: one shuffle on user_id; one Arrow batch per user; the final
+    row per user falls out of max_by without a second window pass.
+    """
+    from seo_audit_etl_actor_spark.operators.grouped import ewma_per_user
+
+    ev = load_table(spark, sf_dir, "events")
+    ew = ewma_per_user(ev, alpha=EWMA_ALPHA)
+    return (
+        ew.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.max_by("ewma", F.struct("ts", "event_id")) * _EWMA_Q, 0
+            )
+            .cast("long")
+            .alias("ewma_q"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_USER_EWMA_PROFILE = f"""
+WITH ordered AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(value * CASE WHEN rn = 1 THEN POWER({1 - EWMA_ALPHA}, n - 1)
+                                   ELSE {EWMA_ALPHA} * POWER({1 - EWMA_ALPHA}, n - rn)
+                              END) * {_EWMA_Q}) AS BIGINT) AS ewma_q
+FROM ordered
+GROUP BY user_id
+ORDER BY user_id
+"""
