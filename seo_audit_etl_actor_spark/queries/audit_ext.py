@@ -1258,3 +1258,88 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM en) AS n_v1,
        CAST(1 AS BIGINT) AS evicted_raises
 FROM v3
 """
+
+
+# ------------------------------------ bucketed co-located join audit (r9)
+
+
+def q_bucketed_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the bucketed-table layout (operators/bucketing.py —
+    SURVEY §4.2's amortized big-big join strategy, previously plan-asserted
+    in tests only): write orders and customer bucketed+sorted by custkey
+    into a temp warehouse, join them through the catalog tables, and emit
+    per-mktsegment aggregates PLUS the zero-Exchange property as a pinned
+    column. The oracle recomputes the aggregates relationally and pins
+    shuffle_free = 1 — if Spark ever stopped eliding the Exchanges (spec
+    mismatch, catalog regression), the flag flips and the row goes red.
+
+    The plan is inspected with AQE disabled (restored in finally) because
+    AQE wraps the static plan until execution; the aggregate itself SHOULD
+    shuffle (one exchange for the groupBy) so the flag is measured on the
+    bare join, not the rollup.
+
+    Scale: bucketing trades ONE write-time shuffle for zero shuffles on
+    every subsequent join of the two tables — the 100 TB recurring-join
+    answer where broadcast (small side) and AQE (one-shot) don't apply.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from seo_audit_etl_actor_spark.operators import bucketing
+    from seo_audit_etl_actor_spark.plans import audit as plan_audit
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    wh = tempfile.mkdtemp(prefix="spark_graft_bucket_audit_")
+    tag = uuid.uuid4().hex[:8]
+    lt, rt = f"orders_ba_{tag}", f"cust_ba_{tag}"
+    try:
+        bucketing.write_bucketed(orders, lt, "custkey", 8, f"{wh}/{lt}")
+        bucketing.write_bucketed(cust, rt, "custkey", 8, f"{wh}/{rt}")
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            bare = bucketing.bucketed_join(spark, lt, rt, "custkey")
+            shuffle_free = 1 if plan_audit.num_shuffles(bare) == 0 else 0
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+        joined = bucketing.bucketed_join(spark, lt, rt, "custkey")
+        rows = (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .withColumn("price_cents", F.round(F.col("total_price") * 100, 0).cast("long"))
+            .select("c_mktsegment", "n_orders", "price_cents")
+            .collect()
+        )
+        out = sorted((r[0], r[1], r[2], shuffle_free) for r in rows)
+        return spark.createDataFrame(
+            out,
+            "c_mktsegment string, n_orders long, price_cents long, "
+            "shuffle_free long",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+SQL_BUCKETED_JOIN_AUDIT = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100) AS BIGINT) AS price_cents,
+       CAST(1 AS BIGINT) AS shuffle_free
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
