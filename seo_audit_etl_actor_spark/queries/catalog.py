@@ -58,6 +58,7 @@ QUERIES: list[QuerySpec] = [
     # --- NEW: no driver evidence yet ---
     QuerySpec("arith_decode_audit", ax.q_arith_decode_audit, ax.SQL_ARITH_DECODE_AUDIT),
     QuerySpec("bucketed_join_audit", ax.q_bucketed_join_audit, ax.SQL_BUCKETED_JOIN_AUDIT),
+    QuerySpec("cms_error_audit", ext.q_cms_error_audit, ext.SQL_CMS_ERROR_AUDIT),
     QuerySpec("extended_decode_audit", ax.q_extended_decode_audit, ax.SQL_EXTENDED_DECODE_AUDIT),
     QuerySpec("format_roundtrip_audit", ax.q_format_roundtrip_audit, ax.SQL_FORMAT_ROUNDTRIP_AUDIT),
     QuerySpec("jsonl_roundtrip_audit", ax.q_jsonl_roundtrip_audit, ax.SQL_JSONL_ROUNDTRIP_AUDIT),

@@ -1551,3 +1551,65 @@ ORDER BY label
 
 
 SQL_SEMANTIC_DEDUP_STATS = _sql_semantic_dedup_stats()
+
+
+# -------------------------------------------- Count-Min Sketch audit (r9)
+
+
+def q_cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the Count-Min Sketch (operators/cms.py — the
+    point-frequency sketch next to MG/HLL/Bloom/MinHash/SimHash): build a
+    deliberately LOSSY sketch (width 16 vs a ~31-token vocabulary, so
+    collisions are real and the min-over-rows matters), point-query the
+    top-20 exact tokens, and pin the two CMS contracts as flags —
+    est ≥ exact (counters only overcount; unconditional) and
+    est − exact ≤ ceil(e·N/width) (the ε-bound; probabilistic over the
+    hash draw but DETERMINISTIC for the fixed xxhash64 family and this
+    corpus — the approx_distinct / heavy-hitters bound-contract
+    discipline). The estimate itself is sketch-internal and stays out of
+    the row; the oracle recomputes the exact top-20 and pins the flags.
+
+    Scale: one explode-shuffle to build (map-side partial agg caps state
+    at depth × width per partition), one broadcast join to probe.
+    """
+    from seo_audit_etl_actor_spark.operators.cms import (
+        CMS_WIDTH,
+        build_cms,
+        cms_estimate,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token")).persist()
+    try:
+        cms = build_cms(toks)
+        exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        top = exact.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
+        n_total = toks.count()
+        bound = -(-2718282 * n_total // (1_000_000 * CMS_WIDTH))  # ceil(e*N/w)
+        est = cms_estimate(cms, top.select("token"))
+        return (
+            top.join(est, "token")
+            .select(
+                "token",
+                "n",
+                (F.col("cms_estimate") >= F.col("n")).cast("long").alias("est_ge_exact"),
+                (F.col("cms_estimate") - F.col("n") <= F.lit(bound))
+                .cast("long")
+                .alias("within_bound"),
+            )
+            .orderBy(F.col("n").desc(), F.col("token").asc())
+        )
+    finally:
+        toks.unpersist()
+
+
+SQL_CMS_ERROR_AUDIT = f"""
+WITH tok AS (SELECT unnest({_TOKS.format(c='text')}) AS token FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(1 AS BIGINT) AS est_ge_exact,
+       CAST(1 AS BIGINT) AS within_bound
+FROM tok
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
