@@ -1343,3 +1343,85 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """
+
+
+# ------------------------------------ partition-pruning audit (r9)
+
+
+def q_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for plan-time partition pruning (§4.1 — previously
+    plan-asserted in tests only): write events PARTITIONED BY event_type
+    to a temp layout, filter one partition value, and pin three
+    properties alongside the oracled aggregates —
+      * the filter appears as a PartitionFilters entry (directory-level
+        pruning, applied before any file is listed);
+      * it does NOT appear in PushedFilters (a partition column never
+        reaches row groups — it isn't stored in the data files);
+      * every file the scan actually touched (input_file_name) lives
+        under the matching partition directory.
+    If pruning regressed to a full scan + post-filter, the first and
+    third flags flip and the row goes red.
+
+    Scale: partition pruning is THE first-order 100 TB lever — a pruned
+    scan lists one directory of a date/type-partitioned lake instead of
+    all of it; this row keeps the property regression-checked by the
+    driver, not just by local tests.
+    """
+    import shutil
+    import tempfile
+
+    from seo_audit_etl_actor_spark.plans import audit as plan_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_prune_audit_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        rd = spark.read.parquet(tmp).where(F.col("event_type") == "purchase")
+
+        pf = plan_audit.partition_filters(rd)
+        pushed = plan_audit.pushed_filters(rd)
+        has_partition_filter = 1 if any("purchase" in f for f in pf) else 0
+        not_pushed_to_rows = 0 if any("purchase" in f for f in pushed) else 1
+        files = [
+            r[0]
+            for r in rd.select(F.input_file_name()).distinct().collect()
+        ]
+        only_matching_dir = (
+            1
+            if files and all("event_type=purchase" in f for f in files)
+            else 0
+        )
+
+        agg = rd.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+            F.countDistinct("user_id").alias("u"),
+        ).first()
+        row = (
+            int(agg["n"]),
+            int(round((agg["v"] or 0.0) * 100)),
+            int(agg["u"]),
+            has_partition_filter,
+            not_pushed_to_rows,
+            only_matching_dir,
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_rows long, value_cents long, n_users long, "
+            "partition_filter_present long, not_pushed_to_rowgroups long, "
+            "only_matching_partition_read long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_PARTITION_PRUNING_AUDIT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100) AS BIGINT) AS value_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(1 AS BIGINT) AS partition_filter_present,
+       CAST(1 AS BIGINT) AS not_pushed_to_rowgroups,
+       CAST(1 AS BIGINT) AS only_matching_partition_read
+FROM events
+WHERE event_type = 'purchase'
+"""

@@ -63,6 +63,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("format_roundtrip_audit", ax.q_format_roundtrip_audit, ax.SQL_FORMAT_ROUNDTRIP_AUDIT),
     QuerySpec("jsonl_roundtrip_audit", ax.q_jsonl_roundtrip_audit, ax.SQL_JSONL_ROUNDTRIP_AUDIT),
     QuerySpec("lake_maintenance_audit", ax.q_lake_maintenance_audit, ax.SQL_LAKE_MAINTENANCE_AUDIT),
+    QuerySpec("partition_pruning_audit", ax.q_partition_pruning_audit, ax.SQL_PARTITION_PRUNING_AUDIT),
     QuerySpec("pii_redaction_audit", qx.q_pii_redaction_audit, qx.SQL_PII_REDACTION_AUDIT),
     QuerySpec("semantic_dedup_stats", ext.q_semantic_dedup_stats, ext.SQL_SEMANTIC_DEDUP_STATS),
     QuerySpec("streaming_attribution_differential", stx.q_streaming_attribution_differential, stx.SQL_STREAMING_ATTRIBUTION_DIFFERENTIAL),
