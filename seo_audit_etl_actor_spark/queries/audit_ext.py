@@ -1425,3 +1425,109 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM events
 WHERE event_type = 'purchase'
 """
+
+
+# -------------------------- broadcast-join + scan-pushdown audits (r9)
+
+
+def q_broadcast_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for small-dimension broadcast planning: customer joined
+    through nation to region with explicit F.broadcast on both dims must
+    plan as BroadcastHashJoin with NO SortMergeJoin — the dims never
+    shuffle, the fact side streams map-side. The flag is pinned next to
+    the oracled per-region aggregates, so a lost broadcast (hint dropped,
+    size estimate regression) turns the driver row red instead of
+    shipping a full two-sided shuffle at 100 TB.
+
+    Plan inspected with AQE disabled (restored in finally) — AQE wraps
+    the static plan until execution.
+    """
+    from seo_audit_etl_actor_spark.plans import audit as plan_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan_audit.plan_string(joined)
+        broadcast_planned = (
+            1 if "BroadcastHashJoin" in p and "SortMergeJoin" not in p else 0
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") * 100,
+                0,
+            )
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .withColumn("broadcast_planned", F.lit(broadcast_planned).cast("long"))
+        .orderBy("region")
+    )
+
+
+SQL_BROADCAST_JOIN_AUDIT = """
+SELECT r.r_name AS region,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) * 100) AS BIGINT) AS acctbal_cents,
+       CAST(1 AS BIGINT) AS broadcast_planned
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY region
+"""
+
+
+def q_scan_pushdown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for predicate pushdown + column pruning on the raw
+    parquet scan (§4.1's free wins, pinned as data): a 2-column
+    filtered aggregate over lineitem must (a) push the l_quantity
+    predicate into PushedFilters — row groups whose min/max exclude it
+    are skipped at the reader — and (b) read EXACTLY the two referenced
+    columns per ReadSchema. A scan that reads all 16 columns for a
+    2-column projection is wrong at any scale; at 100 TB it is the
+    difference between reading 2 TB and 16 TB.
+    """
+    from seo_audit_etl_actor_spark.plans import audit as plan_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.where(F.col("l_quantity") < 5).select("l_quantity", "l_extendedprice")
+    pushed_ok = (
+        1 if any("l_quantity" in f for f in plan_audit.pushed_filters(q)) else 0
+    )
+    cols = plan_audit.read_schema_columns(q)
+    pruned_ok = 1 if cols == {"l_quantity", "l_extendedprice"} else 0
+    agg = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("cents"),
+    ).first()
+    return spark.createDataFrame(
+        [(int(agg["n"]), int(agg["cents"]), pushed_ok, pruned_ok)],
+        "n_rows long, price_cents long, filter_pushed long, columns_pruned long",
+    )
+
+
+SQL_SCAN_PUSHDOWN_AUDIT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 100) AS BIGINT) AS price_cents,
+       CAST(1 AS BIGINT) AS filter_pushed,
+       CAST(1 AS BIGINT) AS columns_pruned
+FROM lineitem
+WHERE l_quantity < 5
+"""

@@ -57,6 +57,7 @@ class QuerySpec:
 QUERIES: list[QuerySpec] = [
     # --- NEW: no driver evidence yet ---
     QuerySpec("arith_decode_audit", ax.q_arith_decode_audit, ax.SQL_ARITH_DECODE_AUDIT),
+    QuerySpec("broadcast_join_audit", ax.q_broadcast_join_audit, ax.SQL_BROADCAST_JOIN_AUDIT),
     QuerySpec("bucketed_join_audit", ax.q_bucketed_join_audit, ax.SQL_BUCKETED_JOIN_AUDIT),
     QuerySpec("cms_error_audit", ext.q_cms_error_audit, ext.SQL_CMS_ERROR_AUDIT),
     QuerySpec("extended_decode_audit", ax.q_extended_decode_audit, ax.SQL_EXTENDED_DECODE_AUDIT),
@@ -65,6 +66,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("lake_maintenance_audit", ax.q_lake_maintenance_audit, ax.SQL_LAKE_MAINTENANCE_AUDIT),
     QuerySpec("partition_pruning_audit", ax.q_partition_pruning_audit, ax.SQL_PARTITION_PRUNING_AUDIT),
     QuerySpec("pii_redaction_audit", qx.q_pii_redaction_audit, qx.SQL_PII_REDACTION_AUDIT),
+    QuerySpec("scan_pushdown_audit", ax.q_scan_pushdown_audit, ax.SQL_SCAN_PUSHDOWN_AUDIT),
     QuerySpec("semantic_dedup_stats", ext.q_semantic_dedup_stats, ext.SQL_SEMANTIC_DEDUP_STATS),
     QuerySpec("streaming_attribution_differential", stx.q_streaming_attribution_differential, stx.SQL_STREAMING_ATTRIBUTION_DIFFERENTIAL),
     QuerySpec("streaming_dedup_differential", stx.q_streaming_dedup_differential, stx.SQL_STREAMING_DEDUP_DIFFERENTIAL),
