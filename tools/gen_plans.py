@@ -142,6 +142,24 @@ COMMENT = {
         "BroadcastHashJoin — the big exploded side never reshuffles for the join; "
         "one label window for the mean cut."
     ),
+    "semantic_dedup_stats": (
+        "SemDeDup decision (round 9). What to check: the IVF cell assignment is "
+        "checkpointed once (no per-consumer re-run of the argmax), the pair predicate "
+        "is a self-join ON THE CELL KEY (never all-pairs), the drop-set is ids-only "
+        "before the label join, and the final rollup is one exchange."
+    ),
+    "user_ewma_profile": (
+        "Grouped-map recurrence (round 9). What to check: ONE FlatMapGroupsInPandas "
+        "over the user-HASH-BUCKET key (64 Arrow batches, not one per user), fed by a "
+        "single hashpartitioning exchange; the per-user final row falls out of max_by "
+        "in the downstream aggregate, not a second window pass."
+    ),
+    "cms_error_audit": (
+        "Count-Min Sketch audit (round 9). What to check: the sketch build is ONE "
+        "explode + partial/final HashAggregate pair (map-side combine caps state at "
+        "depth x width per partition), and the probe join enters as "
+        "BroadcastHashJoin — the sketch side is bounded by construction."
+    ),
 }
 
 
