@@ -12,6 +12,16 @@ regressed-vs-last-round comparison. One cold pass warms JVM/codegen/schema
 caches, then $SPARK_GRAFT_BENCH_RUNS (default 3) warm passes are measured;
 `value` and per-query `queries` are MEDIANS across the warm passes.
 
+Calibration gate (r10 — the r9 verdict's prescription after BENCH_r09
+landed inside a throttle window): a fixed CPU-bound probe (sum of
+xxhash64 over a 200M-row range, pure JVM, no disk) brackets every warm
+pass. A pass whose bracketing calibrations exceed 1.3x the session's
+best calibration ran (at least partly) inside a throttle window and is
+DISCARDED and re-run, up to SPARK_GRAFT_BENCH_MAX_ATTEMPTS (default
+4x the requested runs). If the budget runs out before n clean passes,
+whatever clean passes exist are used and `calibration_dirty` marks the
+artifact — a number the round report must then treat as contaminated.
+
 Output capture contract (BENCH_r02 lost its JSON head to a bounded tail
 capture): stdout carries a sentinel line `BENCH_JSON_BELOW` followed by ONE
 compact JSON line as the FINAL line — nothing is printed after it. The
@@ -51,15 +61,52 @@ def main() -> None:
             timings[spec.name] = time.perf_counter() - qt
         return time.perf_counter() - t0, timings
 
+    from pyspark.sql import functions as F
+
+    def calibration() -> float:
+        t0 = time.perf_counter()
+        # shiftright(,32) keeps each term within +/-2^31 so the 200M-term
+        # sum stays far from long overflow (ANSI mode throws on overflow)
+        spark.range(0, 200_000_000, 1, 32).select(
+            F.sum(F.shiftright(F.xxhash64("id"), 32))
+        ).collect()
+        return time.perf_counter() - t0
+
     # Cold pass warms JVM/codegen/schema caches (fixed cost, amortized away
     # at cluster scale); the measured passes are steady-state numbers.
+    cal_record = calibration()
     cold_total, _ = run_suite()
 
+    max_attempts = int(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", str(4 * max(1, n_runs)))
+    )
     warm_totals: list[float] = []
+    cals: list[list[float]] = []
+    n_discarded = 0
     per_query: dict[str, list[float]] = {q.name: [] for q in QUERIES}
-    for _ in range(max(1, n_runs)):
+    attempts = 0
+    while len(warm_totals) < max(1, n_runs) and attempts < max_attempts:
+        attempts += 1
+        c_pre = calibration()
         total, timings = run_suite()
+        c_post = calibration()
+        cal_record = min(cal_record, c_pre, c_post)
+        if max(c_pre, c_post) > 1.3 * cal_record:
+            n_discarded += 1
+            print(
+                f"# discarding throttled pass (cal {c_pre:.2f}/{c_post:.2f} "
+                f"vs record {cal_record:.2f})",
+                file=sys.stderr,
+            )
+            continue
         warm_totals.append(round(total, 3))
+        cals.append([round(c_pre, 3), round(c_post, 3)])
+        for name, t in timings.items():
+            per_query[name].append(t)
+    calibration_dirty = len(warm_totals) < max(1, n_runs)
+    if not warm_totals:  # budget exhausted entirely throttled: keep last
+        warm_totals.append(round(total, 3))
+        cals.append([round(c_pre, 3), round(c_post, 3)])
         for name, t in timings.items():
             per_query[name].append(t)
 
@@ -76,6 +123,10 @@ def main() -> None:
         "warm_totals": warm_totals,
         "n_warm_runs": max(1, n_runs),
         "n_queries": len(QUERIES),
+        "calibration_record_sec": round(cal_record, 3),
+        "calibration_per_run": cals,
+        "n_discarded_throttled": n_discarded,
+        "calibration_dirty": calibration_dirty,
     }
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"
     detail_path.write_text(

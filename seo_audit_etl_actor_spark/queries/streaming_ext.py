@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from seo_audit_etl_actor_spark import fixture_cache as fc
 from seo_audit_etl_actor_spark.queries.events_ext import (
     SQL_EVENT_RATE_ANOMALIES,
     q_event_rate_anomalies,
@@ -73,6 +74,16 @@ def _write_hour_cut_feed(
         "hour_id", F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long")
     )
     lo, hi = ev.agg(F.min("hour_id"), F.max("hour_id")).first()
+    if lo is None:
+        # empty sample (tiny SF × user_mod): emit ONE empty parquet file so
+        # the file-source stream still sees a schema'd feed and the drain
+        # yields zero rows instead of crashing on None hour bounds
+        tmp = f"{out_dir}.part0"
+        ev.drop("hour_id").limit(0).coalesce(1).write.mode("overwrite").parquet(tmp)
+        for p in sorted(glob.glob(f"{tmp}/*.parquet")):
+            shutil.copy(p, f"{out_dir}/part-0000.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
     cut1 = lo + (hi - lo) // 3
     cut2 = lo + 2 * (hi - lo) // 3
     preds = [
@@ -86,12 +97,57 @@ def _write_hour_cut_feed(
         for j, p in enumerate(sorted(glob.glob(f"{tmp}/*.parquet"))):
             shutil.copy(p, f"{out_dir}/part-{i:02d}{j:02d}.parquet")
         shutil.rmtree(tmp, ignore_errors=True)
+    _stamp_feed_order(out_dir)
+
+
+def _stamp_feed_order(out_dir: str) -> None:
+    """Pin the feed's micro-batch arrival order: the file source orders by
+    modification time at MILLISECOND granularity, so files written
+    back-to-back tie and the order becomes arbitrary — a late cut leading
+    would advance the watermark and late-drop earlier cuts wholesale.
+    Distinct whole-second stamps in filename (= cut) order make arrival
+    match event-time order deterministically."""
+    import glob
+    import os
+    import time
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    base = time.time() - 3600
+    for k, p in enumerate(parts):
+        os.utime(p, (base + k, base + k))
+
+
+def _hour_cut_feed_cached(
+    spark: SparkSession, sf_dir: str, user_mod: int | None = None
+) -> str:
+    """Session-cached hour-cut events feed (VERDICT r9 task 2): the six
+    events differentials previously each wrote an IDENTICAL feed per
+    invocation — one shared build per (events fingerprint, user_mod) per
+    session now serves them all. Read-only for consumers; checkpoints
+    stay per-drain."""
+    key = ("hour_cut_feed", fc.table_fingerprint(sf_dir, "events"), user_mod)
+    return fc.cached_dir(
+        key, lambda d: _write_hour_cut_feed(spark, sf_dir, d, user_mod=user_mod)
+    )
+
+
+def _doc_cut_feed_cached(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> str:
+    """Session-cached doc_id-cut documents feed (curation + heavy-hitters
+    differentials share one build). `docs` is only consulted on a cache
+    miss — pass the persisted frame so the build shares its scan."""
+    key = ("doc_cut_feed", fc.table_fingerprint(sf_dir, "documents"))
+    return fc.cached_dir(
+        key, lambda d: _write_doc_cut_feed(spark, sf_dir, d, docs=docs)
+    )
 
 
 def q_streaming_anomaly_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row summary of the stream-vs-batch differential. Computed
     eagerly (the stream must drain and its output is hours × types rows)
-    so the temp feed + checkpoint can be removed before returning."""
+    so the checkpoint can be removed before returning; the feed is the
+    session-cached shared fixture."""
     import os
     import shutil
     import tempfile
@@ -99,10 +155,8 @@ def q_streaming_anomaly_differential(spark: SparkSession, sf_dir: str) -> DataFr
     from seo_audit_etl_actor_spark.streaming import anomaly as sa
 
     work = tempfile.mkdtemp(prefix="spark_graft_stream_audit_")
-    feed = os.path.join(work, "feed")
-    os.makedirs(feed)
     try:
-        _write_hour_cut_feed(spark, sf_dir, feed)
+        feed = _hour_cut_feed_cached(spark, sf_dir)
         collected: list[tuple] = []
 
         def sink(batch_df: DataFrame, _epoch: int) -> None:
@@ -199,6 +253,7 @@ def _write_doc_cut_feed(
         for j, p in enumerate(sorted(glob.glob(f"{tmp}/*.parquet"))):
             shutil.copy(p, f"{out_dir}/part-{i:02d}{j:02d}.parquet")
         shutil.rmtree(tmp, ignore_errors=True)
+    _stamp_feed_order(out_dir)
 
 
 def q_streaming_curation_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,14 +277,12 @@ def q_streaming_curation_differential(spark: SparkSession, sf_dir: str) -> DataF
     from seo_audit_etl_actor_spark.streaming import curation as sc
 
     work = tempfile.mkdtemp(prefix="spark_graft_stream_curation_")
-    feed = os.path.join(work, "feed")
-    os.makedirs(feed)
-    # one cached scan serves the feed bounds, the three cut writes, and the
-    # batch twin (r8 verdict task 4 — previously the twin re-scanned the
+    # one cached scan serves the (cache-miss) feed build and the batch
+    # twin (r8 verdict task 4 — previously the twin re-scanned the
     # table). The stream side still reads the FEED files, as it must.
     docs = load_table(spark, sf_dir, "documents").persist()
     try:
-        _write_doc_cut_feed(spark, sf_dir, feed, docs=docs)
+        feed = _doc_cut_feed_cached(spark, sf_dir, docs=docs)
         verdicts = sc.curate_document_stream(sc.read_document_stream(spark, feed))
         sink, totals = sc.funnel_stats_sink(spark)
         with _drain_partitions(spark):
@@ -324,13 +377,12 @@ def q_streaming_heavyhitters_differential(spark: SparkSession, sf_dir: str) -> D
     from seo_audit_etl_actor_spark.streaming import heavyhitters as hh
 
     work = tempfile.mkdtemp(prefix="spark_graft_stream_hh_")
-    feed = os.path.join(work, "feed")
-    os.makedirs(feed)
-    # same one-cached-scan trim as the curation differential: feed bounds,
-    # cut writes, and the exact-count twin all read the persisted frame
+    # same one-cached-scan trim as the curation differential: the
+    # (cache-miss) feed build and the exact-count twin read the persisted
+    # frame
     docs = load_table(spark, sf_dir, "documents").persist()
     try:
-        _write_doc_cut_feed(spark, sf_dir, feed, docs=docs)
+        feed = _doc_cut_feed_cached(spark, sf_dir, docs=docs)
         summaries = hh.stream_heavy_hitters(
             hh.read_document_stream(spark, feed), HH_K
         )
@@ -468,10 +520,8 @@ def q_streaming_sessions_differential(spark: SparkSession, sf_dir: str) -> DataF
     from seo_audit_etl_actor_spark.streaming import events as se
 
     work = tempfile.mkdtemp(prefix="spark_graft_stream_sessions_")
-    feed = os.path.join(work, "feed")
-    os.makedirs(feed)
     try:
-        _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
+        feed = _hour_cut_feed_cached(spark, sf_dir, user_mod=SESSIONS_MOD)
         out: list = []
         with _drain_partitions(spark):
             se.run_to_completion(
@@ -589,10 +639,8 @@ def q_streaming_attribution_differential(spark: SparkSession, sf_dir: str) -> Da
     from seo_audit_etl_actor_spark.streaming import events as se
 
     work = tempfile.mkdtemp(prefix="spark_graft_stream_attr_")
-    feed = os.path.join(work, "feed")
-    os.makedirs(feed)
     try:
-        _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
+        feed = _hour_cut_feed_cached(spark, sf_dir, user_mod=SESSIONS_MOD)
         out: list = []
         with _drain_partitions(spark):
             se.run_to_completion(
@@ -718,10 +766,8 @@ def q_streaming_hourly_windows_differential(spark: SparkSession, sf_dir: str) ->
     from seo_audit_etl_actor_spark.streaming import events as se
 
     work = tempfile.mkdtemp(prefix="spark_graft_stream_hourly_")
-    feed = os.path.join(work, "feed")
-    os.makedirs(feed)
     try:
-        _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
+        feed = _hour_cut_feed_cached(spark, sf_dir, user_mod=SESSIONS_MOD)
         out: list = []
         with _drain_partitions(spark):
             se.run_to_completion(
@@ -834,19 +880,38 @@ def q_streaming_dedup_differential(spark: SparkSession, sf_dir: str) -> DataFram
     feed = os.path.join(work, "feed")
     os.makedirs(feed)
     try:
-        _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
-        # replay each cut's file into the next cut (duplicate arrival in a
-        # later micro-batch but within the watermark); last cut replays
-        # into itself (same-batch duplicate)
+        # the only differential that MUTATES its feed (planted duplicate
+        # files), so it copies the shared cached feed into its own dir —
+        # a handful of small-file copies, not a Spark rebuild
+        src = _hour_cut_feed_cached(spark, sf_dir, user_mod=SESSIONS_MOD)
+        for p in sorted(_glob.glob(os.path.join(src, "part-*.parquet"))):
+            shutil.copy(p, os.path.join(feed, os.path.basename(p)))
+        # plant one duplicate file per cut and pin arrival order with
+        # EXPLICIT mtime stamps (distinct whole seconds): the file source
+        # orders by modification time at MILLISECOND granularity, and
+        # back-to-back copies all land in the same millisecond — the tie
+        # then breaks arbitrarily, a late cut can lead, and the advanced
+        # watermark late-drops entire earlier cuts (measured: 858 rows
+        # lost). Stamped order is orig0, dup0, orig1, dup1, orig2, dup2,
+        # so with maxFilesPerTrigger=1 each duplicate arrives in the
+        # micro-batch AFTER its original: rows in the original's 2-hour
+        # watermark tail are deduplicated BY STATE, older rows are
+        # late-dropped — both exactly-once paths exercised, and every
+        # original emits exactly once.
         parts = sorted(_glob.glob(os.path.join(feed, "part-*.parquet")))
+        base = os.path.getmtime(parts[0]) - 3600
         for i, p in enumerate(parts):
-            nxt = min(i + 1, len(parts) - 1)
-            shutil.copy(p, os.path.join(feed, f"part-{nxt:02d}99-dup{i}.parquet"))
+            dup = os.path.join(feed, f"part-{i:02d}50-dup{i}.parquet")
+            shutil.copy(p, dup)
+            os.utime(p, (base + 2 * i, base + 2 * i))
+            os.utime(dup, (base + 2 * i + 1, base + 2 * i + 1))
 
         out: list = []
         with _drain_partitions(spark):
             se.run_to_completion(
-                se.dedup_event_stream(se.read_event_stream(spark, feed)),
+                se.dedup_event_stream(
+                    se.read_event_stream(spark, feed, max_files_per_trigger=1)
+                ),
                 out,
                 os.path.join(work, "ck"),
                 output_mode="append",
@@ -855,9 +920,10 @@ def q_streaming_dedup_differential(spark: SparkSession, sf_dir: str) -> DataFram
         ids = [r["event_id"] for r in out]
         # decimal-exact value sum (the engine-portable idiom used by every
         # value checksum here): per-event double rounding would diverge
-        # between Python banker's and SQL half-away rounding
+        # between Python banker's and SQL half-away rounding. Explicit
+        # schema: inference would crash on an empty drain (tiny-SF sample)
         val = (
-            spark.createDataFrame(out)
+            spark.createDataFrame(out, schema=se.EVENTS_SCHEMA)
             .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
             .first()[0]
             or 0.0
@@ -917,10 +983,8 @@ def q_streaming_running_totals_differential(spark: SparkSession, sf_dir: str) ->
     from seo_audit_etl_actor_spark.streaming import events as se
 
     work = tempfile.mkdtemp(prefix="spark_graft_stream_running_")
-    feed = os.path.join(work, "feed")
-    os.makedirs(feed)
     try:
-        _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
+        feed = _hour_cut_feed_cached(spark, sf_dir, user_mod=SESSIONS_MOD)
         out: list = []
         with _drain_partitions(spark):
             se.run_to_completion(
@@ -1006,10 +1070,8 @@ def q_streaming_enrichment_differential(spark: SparkSession, sf_dir: str) -> Dat
     from seo_audit_etl_actor_spark.streaming import events as se
 
     work = tempfile.mkdtemp(prefix="spark_graft_stream_enrich_")
-    feed = os.path.join(work, "feed")
-    os.makedirs(feed)
     try:
-        _write_hour_cut_feed(spark, sf_dir, feed, user_mod=SESSIONS_MOD)
+        feed = _hour_cut_feed_cached(spark, sf_dir, user_mod=SESSIONS_MOD)
         dim = load_table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("user_id"),
             F.col("c_nationkey").alias("nation"),

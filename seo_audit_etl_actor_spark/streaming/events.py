@@ -30,10 +30,18 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over parquet drops (schema must be declared —
-    streaming reads cannot infer)."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    streaming reads cannot infer). max_files_per_trigger caps each
+    micro-batch's file intake (mtime order) — availableNow otherwise may
+    drain every file in one batch, which would make cross-batch claims
+    (e.g. duplicate arrival in a LATER micro-batch) vacuous."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
 
 
 def hourly_event_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
