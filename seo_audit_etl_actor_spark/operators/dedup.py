@@ -327,6 +327,7 @@ def _bucket_pairs(
     member_col: str,
     max_bucket_members: int = MAX_BUCKET_MEMBERS,
     refine=None,
+    pair_filter=None,
 ) -> DataFrame:
     """Group band-exploded rows into buckets and emit every in-bucket pair
     (a, b) with a.id < b.id, deduplicated across buckets.
@@ -383,6 +384,17 @@ def _bucket_pairs(
     collapse in the final distinct). Callers whose downstream filter can't
     offer such a guarantee (minhash: band equality says nothing about the
     other bands) leave it None and keep the exhaustive streamed join.
+
+    `pair_filter` (optional, r10): callable (a_member, b_member) -> boolean
+    Column — a ROW-WISE verification predicate the caller would apply to
+    the output anyway. Applying it BEFORE the cross-bucket distinct keeps
+    every false candidate out of the dedup shuffle (filter∘distinct ≡
+    distinct∘filter for a row-wise predicate, so the output SET is
+    unchanged). Callers whose verification is self-contained in the member
+    payload pass it (simhash: popcount of the fp XOR); callers whose
+    verification needs a join (minhash: exact Jaccard against the shingle
+    frame) cannot, and leave it None. Measured at m316/m1000 in
+    SCALE_STUDY_r10.json (simhash_decomposition).
     """
     from pyspark import StorageLevel
 
@@ -419,6 +431,8 @@ def _bucket_pairs(
         )
     )
     small_pairs = buckets.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    if pair_filter is not None:
+        small_pairs = small_pairs.where(pair_filter(F.col("a"), F.col("b")))
 
     if big is None:
         out = small_pairs.distinct()
@@ -442,6 +456,8 @@ def _bucket_pairs(
     big_pairs = a.join(b, cond).select(
         F.col(f"a.{member_col}").alias("a"), F.col(f"b.{member_col}").alias("b")
     )
+    if pair_filter is not None:
+        big_pairs = big_pairs.where(pair_filter(F.col("a"), F.col("b")))
 
     out = small_pairs.unionByName(big_pairs).distinct()
     out._spark_graft_release = pin_registry.register(  # type: ignore[attr-defined]
@@ -662,11 +678,21 @@ def simhash_near_dup_pairs(
     n_bands: int = 4,
     max_bucket_members: int = MAX_BUCKET_MEMBERS,
     hash_fn: str = "md5",
+    early_verify: bool = True,
 ) -> DataFrame:
     """SimHash near-dup candidates via fingerprint banding (pigeonhole: any
     pair within `max_hamming` ≤ n_bands-1 bit flips shares ≥1 exact band),
     verified by popcount of XOR ≤ max_hamming. Single scan of the corpus
     (bucket-grouping, no self-join — see _bucket_pairs).
+
+    `early_verify` (r10, default on): the hamming predicate is pushed into
+    _bucket_pairs as its pair_filter, so the cross-band distinct shuffles
+    only VERIFIED pairs (x band multiplicity <= n_bands) instead of every
+    candidate — the member payload (fp) is all the verification needs, so
+    unlike minhash the check costs no join. Output set identical either
+    way (row-wise filter commutes with distinct); the flag exists so the
+    r10 A/B (tools/decompose_simhash.py) can measure the shipped order
+    against the r9 one on the same corpus.
 
     Hot buckets refine by SECOND-LEVEL pigeonhole (r5; found by the 316×
     ladder where one 15-bit band bucket held 19k members and band-level
@@ -733,8 +759,18 @@ def simhash_near_dup_pairs(
     exploded = fps.select(member.alias("m"), F.explode(bands).alias("band")).select(
         "m", "band.band_idx", "band.band_key"
     )
+    pair_filter = (
+        (lambda a, b: F.bit_count(a["fp"].bitwiseXOR(b["fp"])) <= max_hamming)
+        if early_verify
+        else None
+    )
     pairs = _bucket_pairs(
-        exploded, ["band_idx", "band_key"], "m", max_bucket_members, refine=_refine
+        exploded,
+        ["band_idx", "band_key"],
+        "m",
+        max_bucket_members,
+        refine=_refine,
+        pair_filter=pair_filter,
     )
     hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     out = (

@@ -1,28 +1,27 @@
-"""Phase-level decomposition of simhash_near_dup at the scale-ladder rungs
-(r10 verdict task 3): attribute the family-worst 0.727 exponent to its
-stages before trimming anything — the tools/decompose_clusters.py
-discipline applied to simhash.
+"""Phase attribution + order A/B for simhash_near_dup at the scale-ladder
+rungs (r10 verdict task 3): attribute the family-worst 0.727 exponent,
+then measure the shipped trim (early hamming verification pushed below
+the cross-band distinct — operators/dedup.py `pair_filter`) against the
+r9 order on the same corpus.
 
-Stages mirrored from operators/dedup.py::simhash_near_dup_pairs:
+Phases:
   fp        fingerprints alone (token explode + 60 vote sums + groupBy)
-  band      band explode + persist + bucket-size agg (the _bucket_pairs
-            entry cost; includes recomputing fp into the persist)
-  cand      in-bucket pair generation (collect_list + HOF pair explode),
-            counting candidates AND hamming<=max survivors in ONE pass —
-            no distinct, so this isolates raw candidate volume
-  dis_pre   candidates -> distinct -> hamming filter (the operator's
-            CURRENT order: the cross-band dedup shuffle carries every
-            false candidate)
-  dis_post  hamming filter -> distinct (the hypothesized trim: the dedup
-            shuffle carries only verified pairs x band multiplicity)
-  full      the shipped operator end-to-end (incl. the output orderBy)
+  band      band explode + persist + bucket-size aggregate — also yields
+            the ANALYTIC candidate volume sum(m*(m-1)/2) and hot-bucket
+            count from the sizes frame (no pair materialization: a first
+            draft of this tool collect_list'ed hot buckets uncapped and
+            OOM'd the JVM at m316 — the exact failure MAX_BUCKET_MEMBERS
+            exists to prevent)
+  full_r9   the operator with early_verify=False (r9 order: distinct over
+            ALL candidates, hamming after)
+  full_r10  the operator as shipped (hamming before distinct)
+  verified  output pair count (same for both orders: a row-wise filter
+            commutes with distinct; the driver oracle pins the set at
+            driver SFs)
 
-Each stage is timed twice in one JVM (clearCache between runs; warm =
-min of run 2..) — the bench_scale convention. Counts are printed so the
-attribution can be sanity-checked against the volume model
-(candidates ~ sum m^2 over buckets; verified = true hamming<=3 pairs).
+Warm = best of `runs` timings per phase, clearCache + pin-drain between.
 
-Usage: python tools/decompose_simhash.py /tmp/scale_m316 [/tmp/scale_m1000 ...]
+Usage: python tools/decompose_simhash.py /tmp/scale_m316 [/tmp/scale_m1000]
 """
 
 from __future__ import annotations
@@ -42,7 +41,6 @@ from seo_audit_etl_actor_spark.session import get_spark, load_table
 
 BITS = dedup.SIMHASH_BITS
 N_BANDS = 4
-MAX_HAMMING = 3
 WIDTH = BITS // N_BANDS
 
 
@@ -64,28 +62,8 @@ def _exploded(fps):
     )
 
 
-def _pairs_from(buckets_src):
-    buckets = (
-        buckets_src.groupBy("band_idx", "band_key")
-        .agg(F.array_sort(F.collect_list("m")).alias("members"))
-        .where(F.size("members") > 1)
-    )
-    m = F.col("members")
-    pairs = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(m, i + F.lit(2), F.size(m) - i - 1),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    return buckets.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
-
-
 def run_rung(spark, sf_dir: str, runs: int = 2) -> dict:
     docs = load_table(spark, sf_dir, "documents")
-    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     out: dict = {"sf_dir": sf_dir, "phases": {}}
 
     def timed(name, fn):
@@ -109,52 +87,39 @@ def run_rung(spark, sf_dir: str, runs: int = 2) -> dict:
         stats = sizes.agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.max("n").alias("max_bucket"),
-            F.sum(F.col("n") * F.col("n")).alias("sum_m2"),
-            F.sum(F.when(F.col("n") > dedup.MAX_BUCKET_MEMBERS, 1).otherwise(0)).alias(
-                "n_hot"
-            ),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("n_cand_analytic"),
+            F.sum(
+                F.when(F.col("n") > dedup.MAX_BUCKET_MEMBERS, 1).otherwise(0)
+            ).alias("n_hot"),
         ).first()
         ex.unpersist()
-        return {k: int(stats[k]) for k in ("n_buckets", "max_bucket", "sum_m2", "n_hot")}
+        return {
+            k: int(stats[k])
+            for k in ("n_buckets", "max_bucket", "n_cand_analytic", "n_hot")
+        }
 
     timed("band", band)
 
-    def cand():
-        ex = _exploded(fps).persist(StorageLevel.MEMORY_AND_DISK)
-        ex.count()
-        p = _pairs_from(ex)
-        r = p.agg(
-            F.count(F.lit(1)).alias("n_cand"),
-            F.sum((hamming <= MAX_HAMMING).cast("long")).alias("n_verified_dup"),
-        ).first()
-        ex.unpersist()
-        return {"n_cand": int(r["n_cand"]), "n_verified_withdups": int(r["n_verified_dup"])}
-
-    timed("cand", cand)
-
-    def dis(pre: bool):
-        ex = _exploded(fps).persist(StorageLevel.MEMORY_AND_DISK)
-        ex.count()
-        p = _pairs_from(ex)
-        if pre:  # operator's current order: distinct over ALL candidates
-            n = int(p.distinct().where(hamming <= MAX_HAMMING).count())
-        else:  # hypothesized order: verify first, then dedup across bands
-            n = int(p.where(hamming <= MAX_HAMMING).distinct().count())
-        ex.unpersist()
-        return {"n_verified_distinct": n}
-
-    timed("dis_pre", lambda: dis(True))
-    timed("dis_post", lambda: dis(False))
-
-    def full():
-        df = dedup.simhash_near_dup_pairs(docs)
+    def full(early: bool):
+        df = dedup.simhash_near_dup_pairs(docs, early_verify=early)
         df.write.format("noop").mode("overwrite").save()
         rel = getattr(df, "_spark_graft_release", None)
         if rel:
             rel()
         return {}
 
-    timed("full", full)
+    timed("full_r9", lambda: full(False))
+    timed("full_r10", lambda: full(True))
+
+    def verified():
+        df = dedup.simhash_near_dup_pairs(docs)
+        n = df.count()
+        rel = getattr(df, "_spark_graft_release", None)
+        if rel:
+            rel()
+        return {"n_verified_pairs": int(n)}
+
+    timed("verified", verified)
     return out
 
 
