@@ -21,8 +21,10 @@ format:
   (`_decode_jpeg_lossless`), 12-bit DCT (SOF1 extended sequential +
   12-bit progressive: wider level shift, top 8 bits emitted) in round 9,
   and arithmetic-coded sequential DCT (SOF9 — T.81 Annex D QM-coder +
-  F.1.4.4 statistics model, `multimodal/jpeg_arith.py`) also in round 9;
-- the REMAINING variants (arithmetic progressive/lossless SOF10/SOF11,
+  F.1.4.4 statistics model, `multimodal/jpeg_arith.py`) also in round 9,
+  with arithmetic-coded progressive DCT (SOF10 — the Annex G.2 scan
+  procedures over the same QM machinery) joining in round 10;
+- the REMAINING variants (arithmetic lossless SOF11,
   hierarchical SOF5-7/13-15, restart intervals in the lossless and
   arithmetic paths — patent-era rarities, genuinely codec-hard or
   spec-ambiguous) still use the deterministic byte-sampling fake:
@@ -400,7 +402,9 @@ def _decode_jpeg_gray(data: bytes):
     8 — Annex H predictor decode, precision 8-16,
     _decode_jpeg_lossless); arithmetic-coded sequential (SOF9, round 9 —
     Annex D QM-coder + F.1.4.4 statistics model,
-    jpeg_arith.decode_jpeg_arith). Arithmetic progressive/lossless,
+    jpeg_arith.decode_jpeg_arith); arithmetic-coded progressive (SOF10,
+    round 10 — Annex G.2 scan procedures,
+    jpeg_arith.decode_jpeg_arith_progressive). Arithmetic lossless,
     hierarchical, and restart intervals in the lossless/arithmetic
     paths are out of scope."""
     import numpy as np
@@ -480,8 +484,14 @@ def _decode_jpeg_gray(data: bytes):
                 )
 
                 return decode_jpeg_arith(data)
-            elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # remaining non-decodable SOFs (arith progressive/lossless, hierarchical)
+            elif marker == 0xCA:  # SOF10 arithmetic progressive (round 10)
+                from seo_audit_etl_actor_spark.multimodal.jpeg_arith import (
+                    decode_jpeg_arith_progressive,
+                )
+
+                return decode_jpeg_arith_progressive(data)
+            elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # remaining non-decodable SOFs (arith lossless, hierarchical)
             elif marker == 0xDD:  # DRI
                 restart_interval = struct.unpack(">H", body[:2])[0]
             elif marker == 0xDA:  # SOS
@@ -1162,7 +1172,7 @@ def _jpeg_progressive_scan(ecs, sof, scan, band, htables, restart_interval, ycoe
 def _decode_gray_pixels(data: bytes):
     """REAL pixel decode: returns an (H, W) uint8 grayscale numpy array,
     or None for the formats/variants still outside the pure-python codecs
-    (arithmetic progressive/lossless JPEG, restart intervals in the
+    (arithmetic lossless JPEG, restart intervals in the
     lossless/arithmetic paths).
 
     - PGM (P5): raster IS the grayscale plane.
@@ -1298,7 +1308,7 @@ def decode_image_thumbs(df: DataFrame, content_col: str = "content") -> DataFram
       Huffman+IDCT as the JPEG codec): true BT.601 luma plane,
       area-averaged 8x8 thumbnail, exact integer block means.
       `real_decode = true`.
-    - The remaining variants (arithmetic progressive/lossless JPEG,
+    - The remaining variants (arithmetic lossless JPEG,
       restart intervals in the lossless/arithmetic paths) keep the
       DETERMINISTIC FAKE byte-sampling decode:
       deterministic per content so downstream thumb-distance dedup behaves

@@ -906,6 +906,12 @@ class _QMEncoder:
             chunk <<= take - got  # left-align; zero-pad the tail
             out.append(chunk)
             pos -= got
+        if out and out[-1] == 0xFF:
+            # never END a segment on a bare 0xFF: T.81 requires every ECS
+            # 0xFF to be followed by a stuffed byte, and the multi-scan
+            # (SOF10) boundary search treats 0xFF + marker as the segment
+            # end — a trailing payload 0xFF would be cut off
+            out.append(0x00)
         return bytes(out)
 
 
@@ -1066,4 +1072,252 @@ def encode_jpeg_arith(y_plane, chroma=None, sampling=(1, 1), precision=8):
         out += bytes([cid, 0x00])
     out += b"\x00\x3f\x00"
     out += enc.finish() + b"\xff\xd9"
+    return bytes(out), expected[:h, :w]
+
+
+# -------------------------------- arithmetic progressive JPEG (SOF10, r10)
+
+
+def _truncal(v: int, al: int) -> int:
+    """AC point transform: divide by 2^al truncating TOWARD ZERO (T.81
+    G.1.2.2 — unlike DC's arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _encode_ac_band_first(enc, stats, kx, sign_ctx, va, ss, se):
+    """F.1.4.4.2 AC encode restricted to the ss..se spectral band (the
+    G.2.2 first-scan procedure: identical model, band-bounded indices).
+    `va` holds the point-transformed values."""
+    from seo_audit_etl_actor_spark.multimodal.jpeg_arith import (
+        AC_HIGH_BASE,
+        AC_LOW_BASE,
+    )
+
+    last = max((k for k in range(ss, se + 1) if va[k]), default=ss - 1)
+    k = ss
+    while k <= last:
+        enc.encode(0, stats[3 * (k - 1)])  # not EOB
+        while va[k] == 0:
+            enc.encode(0, stats[3 * (k - 1) + 1])
+            k += 1
+        enc.encode(1, stats[3 * (k - 1) + 1])
+        val = va[k]
+        sign = 1 if val < 0 else 0
+        enc.encode(sign, sign_ctx)
+        v = abs(val) - 1
+        st = 3 * (k - 1) + 2
+        m = 0
+        if v:
+            enc.encode(1, stats[st])
+            m = 1
+            if v >= 2:
+                enc.encode(1, stats[st])
+                m = 2
+                st = AC_LOW_BASE if k <= kx else AC_HIGH_BASE
+                while v >= (m << 1):
+                    enc.encode(1, stats[st])
+                    m <<= 1
+                    st += 1
+        enc.encode(0, stats[st])
+        st += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            enc.encode(1 if (v & mm) else 0, stats[st])
+        k += 1
+    if k <= se:
+        enc.encode(1, stats[3 * (k - 1)])  # EOB
+
+
+def _encode_ac_band_refine(enc, stats, sign_ctx, zz, ss, se, al):
+    """G.2.4 AC refinement encode (the decode mirror lives in
+    jpeg_arith._arith_progressive_scan): ke = this stage's last
+    significant index, kex = the previous stage's; EOB decisions only
+    beyond kex; correction bits for nonzero-history coefficients at the
+    first-magnitude bin; newly-significant coefficients (magnitude
+    exactly 1 at this stage) at the significance bin with fixed-context
+    signs."""
+
+    def vis(v: int, sh: int) -> int:
+        return abs(v) >> sh
+
+    ke = 0
+    for j in range(se, 0, -1):
+        if vis(zz[j], al):
+            ke = j
+            break
+    kex = 0
+    for j in range(ke, 0, -1):
+        if vis(zz[j], al + 1):
+            kex = j
+            break
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex:
+            if k > ke:
+                enc.encode(1, stats[base])  # EOB
+                return
+            enc.encode(0, stats[base])
+        while True:
+            if vis(zz[k], al + 1):  # history nonzero: correction bit
+                enc.encode((abs(zz[k]) >> al) & 1, stats[base + 2])
+                break
+            if vis(zz[k], al):  # newly significant this stage
+                enc.encode(1, stats[base + 1])
+                enc.encode(1 if zz[k] < 0 else 0, sign_ctx)
+                break
+            enc.encode(0, stats[base + 1])
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+
+
+def encode_jpeg_arith_progressive(y_plane, chroma=None, sampling=(1, 1), precision=8):
+    """Arithmetic-coded progressive JPEG encoder (SOF10) with quant table
+    all-ones — the spec-side twin of
+    `jpeg_arith.decode_jpeg_arith_progressive`, same scan script as the
+    Huffman progressive twin (two-level successive approximation):
+
+      1. DC first, interleaved, Al=1
+      2. AC first  Y, band 1..5,  Al=1
+      3. AC first  Y, band 6..63, Al=1
+      4. AC first  chroma, band 1..63, Al=0 (one scan per component —
+         exercises the decoder's chroma-scan skip on a REAL segment)
+      5. DC refinement, interleaved, Ah=1 -> Al=0 (fixed-context bits)
+      6. AC refinement Y, band 1..5,  Ah=1 -> Al=0
+      7. AC refinement Y, band 6..63, Ah=1 -> Al=0
+
+    Every scan is an independent entropy segment: fresh QM encoder and
+    fresh statistics areas (T.81 G.2 — statistics are reset at scan
+    start). Returns (jpeg_bytes, expected_y)."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal.jpeg_arith import (
+        AC_STAT_BINS,
+        DC_STAT_BINS,
+        fixed_ctx,
+    )
+
+    if precision not in (8, 12):
+        raise ValueError("progressive DCT precision must be 8 or 12")
+    h, w = y_plane.shape
+    sh, sv = sampling
+    mbw, mbh = 8 * sh, 8 * sv
+    mcux, mcuy = (w + mbw - 1) // mbw, (h + mbh - 1) // mbh
+    pad = np.pad(
+        np.asarray(y_plane, dtype=np.float64),
+        ((0, mcuy * mbh - h), (0, mcux * mbw - w)),
+        mode="edge",
+    )
+    comps = [(1, sh, sv)]
+    planes = {1: pad}
+    if chroma is not None:
+        cb, cr = chroma
+        comps += [(2, 1, 1), (3, 1, 1)]
+        planes[2] = np.full((mcuy * 8, mcux * 8), cb, dtype=np.float64)
+        planes[3] = np.full((mcuy * 8, mcux * 8), cr, dtype=np.float64)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    zz_blocks: dict[int, list[list[int]]] = {}
+    grid_dims: dict[int, tuple[int, int]] = {}
+    expected = np.zeros_like(pad, dtype=np.uint8)
+    level = float(1 << (precision - 1))
+    for cid, ch_, cv_ in comps:
+        gy, gx = mcuy * cv_, mcux * ch_
+        grid_dims[cid] = (gy, gx)
+        blocks = []
+        for by in range(gy):
+            for bx in range(gx):
+                blk = planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - level
+                coef = np.round(_ref_fdct(blk)).astype(int)
+                if cid == 1:
+                    expected[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _ref_idct(
+                        coef, precision
+                    )
+                blocks.append([int(coef.flat[ZIGZAG[k]]) for k in range(64)])
+        zz_blocks[cid] = blocks
+
+    y_w = (w * sh + hmax - 1) // hmax
+    y_h2 = (h * sv + vmax - 1) // vmax
+    nbx, nby = (y_w + 7) // 8, (y_h2 + 7) // 8
+    gy, gx = grid_dims[1]
+    y_true = [zz_blocks[1][by * gx + bx] for by in range(nby) for bx in range(nbx)]
+
+    L, U, KX = 0, 1, 5
+
+    def dc_first_scan(al: int) -> bytes:
+        enc = _QMEncoder()
+        stats = [[0, 0] for _ in range(DC_STAT_BINS)]
+        pred = {cid: 0 for cid, _h, _v in comps}
+        ctx = {cid: 0 for cid, _h, _v in comps}
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for cid, ch_, cv_ in comps:
+                _gy, gxx = grid_dims[cid]
+                for by in range(cv_):
+                    for bx in range(ch_):
+                        zz = zz_blocks[cid][(my * cv_ + by) * gxx + (mx * ch_ + bx)]
+                        v = zz[0] >> al  # DC point transform: arithmetic shift
+                        diff = v - pred[cid]
+                        pred[cid] = v
+                        ctx[cid] = _encode_dc_diff(enc, stats, ctx[cid], L, U, diff)
+        return enc.finish()
+
+    def dc_refine_scan(al: int) -> bytes:
+        enc = _QMEncoder()
+        corr = fixed_ctx()
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for cid, ch_, cv_ in comps:
+                _gy, gxx = grid_dims[cid]
+                for by in range(cv_):
+                    for bx in range(ch_):
+                        zz = zz_blocks[cid][(my * cv_ + by) * gxx + (mx * ch_ + bx)]
+                        enc.encode((zz[0] >> al) & 1, corr)
+        return enc.finish()
+
+    def ac_first_scan(blocks, ss, se, al) -> bytes:
+        enc = _QMEncoder()
+        stats = [[0, 0] for _ in range(AC_STAT_BINS)]
+        sign_ctx = fixed_ctx()
+        for zz in blocks:
+            va = [_truncal(zz[k], al) if al else zz[k] for k in range(64)]
+            _encode_ac_band_first(enc, stats, KX, sign_ctx, va, ss, se)
+        return enc.finish()
+
+    def ac_refine_scan(blocks, ss, se, al) -> bytes:
+        enc = _QMEncoder()
+        stats = [[0, 0] for _ in range(AC_STAT_BINS)]
+        sign_ctx = fixed_ctx()
+        for zz in blocks:
+            _encode_ac_band_refine(enc, stats, sign_ctx, zz, ss, se, al)
+        return enc.finish()
+
+    def sos(scan_comps, ss, se, ah, al) -> bytes:
+        ns = len(scan_comps)
+        out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for cid in scan_comps:
+            out += bytes([cid, 0x00])
+        return out + bytes([ss, se, (ah << 4) | al])
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + b"\x01" * 64
+    out += b"\xff\xcc" + struct.pack(">H", 2 + 4) + bytes([0x00, (U << 4) | L, 0x10, KX])
+    ncomp = len(comps)
+    out += b"\xff\xca" + struct.pack(">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
+    for cid, ch_, cv_ in comps:
+        out += bytes([cid, (ch_ << 4) | cv_, 0])
+
+    all_ids = [cid for cid, _h, _v in comps]
+    out += sos(all_ids, 0, 0, 0, 1) + dc_first_scan(1)
+    out += sos([1], 1, 5, 0, 1) + ac_first_scan(y_true, 1, 5, 1)
+    out += sos([1], 6, 63, 0, 1) + ac_first_scan(y_true, 6, 63, 1)
+    for cid in all_ids[1:]:
+        out += sos([cid], 1, 63, 0, 0) + ac_first_scan(zz_blocks[cid], 1, 63, 0)
+    out += sos(all_ids, 0, 0, 1, 0) + dc_refine_scan(0)
+    out += sos([1], 1, 5, 1, 0) + ac_refine_scan(y_true, 1, 5, 0)
+    out += sos([1], 6, 63, 1, 0) + ac_refine_scan(y_true, 6, 63, 0)
+    out += b"\xff\xd9"
     return bytes(out), expected[:h, :w]

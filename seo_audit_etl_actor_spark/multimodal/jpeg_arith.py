@@ -16,8 +16,17 @@ What is implemented:
   output contract as every other decode path); interleaved and
   single-component scans; 1-4 components with any sampling factors.
 
+Round 10 adds arithmetic-coded PROGRESSIVE decode (SOF10,
+`decode_jpeg_arith_progressive`): the Annex G.2 scan procedures —
+spectral selection + successive approximation — over the same QM coder
+and F.1.4.4 statistics bins (DC first = the sequential DIFF model on
+DC >> Al; DC refinement = fixed-context bits; AC first = the sequential
+band model; AC refinement = per-k EOB/significance/correction decisions
+with fixed-context signs). Each scan is an independent entropy segment
+with fresh statistics.
+
 Out of scope (returns None → the documented fake): restart intervals
-(DRI > 0), arithmetic progressive (SOF10) and arithmetic lossless (SOF11).
+(DRI > 0) and arithmetic lossless (SOF11).
 
 Evidence honesty — what "encoder/decoder agreement" covers here: the
 DECODE procedures below and the ENCODE procedures in
@@ -458,3 +467,329 @@ def _decode_arith_scan(ecs, sof, scan, qtables, dc_cond, ac_cond, precision):
     except (ValueError, IndexError):
         return None
     return _jpeg_upsample_y(plane, true_h, true_v, hmax, vmax, iw, ih)
+
+
+# ------------------------------------ arithmetic progressive (SOF10, r10)
+
+
+def _arith_ecs_end(data: bytes, start: int) -> int:
+    """End of an arithmetic-coded entropy segment: the first 0xFF followed
+    by a byte > 0x8F. Within an arithmetic ECS every 0xFF is followed by a
+    stuffed byte <= 0x8F (zero MSB + 7 payload bits), so anything above is
+    a marker (fill bytes 0xFF 0xFF ... resolve to the marker as well)."""
+    i, n = start, len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF and data[i + 1] > 0x8F:
+            return i
+        i += 1
+    return n
+
+
+def decode_jpeg_arith_progressive(data: bytes):
+    """Arithmetic-coded progressive JPEG (SOF10) decode to the uint8 Y
+    plane — T.81 Annex G.2: spectral selection + successive approximation
+    with the QM coder. Retires the r9-documented fake for this variant;
+    restart intervals and SOF11 remain out of scope (returns None).
+
+    Scan semantics (the G.2 procedures; each scan is an independent
+    entropy segment with fresh statistics and a fresh QM decoder):
+    - DC first (Ss=0, Ah=0): the sequential F.1.4.4.1 DIFF model applied
+      to DC >> Al; the grid stores pred << Al.
+    - DC refinement (Ah>0): ONE decision per block from the fixed
+      (non-adaptive) context, OR-ed in at bit Al.
+    - AC first (Ss>0, Ah=0, single-component per G.1.1): the sequential
+      F.1.4.4.2 model over the Ss..Se band, values stored << Al.
+    - AC refinement: per-k EOB decision at the k-th EOB bin — decoded
+      only beyond the PREVIOUS stage's last nonzero coefficient (kex) —
+      newly-significant decisions at the significance bin, signs from the
+      fixed context, and correction bits for nonzero-history coefficients
+      at the first-magnitude bin (bins shared with the first-scan layout).
+
+    Like the Huffman progressive path, only Y's coefficients persist;
+    chroma-only scans are skipped wholesale (independent segments) while
+    interleaved DC scans entropy-decode chroma to keep the QM interval
+    honest."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal.binary_ops import (
+        _JPEG_ZIGZAG,
+        _jpeg_upsample_y,
+    )
+
+    if data[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, "np.ndarray"] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
+    sof = None
+    precision = 8
+    restart_interval = 0
+    ycoef = None
+    y_meta = None
+    i, n = 2, len(data)
+    try:
+        while i + 2 <= n:
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:
+                break
+            if i + 4 > n:
+                return None
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if i + 2 + seg_len > n:
+                return None
+            body = data[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 15
+                    j += 1
+                    if pq == 0:
+                        vals = np.frombuffer(body[j : j + 64], dtype=np.uint8)
+                        j += 64
+                    else:
+                        vals = np.frombuffer(body[j : j + 128], dtype=">u2")
+                        j += 128
+                    if len(vals) < 64:
+                        return None
+                    tbl = np.zeros(64, dtype=np.int64)
+                    tbl[_JPEG_ZIGZAG] = vals.astype(np.int64)
+                    qtables[tq] = tbl.reshape(8, 8)
+            elif marker == 0xCC:  # DAC (may arrive between scans)
+                j = 0
+                while j + 2 <= len(body):
+                    tc, tb = body[j] >> 4, body[j] & 15
+                    cs = body[j + 1]
+                    j += 2
+                    if tc == 0:
+                        dc_cond[tb] = (cs & 15, cs >> 4)
+                    else:
+                        ac_cond[tb] = cs
+            elif marker == 0xCA:  # SOF10 arithmetic progressive
+                precision, ih, iw, ncomp = struct.unpack(">BHHB", body[:6])
+                if precision not in (8, 12) or ncomp == 0 or ncomp > 4 or iw == 0 or ih == 0:
+                    return None
+                comps = []
+                for c in range(ncomp):
+                    cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                sof = (iw, ih, comps)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if hmax == 0 or vmax == 0:
+                    return None
+                mcux = (iw + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (ih + 8 * vmax - 1) // (8 * vmax)
+                y_cid, y_h, y_v, y_tq = comps[0]
+                comp_w = (iw * y_h + hmax - 1) // hmax
+                comp_h = (ih * y_v + vmax - 1) // vmax
+                nby, nbx = (comp_h + 7) // 8, (comp_w + 7) // 8
+                ycoef = np.zeros((mcuy * y_v, mcux * y_h, 64), dtype=np.int32)
+                y_meta = (y_cid, y_h, y_v, y_tq, hmax, vmax, mcux, mcuy, nby, nbx)
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # not arithmetic-progressive — wrong path
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:  # SOS — one progressive scan
+                if sof is None or ycoef is None or restart_interval:
+                    return None  # restart intervals out of scope
+                ns = body[0]
+                scan = []
+                for c in range(ns):
+                    cs, tda = body[1 + c * 2 : 3 + c * 2]
+                    scan.append((cs, tda >> 4, tda & 15))
+                Ss, Se, ahal = body[1 + ns * 2 : 4 + ns * 2]
+                Ah, Al = ahal >> 4, ahal & 15
+                ecs_start = i + 2 + seg_len
+                ecs_end = _arith_ecs_end(data, ecs_start)
+                ok = _arith_progressive_scan(
+                    data[ecs_start:ecs_end], sof, scan, (Ss, Se, Ah, Al),
+                    dc_cond, ac_cond, ycoef, y_meta,
+                )
+                if not ok:
+                    return None
+                i = ecs_end
+                continue
+            i += 2 + seg_len
+    except (ValueError, IndexError, struct.error):
+        return None
+    if sof is None or ycoef is None:
+        return None
+
+    iw, ih, comps = sof
+    y_cid, y_h, y_v, y_tq, hmax, vmax, mcux, mcuy, nby, nbx = y_meta
+    if y_tq not in qtables:
+        return None
+    yq = qtables[y_tq].reshape(-1)
+
+    u = np.arange(8)
+    x = np.arange(8)
+    A = 0.5 * np.cos((2 * x[:, None] + 1) * u[None, :] * np.pi / 16)
+    A[:, 0] *= 1 / np.sqrt(2)
+    gy, gx = ycoef.shape[:2]
+    plane = np.zeros((gy * 8, gx * 8), dtype=np.uint8)
+    level = 1 << (precision - 1)
+    maxval = (1 << precision) - 1
+    for by in range(gy):
+        for bx in range(gx):
+            block = (ycoef[by, bx].astype(np.int64) * yq).reshape(8, 8)
+            spatial = A @ block.astype(np.float64) @ A.T
+            pix = np.clip(np.round(spatial) + level, 0, maxval)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                pix.astype(np.int64) >> (precision - 8)
+            ).astype(np.uint8)
+    return _jpeg_upsample_y(plane, y_h, y_v, hmax, vmax, iw, ih)
+
+
+def _arith_progressive_scan(ecs, sof, scan, band, dc_cond, ac_cond, ycoef, y_meta):
+    """Decode ONE SOF10 scan into the persistent Y coefficient grid
+    (decode mirrors of the G.2 coding models; bin layout shared with the
+    sequential F.1.4.4 statistics areas). Returns False on structural
+    corruption; chroma-only scans return True without touching the
+    segment."""
+    from seo_audit_etl_actor_spark.multimodal.binary_ops import _JPEG_ZIGZAG
+
+    iw, ih, comps = sof
+    Ss, Se, Ah, Al = band
+    y_cid, y_h, y_v, y_tq, hmax, vmax, mcux, mcuy, nby, nbx = y_meta
+    scan_by_id = {cs: (td, ta) for cs, td, ta in scan}
+    if y_cid not in scan_by_id:
+        return True  # chroma-only scan: independent segment, skip wholesale
+    if Ss > Se or Se > 63 or (Ss == 0) != (Se == 0):
+        return False
+    if Ss > 0 and len(scan) != 1:
+        return False  # AC scans are single-component per T.81 G.1.1
+
+    dec = QMDecoder(ecs)
+    try:
+        if Ss == 0:
+            order = [(cid, h, v) for cid, h, v, _tq in comps if cid in scan_by_id]
+            if len(order) != len(scan):
+                return False
+            if len(order) == 1:
+                if order[0][0] != y_cid:
+                    return True  # single non-Y DC scan: skippable
+                grid = [(y_cid, 1, 1)]
+                tx, ty = nbx, nby
+            else:
+                grid = order
+                tx, ty = mcux, mcuy
+            interleaved = len(grid) > 1
+            if Ah == 0:
+                dc_stats: dict[int, list] = {}
+                pred = {cid: 0 for cid, _h, _v in grid}
+                ctx_base = {cid: 0 for cid, _h, _v in grid}
+                for idx in range(tx * ty):
+                    my, mx = divmod(idx, tx)
+                    for cid, ch, cv in grid:
+                        td, _ta = scan_by_id[cid]
+                        if td not in dc_stats:
+                            dc_stats[td] = _new_stats(DC_STAT_BINS)
+                        L, U = dc_cond.get(td, (0, 1))
+                        for by in range(cv):
+                            for bx in range(ch):
+                                diff, nxt = decode_dc_diff(
+                                    dec, dc_stats[td], ctx_base[cid], L, U
+                                )
+                                ctx_base[cid] = nxt
+                                pred[cid] += diff
+                                if cid == y_cid:
+                                    r0 = my * cv + by if interleaved else my
+                                    c0 = mx * ch + bx if interleaved else mx
+                                    ycoef[r0, c0, 0] = pred[cid] << Al
+            else:
+                # DC refinement: one decision per block from the FIXED
+                # context (G.2.3); OR at bit Al extends negatives via
+                # two's complement exactly like the Huffman path
+                corr = fixed_ctx()
+                for idx in range(tx * ty):
+                    my, mx = divmod(idx, tx)
+                    for cid, ch, cv in grid:
+                        for by in range(cv):
+                            for bx in range(ch):
+                                bit = dec.decode(corr)
+                                if cid == y_cid and bit:
+                                    r0 = my * cv + by if interleaved else my
+                                    c0 = mx * ch + bx if interleaved else mx
+                                    ycoef[r0, c0, 0] |= bit << Al
+            return True
+
+        # AC scan over the Y component's true block grid
+        _td, ta = scan_by_id[y_cid]
+        kx = ac_cond.get(ta, 5)
+        stats = _new_stats(AC_STAT_BINS)
+        sign_ctx = fixed_ctx()
+        p1 = 1 << Al
+        for idx in range(nbx * nby):
+            gby, gbx = divmod(idx, nbx)
+            coef = ycoef[gby, gbx]
+            if Ah == 0:
+                # AC first pass: the sequential model over the band
+                k = Ss
+                while k <= Se:
+                    base = 3 * (k - 1)
+                    if dec.decode(stats[base]):  # EOB
+                        break
+                    while dec.decode(stats[base + 1]) == 0:
+                        k += 1
+                        if k > Se:
+                            return False
+                        base = 3 * (k - 1)
+                    sign = dec.decode(sign_ctx)
+                    st = base + 2
+                    m = dec.decode(stats[st])
+                    if m != 0:
+                        if dec.decode(stats[st]):
+                            m = 2
+                            st = AC_LOW_BASE if k <= kx else AC_HIGH_BASE
+                            while dec.decode(stats[st]):
+                                m <<= 1
+                                if m == 0x8000:
+                                    return False
+                                st += 1
+                    v = m
+                    st += 14
+                    mm = m
+                    while mm > 1:
+                        mm >>= 1
+                        if dec.decode(stats[st]):
+                            v |= mm
+                    v += 1
+                    coef[_JPEG_ZIGZAG[k]] = (-v if sign else v) << Al
+                    k += 1
+            else:
+                # AC refinement pass: kex = the PREVIOUS stage's last
+                # nonzero index (the accumulated grid holds exactly the
+                # previous stages' value)
+                kex = 0
+                for j in range(Se, 0, -1):
+                    if coef[_JPEG_ZIGZAG[j]] != 0:
+                        kex = j
+                        break
+                k = Ss
+                while k <= Se:
+                    base = 3 * (k - 1)
+                    if k > kex and dec.decode(stats[base]):
+                        break  # EOB: nothing further in this band
+                    while True:
+                        pos = _JPEG_ZIGZAG[k]
+                        if coef[pos] != 0:
+                            if dec.decode(stats[base + 2]):
+                                coef[pos] += p1 if coef[pos] > 0 else -p1
+                            break
+                        if dec.decode(stats[base + 1]):
+                            coef[pos] = -p1 if dec.decode(sign_ctx) else p1
+                            break
+                        k += 1
+                        if k > Se:
+                            return False
+                        base = 3 * (k - 1)
+                    k += 1
+        return True
+    except (ValueError, IndexError):
+        return False

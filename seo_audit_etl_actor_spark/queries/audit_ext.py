@@ -949,6 +949,95 @@ SELECT CAST(5 AS BIGINT)      AS n_blobs,
 """
 
 
+def q_arith_progressive_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracle row for the round-10 arithmetic-coded PROGRESSIVE
+    JPEG decoder (SOF10 — T.81 Annex G.2 scan procedures over the Annex D
+    QM coder, jpeg_arith.decode_jpeg_arith_progressive): same discipline
+    as q_arith_decode_audit — a fixture corpus from the spec-side encoder
+    (fixtures.encode_jpeg_arith_progressive, 7-scan two-level successive
+    approximation script), decoded through the real Spark path, one row
+    of hand-derived BIGINTs. Flat planes keep the constants derivable by
+    hand: DC-only spectra survive the DC-first + DC-refinement scan pair
+    exactly, AC scans code all-zero bands, and the 12-bit output contract
+    is the top 8 bits.
+
+    Blobs (weight = leading digit; THUMB_SIDE = 8):
+      1_arp_flat.jpg   8x8 flat 200, P=8          -> thumb sum 200*64 = 12800
+      2_arp12_flat.jpg 8x8 flat 3216, P=12        -> 3216>>4 = 201 -> 12864
+      3_arp_color.jpg  24x16 flat 90, chroma (100,140), sampling (2,2)
+                       (interleaved DC scans decode chroma; chroma AC
+                       scans are skipped as independent segments)
+                                                  -> flat-90 thumb -> 5760
+      4_arp_dri.jpg    blob 1 with DRI spliced before SOF10: restart
+                       intervals remain out of scope -> fake
+      5_arp11_sof.jpg  blob 1's SOF marker patched to 0xCB (SOF11,
+                       arithmetic lossless — the remaining fake) -> fake
+    thumb_checksum = 1*12800 + 2*12864 + 3*5760 = 55808; n_real = 3 of 5.
+    dims_checksum = sum of weight*(width*1000 + height) over ALL blobs
+    (any SOFn carries dimensions; fake path header parsing is real):
+                  = 8008*(1+2+4+5) + 24016*3 = 168144.
+
+    Scale: identical plumbing to q_media_decode_audit — the exercised
+    operator is the 100 TB Arrow-batched decode path itself."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal import binary_ops as B
+    from seo_audit_etl_actor_spark.multimodal import fixtures as FX
+
+    arp_flat = FX.encode_jpeg_arith_progressive(np.full((8, 8), 200, dtype=np.uint8))[0]
+    sof_at = arp_flat.index(b"\xff\xca")
+    sof11 = bytearray(arp_flat)
+    sof11[sof_at + 1] = 0xCB
+    blobs = [
+        ("1_arp_flat.jpg", arp_flat),
+        (
+            "2_arp12_flat.jpg",
+            FX.encode_jpeg_arith_progressive(
+                np.full((8, 8), 3216, dtype=np.int64), precision=12
+            )[0],
+        ),
+        (
+            "3_arp_color.jpg",
+            FX.encode_jpeg_arith_progressive(
+                np.full((16, 24), 90, dtype=np.uint8),
+                chroma=(100, 140),
+                sampling=(2, 2),
+            )[0],
+        ),
+        (
+            "4_arp_dri.jpg",
+            arp_flat[:sof_at] + b"\xff\xdd\x00\x04\x00\x02" + arp_flat[sof_at:],
+        ),
+        ("5_arp11_sof.jpg", bytes(sof11)),
+    ]
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b in blobs], "path string, content binary"
+    )
+    thumbs = B.decode_image_thumbs(df)
+    weight = F.regexp_extract("path", r"^(\d+)_", 1).cast("long")
+    return thumbs.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.col("real_decode").cast("long")).alias("n_real"),
+        F.sum(
+            F.when(
+                F.col("real_decode"),
+                weight * F.aggregate("thumb", F.lit(0).cast("long"), lambda a, x: a + x),
+            ).otherwise(F.lit(0))
+        ).alias("thumb_checksum"),
+        F.sum(weight * (F.col("width").cast("long") * 1000 + F.col("height"))).alias(
+            "dims_checksum"
+        ),
+    )
+
+
+SQL_ARITH_PROGRESSIVE_DECODE_AUDIT = """
+SELECT CAST(5 AS BIGINT)      AS n_blobs,
+       CAST(3 AS BIGINT)      AS n_real,
+       CAST(55808 AS BIGINT)  AS thumb_checksum,
+       CAST(168144 AS BIGINT) AS dims_checksum
+"""
+
+
 # ------------------------------------ JSONL sink/source round-trip audit
 
 

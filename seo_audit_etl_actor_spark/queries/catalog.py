@@ -55,6 +55,8 @@ class QuerySpec:
 # Never append below position 50 — that silently exempts the entry from the
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
+    # --- NEW: no driver evidence yet ---
+    QuerySpec("arith_progressive_decode_audit", ax.q_arith_progressive_decode_audit, ax.SQL_ARITH_PROGRESSIVE_DECODE_AUDIT),
     # --- latest green: r7 ---
     QuerySpec("cosine_topk_bruteforce", ext.q_cosine_topk_bruteforce, ext.SQL_COSINE_TOPK),
     QuerySpec("coverage_weighted_score", r.q_coverage_weighted_score, r.SQL_COVERAGE_WEIGHTED_SCORE),

@@ -3,8 +3,9 @@ metadata extraction → content dedup, plus REAL decode for the codec-free
 formats (BMP/PPM/PGM/WAV since round 4; full PNG via stdlib zlib and
 baseline JPEG via pure-numpy Huffman+IDCT since round 5 — encoder helpers
 below are spec-derived, independent of the decoders under test).
-Progressive/arithmetic JPEG and exotic PNG remain the deterministic
-fake."""
+Arithmetic-lossless JPEG (SOF11) and exotic PNG remain the deterministic
+fake (progressive joined the real decoders in r7, arithmetic sequential
+in r9, arithmetic progressive in r10)."""
 
 from __future__ import annotations
 
@@ -461,9 +462,14 @@ def test_jpeg_out_of_scope_routes_to_fake():
     data, _ = _encode_jpeg(img)
     prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert B._decode_gray_pixels(prog) is None
-    # arithmetic-coded frame (SOF10 = 0xCA) stays out of scope
+    # SOF0 patched to SOF10 is structurally invalid the same way (its one
+    # scan has Ss=0, Se=63 — illegal progressive band), so the now-real
+    # (r10) arithmetic-progressive path still routes it to the fake
     arith = data.replace(b"\xff\xc0", b"\xff\xca", 1)
     assert B._decode_gray_pixels(arith) is None
+    # arithmetic LOSSLESS (SOF11 = 0xCB) remains out of scope
+    arith_ll = data.replace(b"\xff\xc0", b"\xff\xcb", 1)
+    assert B._decode_gray_pixels(arith_ll) is None
     # truncate mid-scan (gradient stream is long): MCUs run out of bits
     grad = ((np.add.outer(np.arange(32), np.arange(32)) * 13) % 256).astype(np.uint8)
     gdata, _ = _encode_jpeg(grad)
@@ -936,8 +942,11 @@ def test_jpeg_arith_out_of_scope_routes_to_fake():
     sof_at = data.index(b"\xff\xc9")
     dri = data[:sof_at] + b"\xff\xdd\x00\x04\x00\x02" + data[sof_at:]
     assert B._decode_gray_pixels(dri) is None
-    # arithmetic progressive (SOF10) stays out of scope
+    # SOF9 marker patched to SOF10: its one scan has Ss=0, Se=63 — an
+    # illegal progressive band, so the (r10-real) SOF10 path fake-routes
     assert B._decode_gray_pixels(data.replace(b"\xff\xc9", b"\xff\xca", 1)) is None
+    # arithmetic lossless (SOF11) stays out of scope
+    assert B._decode_gray_pixels(data.replace(b"\xff\xc9", b"\xff\xcb", 1)) is None
     # illegal precision
     ten = bytearray(data)
     ten[sof_at + 4] = 10
@@ -1074,3 +1083,77 @@ def test_jpeg_lossless_real_flag_end_to_end(spark, tmp_path):
     assert row["real_decode"] is True
     assert row["format"] == "jpeg" and (row["width"], row["height"]) == (16, 16)
     assert row["thumb"] == B._area_mean_thumb(expected, B.THUMB_SIDE)
+
+
+# round 10: arithmetic-coded PROGRESSIVE JPEG (SOF10) — T.81 Annex G.2
+# scan procedures over the same QM coder and F.1.4.4 statistics bins.
+# Decoder is jpeg_arith.decode_jpeg_arith_progressive; encoder twin is
+# fixtures.encode_jpeg_arith_progressive (7-scan two-level successive
+# approximation script, fresh statistics per scan).
+
+
+def test_jpeg_arith_progressive_flat_exact():
+    import numpy as np
+
+    img = np.full((16, 8), 200, dtype=np.uint8)
+    data, expected = FX.encode_jpeg_arith_progressive(img)
+    assert b"\xff\xca" in data and b"\xff\xcc" in data  # SOF10 + DAC
+    assert data.count(b"\xff\xda") == 6  # Y-only: DC first/refine + 2 AC bands x first/refine
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None and np.array_equal(dec, img)
+    assert np.array_equal(expected, img)
+
+
+def test_jpeg_arith_progressive_gradient_noise_color_and_12bit():
+    """Dense-AC content through every scan kind: DC first (Al=1) with
+    context-class transitions, both AC first bands (point transform
+    truncation toward zero), the fixed-context DC refinement bit, AC
+    refinement's EOB/kex split, newly-significant ±1 insertions, and
+    correction bits — plus chroma scans that the Y-only decoder must
+    skip as independent segments, and the 12-bit widening."""
+    import numpy as np
+
+    rng = np.random.default_rng(10)
+    grad = ((np.arange(17)[:, None] * 7 + np.arange(24)[None, :] * 5) % 251).astype(np.uint8)
+    noise = rng.integers(0, 256, size=(24, 16), dtype=np.uint8).astype(np.uint8)
+    for img, kwargs in (
+        (grad, {}),
+        (noise, {}),
+        (grad, {"chroma": (100, 140), "sampling": (2, 2)}),
+        (noise, {"chroma": (90, 200), "sampling": (2, 1)}),
+    ):
+        data, expected = FX.encode_jpeg_arith_progressive(img, **kwargs)
+        dec = B._decode_gray_pixels(data)
+        assert dec is not None and dec.shape == img.shape, kwargs
+        # q=1 integer spectrum: decode equals the encoder's own
+        # reconstruction within the ±1 float-IDCT budget
+        assert int(np.abs(dec.astype(int) - expected.astype(int)).max()) <= 1, kwargs
+    img12 = ((np.arange(17)[:, None] * 113 + np.arange(24)[None, :] * 79) % 4096).astype(np.int64)
+    data, expected = FX.encode_jpeg_arith_progressive(img12, precision=12)
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None
+    assert int(np.abs(dec.astype(int) - expected.astype(int)).max()) <= 1
+
+
+def test_jpeg_arith_progressive_out_of_scope_routes_to_fake():
+    import numpy as np
+
+    img = np.full((8, 8), 150, dtype=np.uint8)
+    data, _ = FX.encode_jpeg_arith_progressive(img)
+    sof_at = data.index(b"\xff\xca")
+    # restart intervals remain out of scope
+    dri = data[:sof_at] + b"\xff\xdd\x00\x04\x00\x02" + data[sof_at:]
+    assert B._decode_gray_pixels(dri) is None
+    # arithmetic lossless (SOF11) remains out of scope
+    assert B._decode_gray_pixels(data.replace(b"\xff\xca", b"\xff\xcb", 1)) is None
+    # illegal precision
+    ten = bytearray(data)
+    ten[sof_at + 4] = 10
+    assert B._decode_gray_pixels(bytes(ten)) is None
+    # truncation to mid-scan-script must not crash
+    last_sos = data.rindex(b"\xff\xda")
+    assert B._decode_gray_pixels(data[: last_sos + 4]) is not None or True
+    # (a truncated FINAL refinement scan may still decode the earlier
+    # scans' plane — the assertion above only guards against crashes;
+    # structural garbage before the first scan must still None-route)
+    assert B._decode_gray_pixels(data[: data.index(b"\xff\xda") + 2]) is None
