@@ -23,11 +23,14 @@ format:
   and arithmetic-coded sequential DCT (SOF9 — T.81 Annex D QM-coder +
   F.1.4.4 statistics model, `multimodal/jpeg_arith.py`) also in round 9,
   with arithmetic-coded progressive DCT (SOF10 — the Annex G.2 scan
-  procedures over the same QM machinery) joining in round 10;
-- the REMAINING variants (arithmetic lossless SOF11,
-  hierarchical SOF5-7/13-15, restart intervals in the lossless and
-  arithmetic paths — patent-era rarities, genuinely codec-hard or
-  spec-ambiguous) still use the deterministic byte-sampling fake:
+  procedures over the same QM machinery) and arithmetic-coded lossless
+  (SOF11 — the H.1.2.2 two-dimensional conditioning model over the same
+  QM coder, `jpeg_arith.decode_jpeg_arith_lossless`) joining in
+  round 10;
+- the REMAINING variants (hierarchical SOF5-7/13-15, restart intervals
+  in the lossless and arithmetic paths — patent-era rarities, genuinely
+  codec-hard or spec-ambiguous) still use the deterministic
+  byte-sampling fake:
   header parsing for dimensions is real, the pixel inner loop is the
   documented stand-in (`real_decode = false`; swap point noted at the
   function).
@@ -404,9 +407,10 @@ def _decode_jpeg_gray(data: bytes):
     Annex D QM-coder + F.1.4.4 statistics model,
     jpeg_arith.decode_jpeg_arith); arithmetic-coded progressive (SOF10,
     round 10 — Annex G.2 scan procedures,
-    jpeg_arith.decode_jpeg_arith_progressive). Arithmetic lossless,
-    hierarchical, and restart intervals in the lossless/arithmetic
-    paths are out of scope."""
+    jpeg_arith.decode_jpeg_arith_progressive); arithmetic-coded
+    lossless (SOF11, round 10 — H.1.2.2 two-dimensional conditioning,
+    jpeg_arith.decode_jpeg_arith_lossless). Hierarchical and restart
+    intervals in the lossless/arithmetic paths are out of scope."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -490,8 +494,14 @@ def _decode_jpeg_gray(data: bytes):
                 )
 
                 return decode_jpeg_arith_progressive(data)
-            elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # remaining non-decodable SOFs (arith lossless, hierarchical)
+            elif marker == 0xCB:  # SOF11 arithmetic lossless (round 10)
+                from seo_audit_etl_actor_spark.multimodal.jpeg_arith import (
+                    decode_jpeg_arith_lossless,
+                )
+
+                return decode_jpeg_arith_lossless(data)
+            elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+                return None  # remaining non-decodable SOFs (hierarchical)
             elif marker == 0xDD:  # DRI
                 restart_interval = struct.unpack(">H", body[:2])[0]
             elif marker == 0xDA:  # SOS
@@ -1172,8 +1182,8 @@ def _jpeg_progressive_scan(ecs, sof, scan, band, htables, restart_interval, ycoe
 def _decode_gray_pixels(data: bytes):
     """REAL pixel decode: returns an (H, W) uint8 grayscale numpy array,
     or None for the formats/variants still outside the pure-python codecs
-    (arithmetic lossless JPEG, restart intervals in the
-    lossless/arithmetic paths).
+    (hierarchical JPEG, restart intervals in the lossless/arithmetic
+    paths).
 
     - PGM (P5): raster IS the grayscale plane.
     - PPM (P6): RGB raster -> integer BT.601 luma (r*299+g*587+b*114)//1000.
@@ -1308,8 +1318,8 @@ def decode_image_thumbs(df: DataFrame, content_col: str = "content") -> DataFram
       Huffman+IDCT as the JPEG codec): true BT.601 luma plane,
       area-averaged 8x8 thumbnail, exact integer block means.
       `real_decode = true`.
-    - The remaining variants (arithmetic lossless JPEG,
-      restart intervals in the lossless/arithmetic paths) keep the
+    - The remaining variants (hierarchical JPEG, restart intervals in
+      the lossless/arithmetic paths) keep the
       DETERMINISTIC FAKE byte-sampling decode:
       deterministic per content so downstream thumb-distance dedup behaves
       like a real decoder's output. Swap the `_fake_gray_thumb` branch for

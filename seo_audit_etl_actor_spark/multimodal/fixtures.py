@@ -1321,3 +1321,146 @@ def encode_jpeg_arith_progressive(y_plane, chroma=None, sampling=(1, 1), precisi
     out += sos([1], 6, 63, 1, 0) + ac_refine_scan(y_true, 6, 63, 0)
     out += b"\xff\xd9"
     return bytes(out), expected[:h, :w]
+
+
+def _encode_lossless_diff(enc, stats, base, mag_base, diff):
+    """H.1.2.2 lossless difference encode: the _encode_dc_diff decision
+    tree with the caller-supplied 2-D (Da, Db) context base and
+    Db-selected magnitude ladder (decode mirror:
+    jpeg_arith.decode_lossless_diff)."""
+    if diff == 0:
+        enc.encode(0, stats[base])
+        return
+    enc.encode(1, stats[base])
+    sign = 1 if diff < 0 else 0
+    enc.encode(sign, stats[base + 1])
+    v = abs(diff) - 1
+    st = base + 2 + sign
+    m = 0
+    if v:
+        enc.encode(1, stats[st])
+        m = 1
+        st = mag_base
+        while v >= (m << 1):
+            enc.encode(1, stats[st])
+            m <<= 1
+            st += 1
+    enc.encode(0, stats[st])
+    st += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(1 if (v & mm) else 0, stats[st])
+
+
+def encode_jpeg_arith_lossless(
+    y_plane, predictor: int = 1, pt: int = 0, precision: int = 8,
+    chroma=None, sampling=(1, 1), cond=(0, 1),
+):
+    """Arithmetic-coded lossless JPEG (SOF11) encoder — the spec-side
+    twin of `jpeg_arith.decode_jpeg_arith_lossless`, mirroring
+    `encode_jpeg_lossless`'s frame layout with the DHT replaced by a DAC
+    conditioning segment and the SSSS/extra-bits entropy replaced by the
+    QM-coded H.1.2.2 model: each difference is coded by the DC DIFF
+    decision tree conditioned on the 5-way classes of the left (Da) and
+    above (Db) neighbors' differences (zero outside the image), with the
+    magnitude ladder selected by Db's class. The class boundaries are
+    recomputed here from the F.1.4.4.1.2 rule (m = magnitude MSB over
+    |diff| - 1 against the (1<<L)>>1 / (1<<U)>>1 thresholds) rather than
+    imported from the decoder, so round-trip agreement evidences the
+    conditioning too. `cond` = (L, U), written to the DAC segment.
+
+    Returns (jpeg_bytes, expected_y) like encode_jpeg_lossless."""
+    import numpy as np
+
+    L, U = cond
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor selection value must be 1-7")
+    if not 8 <= precision <= 16 or not 0 <= pt < precision:
+        raise ValueError("need 8 <= precision <= 16 and 0 <= pt < precision")
+    if not (0 <= L <= 15 and 0 <= U <= 15):
+        raise ValueError("conditioning bounds must fit a DAC nibble")
+    y_plane = np.asarray(y_plane, dtype=np.int64)
+    h, w = y_plane.shape
+    sh, sv = sampling
+    mcux, mcuy = (w + sh - 1) // sh, (h + sv - 1) // sv
+
+    comps = [(1, sh, sv)]
+    planes = {1: np.pad(y_plane >> pt, ((0, mcuy * sv - h), (0, mcux * sh - w)), mode="edge")}
+    if chroma is not None:
+        cb, cr = chroma
+        comps += [(2, 1, 1), (3, 1, 1)]
+        planes[2] = np.full((mcuy, mcux), cb >> pt, dtype=np.int64)
+        planes[3] = np.full((mcuy, mcux), cr >> pt, dtype=np.int64)
+
+    default = 1 << (precision - pt - 1)
+
+    def predict(g, row, col):
+        if row == 0 and col == 0:
+            return default
+        if row == 0:
+            return int(g[0, col - 1])
+        if col == 0:
+            return int(g[row - 1, 0])
+        a, b, c = int(g[row, col - 1]), int(g[row - 1, col]), int(g[row - 1, col - 1])
+        return {
+            1: a, 2: b, 3: c, 4: a + b - c,
+            5: a + ((b - c) >> 1), 6: b + ((a - c) >> 1), 7: (a + b) >> 1,
+        }[predictor]
+
+    def classify(d: int) -> int:
+        # F.1.4.4.1.2 category boundaries, re-derived (see docstring):
+        # 0 zero, 1/2 small +/-, 3/4 large +/-
+        if d == 0:
+            return 0
+        sign = 1 if d < 0 else 0
+        v = abs(d) - 1
+        m = 0 if v == 0 else 1 << (v.bit_length() - 1)
+        if m < ((1 << L) >> 1):
+            return 0
+        if m > ((1 << U) >> 1):
+            return 3 + sign
+        return 1 + sign
+
+    from seo_audit_etl_actor_spark.multimodal.jpeg_arith import (
+        LL_MAG_LARGE,
+        LL_MAG_SMALL,
+        LL_STAT_BINS,
+    )
+
+    enc = _QMEncoder()
+    stats = [[0, 0] for _ in range(LL_STAT_BINS)]
+    dgrids = {cid: np.zeros_like(planes[cid]) for cid, _h, _v in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, ch_, cv_ in comps:
+                g = planes[cid]
+                d = dgrids[cid]
+                for dy in range(cv_):
+                    for dx in range(ch_):
+                        row, col = my * cv_ + dy, mx * ch_ + dx
+                        diff = (int(g[row, col]) - predict(g, row, col)) & 0xFFFF
+                        if diff >= 32768:
+                            diff -= 65536
+                        da = int(d[row, col - 1]) if col > 0 else 0
+                        db = int(d[row - 1, col]) if row > 0 else 0
+                        ca, cb_ = classify(da), classify(db)
+                        base = 4 * (5 * cb_ + ca)
+                        mag_base = LL_MAG_SMALL if cb_ < 3 else LL_MAG_LARGE
+                        _encode_lossless_diff(enc, stats, base, mag_base, diff)
+                        d[row, col] = diff
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xcc" + struct.pack(">H", 2 + 2) + bytes([0x00, (U << 4) | L])
+    ncomp = len(comps)
+    out += b"\xff\xcb" + struct.pack(">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
+    for cid, ch_, cv_ in comps:
+        out += bytes([cid, (ch_ << 4) | cv_, 0])  # Tq shall be 0 (lossless)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid, _, _ in comps:
+        out += bytes([cid, 0x00])  # Td=0 (conditioning table), Ta unused
+    out += bytes([predictor, 0, pt])  # Ss=PSV, Se=0, Ah=0|Al=Pt
+    out += enc.finish() + b"\xff\xd9"
+
+    expected = ((y_plane >> pt) << pt) >> (precision - 8)
+    return bytes(out), expected.astype(np.uint8)

@@ -25,8 +25,13 @@ band model; AC refinement = per-k EOB/significance/correction decisions
 with fixed-context signs). Each scan is an independent entropy segment
 with fresh statistics.
 
+Round 10 also adds arithmetic-coded LOSSLESS decode (SOF11,
+`decode_jpeg_arith_lossless`): the Annex H.1.2.2 statistical model —
+each sample difference coded by the DC DIFF decision tree under
+two-dimensional (Da, Db) conditioning — over the same QM coder.
+
 Out of scope (returns None → the documented fake): restart intervals
-(DRI > 0) and arithmetic lossless (SOF11).
+(DRI > 0) in the arithmetic paths.
 
 Evidence honesty — what "encoder/decoder agreement" covers here: the
 DECODE procedures below and the ENCODE procedures in
@@ -793,3 +798,226 @@ def _arith_progressive_scan(ecs, sof, scan, band, dc_cond, ac_cond, ycoef, y_met
         return True
     except (ValueError, IndexError):
         return False
+
+
+# ------------------------------------ arithmetic lossless (SOF11, r10)
+
+# H.1.2.2 statistics layout (shared convention with the fixtures
+# encoder, same epistemic status as the F.1.4.4 bin numbering): the
+# zero/sign/first-magnitude decisions are conditioned on the 5-way
+# classes of the differences coded for the left (Da) and above (Db)
+# neighbors — 25 contexts x 4 bins (S0, SS, SP, SN) at
+# 4*(5*cls(Db)+cls(Da)); the magnitude-category ladder X1.. lives at
+# 100 when Db's class is zero/small and 129 when it is large, with the
+# magnitude bits at category bin + 14 as everywhere else. 158 bins.
+LL_STAT_BINS = 158
+LL_MAG_SMALL = 100
+LL_MAG_LARGE = 129
+
+
+def classify_diff(diff: int, L: int, U: int) -> int:
+    """5-way conditioning class of a coded lossless difference
+    (H.1.2.2.1 — the same category boundaries as the sequential DC
+    model's next-block conditioning in F.1.4.4.1.2): 0 zero, 1 small
+    positive, 2 small negative, 3 large positive, 4 large negative.
+    `m` is the magnitude MSB the DIFF coder walks (over v = |diff| - 1),
+    so the class boundaries are bit-identical to `decode_dc_diff`'s."""
+    if diff == 0:
+        return 0
+    sign = 1 if diff < 0 else 0
+    v = abs(diff) - 1
+    m = 0 if v == 0 else 1 << (v.bit_length() - 1)
+    if m < ((1 << L) >> 1):
+        return 0
+    if m > ((1 << U) >> 1):
+        return 3 + sign
+    return 1 + sign
+
+
+def decode_lossless_diff(dec: QMDecoder, stats: list[list[int]], base: int,
+                         mag_base: int) -> int:
+    """Decode one lossless difference: the F.1.4.4.1 DC DIFF decision
+    tree with the 2-D (Da, Db) conditioning supplied via `base` and the
+    Db-selected magnitude ladder at `mag_base` (H.1.2.2). Magnitudes up
+    to 32768 (diff = -32768 from the mod-2^16 wrap) fit the 15-deep
+    ladder exactly; anything deeper is stream corruption."""
+    if dec.decode(stats[base]) == 0:
+        return 0
+    sign = dec.decode(stats[base + 1])
+    st = base + 2 + sign
+    m = dec.decode(stats[st])
+    if m != 0:
+        st = mag_base
+        while dec.decode(stats[st]):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("lossless magnitude overflow")
+            st += 1
+    v = m
+    st += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        if dec.decode(stats[st]):
+            v |= mm
+    v += 1
+    return -v if sign else v
+
+
+def decode_jpeg_arith_lossless(data: bytes):
+    """Arithmetic-coded LOSSLESS JPEG (SOF11) decode to the uint8 Y
+    plane (top 8 bits at precision > 8) — T.81 Annex H.1.2.2: the data
+    unit is one SAMPLE; each difference (to the Annex H predictor
+    selected by Ss, point transform Al=Pt) is coded by the DC DIFF
+    decision tree under 2-D (Da, Db) conditioning over the QM coder.
+    Returns None on structural corruption or out-of-scope features
+    (restart intervals — the one remaining documented fake in the
+    arithmetic family; Ss outside 1-7; precision outside 8-16). Mirrors
+    `_decode_jpeg_lossless`'s MCU walk, predictor boundary rules and
+    output contract exactly."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal.binary_ops import _jpeg_upsample_y
+
+    if data[:2] != b"\xff\xd8":
+        return None
+    dc_cond: dict[int, tuple[int, int]] = {}
+    sof = None
+    precision = 0
+    restart_interval = 0
+    scan = None
+    band = None
+    ecs_start = 0
+    i, n = 2, len(data)
+    try:
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:
+                return None
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            body = data[i + 4 : i + 2 + seg_len]
+            if marker == 0xCC:  # DAC (Tc=0 conditioning only is relevant)
+                j = 0
+                while j + 2 <= len(body):
+                    tc, tb = body[j] >> 4, body[j] & 15
+                    cs = body[j + 1]
+                    j += 2
+                    if tc == 0:
+                        dc_cond[tb] = (cs & 15, cs >> 4)  # (L, U)
+            elif marker == 0xCB:  # SOF11 arithmetic lossless
+                precision, ih, iw, ncomp = struct.unpack(">BHHB", body[:6])
+                if not 8 <= precision <= 16 or ncomp == 0 or ncomp > 4 or iw == 0 or ih == 0:
+                    return None
+                comps = []
+                for c in range(ncomp):
+                    cid, hv, _tq = body[6 + c * 3 : 9 + c * 3]
+                    comps.append((cid, hv >> 4, hv & 15))
+                sof = (iw, ih, comps)
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCD, 0xCE, 0xCF):
+                return None  # not arithmetic-lossless — wrong path
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:  # SOS
+                if sof is None:
+                    return None
+                ns = body[0]
+                scan = []
+                for c in range(ns):
+                    cs, tda = body[1 + c * 2 : 3 + c * 2]
+                    scan.append((cs, tda >> 4))
+                band = (body[1 + ns * 2], body[2 + ns * 2], body[3 + ns * 2])
+                ecs_start = i + 2 + seg_len
+                break
+            i += 2 + seg_len
+        if scan is None or restart_interval:
+            return None  # restart intervals: the documented fake
+        psv, _se, ahal = band
+        pt = ahal & 15
+        if not 1 <= psv <= 7 or pt >= precision:
+            return None
+
+        iw, ih, comps = sof
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if hmax == 0 or vmax == 0:
+            return None
+        scan_by_id = {cs: td for cs, td in scan}
+        order = [(cid, h, v) for cid, h, v in comps if cid in scan_by_id]
+        if len(order) != len(scan):
+            return None
+        y_cid, y_h, y_v = order[0]
+        true_h, true_v = y_h, y_v
+        if len(order) == 1:
+            # non-interleaved (H.2): MCU = one sample on the component grid
+            mcux = (iw * true_h + hmax - 1) // hmax
+            mcuy = (ih * true_v + vmax - 1) // vmax
+            order = [(y_cid, 1, 1)]
+        else:
+            mcux = (iw + hmax - 1) // hmax
+            mcuy = (ih + vmax - 1) // vmax
+
+        grids = {
+            cid: np.zeros((mcuy * v, mcux * h), dtype=np.int64)
+            for cid, h, v in order
+        }
+        # per-component grid of coded differences: the (Da, Db)
+        # conditioning reads the DIFFERENCES of the neighbors, not
+        # their reconstructed values (zero outside the image, H.1.2.2.2)
+        dgrids = {
+            cid: np.zeros((mcuy * v, mcux * h), dtype=np.int64)
+            for cid, h, v in order
+        }
+        default = 1 << (precision - pt - 1)
+        dec = QMDecoder(data[ecs_start:])
+        ll_stats: dict[int, list] = {}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, h, v in order:
+                    td = scan_by_id[cid]
+                    if td not in ll_stats:
+                        ll_stats[td] = _new_stats(LL_STAT_BINS)
+                    stats = ll_stats[td]
+                    L, U = dc_cond.get(td, (0, 1))
+                    g = grids[cid]
+                    d = dgrids[cid]
+                    for dy in range(v):
+                        for dx in range(h):
+                            row, col = my * v + dy, mx * h + dx
+                            da = int(d[row, col - 1]) if col > 0 else 0
+                            db = int(d[row - 1, col]) if row > 0 else 0
+                            ca = classify_diff(da, L, U)
+                            cb = classify_diff(db, L, U)
+                            base = 4 * (5 * cb + ca)
+                            mag_base = LL_MAG_SMALL if cb < 3 else LL_MAG_LARGE
+                            diff = decode_lossless_diff(dec, stats, base, mag_base)
+                            if row == 0 and col == 0:
+                                px = default
+                            elif row == 0:
+                                px = int(g[0, col - 1])
+                            elif col == 0:
+                                px = int(g[row - 1, 0])
+                            else:
+                                a = int(g[row, col - 1])
+                                b = int(g[row - 1, col])
+                                c = int(g[row - 1, col - 1])
+                                px = (
+                                    a if psv == 1 else b if psv == 2 else c
+                                    if psv == 3 else a + b - c if psv == 4
+                                    else a + ((b - c) >> 1) if psv == 5
+                                    else b + ((a - c) >> 1) if psv == 6
+                                    else (a + b) >> 1
+                                )
+                            g[row, col] = (px + diff) & 0xFFFF
+                            d[row, col] = diff
+    except (ValueError, IndexError, struct.error):
+        return None
+
+    full = np.clip(grids[y_cid] << pt, 0, (1 << precision) - 1)
+    plane = (full >> (precision - 8)).astype(np.uint8)
+    return _jpeg_upsample_y(plane, true_h, true_v, hmax, vmax, iw, ih)

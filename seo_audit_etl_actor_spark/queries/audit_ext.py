@@ -970,8 +970,11 @@ def q_arith_progressive_decode_audit(spark: SparkSession, sf_dir: str) -> DataFr
                                                   -> flat-90 thumb -> 5760
       4_arp_dri.jpg    blob 1 with DRI spliced before SOF10: restart
                        intervals remain out of scope -> fake
-      5_arp11_sof.jpg  blob 1's SOF marker patched to 0xCB (SOF11,
-                       arithmetic lossless — the remaining fake) -> fake
+      5_arp11_sof.jpg  blob 1's SOF marker patched to 0xCB (SOF11):
+                       arithmetic lossless is REAL as of r10, so this
+                       routes to decode_jpeg_arith_lossless — which
+                       rejects the progressive scan script (Ss=0 is not
+                       a lossless predictor) -> fake
     thumb_checksum = 1*12800 + 2*12864 + 3*5760 = 55808; n_real = 3 of 5.
     dims_checksum = sum of weight*(width*1000 + height) over ALL blobs
     (any SOFn carries dimensions; fake path header parsing is real):
@@ -1035,6 +1038,98 @@ SELECT CAST(5 AS BIGINT)      AS n_blobs,
        CAST(3 AS BIGINT)      AS n_real,
        CAST(55808 AS BIGINT)  AS thumb_checksum,
        CAST(168144 AS BIGINT) AS dims_checksum
+"""
+
+
+# --------------------------- arithmetic lossless JPEG decode audit (r10)
+
+
+def q_arith_lossless_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracle row for the round-10 arithmetic-coded LOSSLESS JPEG
+    decoder (SOF11 — T.81 Annex H.1.2.2's two-dimensional (Da, Db)
+    conditioning model over the Annex D QM coder,
+    jpeg_arith.decode_jpeg_arith_lossless): same discipline as
+    q_lossless_decode_audit — a fixture corpus from the spec-side
+    encoder (fixtures.encode_jpeg_arith_lossless), decoded through the
+    real Spark path, one row of hand-derived BIGINTs. Lossless decode
+    makes every constant exact from the input plane alone.
+
+    Blobs (weight = leading digit; THUMB_SIDE = 8, so an 8x8 image's
+    thumb is the identity):
+      1_al_flat.jpg   8x8 flat 77, psv=1       -> thumb sum 77*64 = 4928
+      2_al_grad.jpg   8x8 of 3*(y+x), psv=4    -> sum 3*(28*8+28*8) = 1344
+      3_al_pt.jpg     8x8 flat 77, psv=2, Pt=2 -> (77>>2)<<2 = 76; 76*64 = 4864
+      4_al_16bit.jpg  8x8 flat 0xAB12, P=16, psv=7 -> high byte 171; 171*64 = 10944
+      5_al_color.jpg  24x16 flat 100, chroma (90,160), Y at (2,2),
+                      psv=5, DAC conditioning L=1/U=3 (non-default
+                      classification thresholds) -> flat-100 thumb -> 6400
+      6_al_dri.jpg    blob 1 with a DRI segment spliced before SOF11 —
+                      restart intervals in the arithmetic paths stay
+                      OUT of scope, so this must fake-route
+    thumb_checksum = 1*4928 + 2*1344 + 3*4864 + 4*10944 + 5*6400 = 97984;
+    n_real = 5 of 6.
+    dims_checksum = sum over ALL blobs of weight*(width*1000 + height)
+    (header dimension sniffing is real even on the fake path):
+                  = 8008*(1+2+3+4+6) + 24016*5 = 248208.
+
+    Scale: identical plumbing to q_media_decode_audit — the exercised
+    operator is the 100 TB Arrow-batched decode path itself."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal import binary_ops as B
+    from seo_audit_etl_actor_spark.multimodal import fixtures as FX
+
+    flat = np.full((8, 8), 77, dtype=np.int64)
+    grad = (np.add.outer(np.arange(8), np.arange(8)) * 3).astype(np.int64)
+    al_flat = FX.encode_jpeg_arith_lossless(flat, predictor=1)[0]
+    sof = al_flat.index(b"\xff\xcb")
+    blobs = [
+        ("1_al_flat.jpg", al_flat),
+        ("2_al_grad.jpg", FX.encode_jpeg_arith_lossless(grad, predictor=4)[0]),
+        ("3_al_pt.jpg", FX.encode_jpeg_arith_lossless(flat, predictor=2, pt=2)[0]),
+        (
+            "4_al_16bit.jpg",
+            FX.encode_jpeg_arith_lossless(
+                np.full((8, 8), 0xAB12, dtype=np.int64), predictor=7, precision=16
+            )[0],
+        ),
+        (
+            "5_al_color.jpg",
+            FX.encode_jpeg_arith_lossless(
+                np.full((16, 24), 100, dtype=np.int64),
+                predictor=5,
+                chroma=(90, 160),
+                sampling=(2, 2),
+                cond=(1, 3),
+            )[0],
+        ),
+        ("6_al_dri.jpg", al_flat[:sof] + b"\xff\xdd\x00\x04\x00\x02" + al_flat[sof:]),
+    ]
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b in blobs], "path string, content binary"
+    )
+    thumbs = B.decode_image_thumbs(df)
+    weight = F.regexp_extract("path", r"^(\d+)_", 1).cast("long")
+    return thumbs.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.col("real_decode").cast("long")).alias("n_real"),
+        F.sum(
+            F.when(
+                F.col("real_decode"),
+                weight * F.aggregate("thumb", F.lit(0).cast("long"), lambda a, x: a + x),
+            ).otherwise(F.lit(0))
+        ).alias("thumb_checksum"),
+        F.sum(weight * (F.col("width").cast("long") * 1000 + F.col("height"))).alias(
+            "dims_checksum"
+        ),
+    )
+
+
+SQL_ARITH_LOSSLESS_DECODE_AUDIT = """
+SELECT CAST(6 AS BIGINT)      AS n_blobs,
+       CAST(5 AS BIGINT)      AS n_real,
+       CAST(97984 AS BIGINT)  AS thumb_checksum,
+       CAST(248208 AS BIGINT) AS dims_checksum
 """
 
 

@@ -56,6 +56,7 @@ class QuerySpec:
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
     # --- NEW: no driver evidence yet ---
+    QuerySpec("arith_lossless_decode_audit", ax.q_arith_lossless_decode_audit, ax.SQL_ARITH_LOSSLESS_DECODE_AUDIT),
     QuerySpec("arith_progressive_decode_audit", ax.q_arith_progressive_decode_audit, ax.SQL_ARITH_PROGRESSIVE_DECODE_AUDIT),
     # --- latest green: r7 ---
     QuerySpec("cosine_topk_bruteforce", ext.q_cosine_topk_bruteforce, ext.SQL_COSINE_TOPK),

@@ -945,7 +945,8 @@ def test_jpeg_arith_out_of_scope_routes_to_fake():
     # SOF9 marker patched to SOF10: its one scan has Ss=0, Se=63 — an
     # illegal progressive band, so the (r10-real) SOF10 path fake-routes
     assert B._decode_gray_pixels(data.replace(b"\xff\xc9", b"\xff\xca", 1)) is None
-    # arithmetic lossless (SOF11) stays out of scope
+    # SOF9 marker patched to SOF11: the (r10-real) arithmetic-lossless
+    # path rejects the sequential scan header (Ss=0 is not a predictor)
     assert B._decode_gray_pixels(data.replace(b"\xff\xc9", b"\xff\xcb", 1)) is None
     # illegal precision
     ten = bytearray(data)
@@ -1144,7 +1145,8 @@ def test_jpeg_arith_progressive_out_of_scope_routes_to_fake():
     # restart intervals remain out of scope
     dri = data[:sof_at] + b"\xff\xdd\x00\x04\x00\x02" + data[sof_at:]
     assert B._decode_gray_pixels(dri) is None
-    # arithmetic lossless (SOF11) remains out of scope
+    # SOF10 marker patched to SOF11: the (r10-real) arithmetic-lossless
+    # path rejects the progressive scan script (Ss=0 is not a predictor)
     assert B._decode_gray_pixels(data.replace(b"\xff\xca", b"\xff\xcb", 1)) is None
     # illegal precision
     ten = bytearray(data)
@@ -1157,3 +1159,85 @@ def test_jpeg_arith_progressive_out_of_scope_routes_to_fake():
     # scans' plane — the assertion above only guards against crashes;
     # structural garbage before the first scan must still None-route)
     assert B._decode_gray_pixels(data[: data.index(b"\xff\xda") + 2]) is None
+
+
+def test_jpeg_arith_lossless_flat_and_gradient_exact():
+    import numpy as np
+
+    img = np.full((16, 8), 200, dtype=np.uint8)
+    data, expected = FX.encode_jpeg_arith_lossless(img)
+    assert b"\xff\xcb" in data and b"\xff\xcc" in data  # SOF11 + DAC
+    dec = B._decode_gray_pixels(data)
+    assert dec is not None and np.array_equal(dec, img)
+    assert np.array_equal(expected, img)
+    grad = (np.add.outer(np.arange(8), np.arange(8)) * 4).astype(np.int64)
+    for psv in range(1, 8):
+        data, expected = FX.encode_jpeg_arith_lossless(grad, predictor=psv)
+        dec = B._decode_gray_pixels(data)
+        assert dec is not None and np.array_equal(dec, expected), psv
+
+
+def test_jpeg_arith_lossless_noise_color_highprec_pt_and_cond():
+    """Lossless round-trips are EXACT (no IDCT budget): noise planes
+    exercise every (Da, Db) conditioning class and both magnitude
+    ladders; odd dims exercise the sample-grid MCU walk; chroma at
+    (2,2)/(2,1) exercises interleaved per-sample MCUs; pt>0 the point
+    transform; P=12/16 the high-byte output contract; cond=(L,U) the
+    DAC-driven non-default classification thresholds."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for shape, kwargs in (
+        ((13, 9), {"predictor": 1}),
+        ((16, 16), {"predictor": 4}),
+        ((16, 16), {"predictor": 5, "pt": 2}),
+        ((16, 24), {"predictor": 3, "chroma": (100, 140), "sampling": (2, 2)}),
+        ((12, 10), {"predictor": 6, "chroma": (90, 200), "sampling": (2, 1)}),
+        ((12, 12), {"predictor": 2, "cond": (1, 3)}),
+        ((12, 12), {"predictor": 7, "cond": (2, 5)}),
+    ):
+        img = rng.integers(0, 256, size=shape).astype(np.int64)
+        data, expected = FX.encode_jpeg_arith_lossless(img, **kwargs)
+        dec = B._decode_gray_pixels(data)
+        assert dec is not None and np.array_equal(dec, expected), kwargs
+    for precision in (12, 16):
+        img = rng.integers(0, 1 << precision, size=(10, 14)).astype(np.int64)
+        data, expected = FX.encode_jpeg_arith_lossless(
+            img, predictor=4, precision=precision
+        )
+        dec = B._decode_gray_pixels(data)
+        assert dec is not None and np.array_equal(dec, expected), precision
+
+
+def test_jpeg_arith_lossless_out_of_scope_routes_to_fake():
+    import numpy as np
+
+    img = np.full((8, 8), 150, dtype=np.uint8)
+    data, _ = FX.encode_jpeg_arith_lossless(img)
+    sof_at = data.index(b"\xff\xcb")
+    # restart intervals in the arithmetic paths remain out of scope
+    dri = data[:sof_at] + b"\xff\xdd\x00\x04\x00\x02" + data[sof_at:]
+    assert B._decode_gray_pixels(dri) is None
+    # SOF11 marker patched to SOF9: the sequential path would read the
+    # scan as Td/Ta selectors — Ss=psv lands in the band byte; either
+    # way the structural contract is None-or-correct, and with no DQT
+    # the sequential decoder must None-route (missing quant table)
+    assert B._decode_gray_pixels(data.replace(b"\xff\xcb", b"\xff\xc9", 1)) is None
+    # illegal predictor (Ss=0) and illegal point transform (Al >= P)
+    bad = bytearray(data)
+    sos_at = data.rindex(b"\xff\xda")
+    ns = data[sos_at + 4]
+    bad[sos_at + 5 + 2 * ns] = 0  # Ss byte
+    assert B._decode_gray_pixels(bytes(bad)) is None
+    bad = bytearray(data)
+    bad[sos_at + 7 + 2 * ns] = 9  # Ah<<4|Al byte: Al=9 >= P=8
+    assert B._decode_gray_pixels(bytes(bad)) is None
+    # truncated entropy data must not crash (QM decoding tolerates
+    # garbage decisions; magnitude overflow raises -> None)
+    assert (
+        B._decode_gray_pixels(data[: sos_at + 4]) is None
+        or B._decode_gray_pixels(data[: sos_at + 4]) is not None
+    )
+    # structural garbage: SOS before SOF
+    nosof = data[:sof_at] + data[data.index(b"\xff\xda"):]
+    assert B._decode_gray_pixels(nosof) is None
