@@ -64,13 +64,22 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     def calibration() -> float:
-        t0 = time.perf_counter()
-        # shiftright(,32) keeps each term within +/-2^31 so the 200M-term
-        # sum stays far from long overflow (ANSI mode throws on overflow)
-        spark.range(0, 200_000_000, 1, 32).select(
-            F.sum(F.shiftright(F.xxhash64("id"), 32))
-        ).collect()
-        return time.perf_counter() - t0
+        # Sized so one GC pause cannot trip the 1.3x gate: the first cut
+        # of this probe (200M rows, ~0.1 s) read post-suite JVM/GC state
+        # as "throttle" — after a 150-query pass a single collection
+        # inflated the probe 3x and EVERY pass was discarded. ~2B rows
+        # (~1 s) amortizes pause noise, and best-of-2 per side measures
+        # CPU throughput, not heap state. shiftright(,32) keeps each term
+        # within +/-2^31 so the sum stays far from long overflow (ANSI
+        # mode throws on overflow).
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(0, 2_000_000_000, 1, 32).select(
+                F.sum(F.shiftright(F.xxhash64("id"), 32))
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     # Cold pass warms JVM/codegen/schema caches (fixed cost, amortized away
     # at cluster scale); the measured passes are steady-state numbers.
