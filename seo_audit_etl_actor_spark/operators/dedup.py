@@ -789,6 +789,210 @@ def simhash_near_dup_pairs(
     return out
 
 
+# --- wide (multi-word) SimHash (round 11) ----------------------------------
+# The r10 decomposition (SCALE_STUDY_r10.json:simhash_decomposition,
+# tools/decompose_simhash.py) attributed the family-worst scaling exponent
+# to the 60-bit fingerprint itself: with 4 bands the 15-bit band keyspace
+# saturates (~77k occupied of 131k possible buckets at 5M docs), and 60-bit
+# CHANCE collisions make the verified hamming<=3 output grow ~n² (16.1M ->
+# 160.6M pairs m316 -> m1000) — the operator's documented 100 TB boundary
+# said ">=96-bit fingerprints needed at corpus scale". This is that fix:
+# fingerprints of `bits` = 120 carried as TWO 60-bit BIGINT words (both
+# words come from ONE md5 per token — hex chars 1-15 and 16-30 of the same
+# digest, so the hash pass costs nothing extra and stays engine-portable
+# for the DuckDB oracle). Bands cover the full wider keyspace (120/4 ->
+# 30-bit band keys: 2^30 ≈ 1.07e9 — no saturation below a billion docs),
+# and chance hamming<=3 collisions at 120 bits are ~2^-60 rarer. The
+# 60-bit single-word functions above are BYTE-UNTOUCHED — tier-0 catalog
+# rows (simhash_fingerprints / simhash_near_dup) keep their exact oracle.
+SIMHASH_WIDE_BITS = 120
+_SIMHASH_WORD_BITS = 60
+
+
+def md5_word(col, word: int):
+    """60-bit word `word` (0 or 1) of md5(col): hex chars 1-15 / 16-30 of
+    the one digest — Spark conv == DuckDB CAST('0x'||substring(...))."""
+    if word not in (0, 1):
+        raise ValueError("md5_word: md5 has 32 hex chars -> words 0 and 1 only")
+    return F.conv(F.substring(F.md5(col), 1 + 15 * word, 15), 16, 10).cast("long")
+
+
+def simhash_fingerprints_wide(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_WIDE_BITS,
+) -> DataFrame:
+    """Per-doc wide SimHash: `bits` tf-weighted ±1 bit votes, emitted as
+    fp_w0 / fp_w1 BIGINT words (low word first). Same codegen shape as the
+    60-bit form — explode tokens, hash as plain column expressions, one
+    groupBy with `bits` conditional sums; the md5 is materialized ONCE per
+    token in its own projection (CollapseProject's multi-reference guard
+    keeps both conv() words reading the same digest)."""
+    n_words = bits // _SIMHASH_WORD_BITS
+    if bits % _SIMHASH_WORD_BITS or not 1 <= n_words <= 2:
+        raise ValueError("bits must be 60 or 120 (one md5 = two 60-bit words)")
+    hexed = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    ).select(F.col(id_col), F.md5("t").alias("hx"))
+    th = hexed.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring("hx", 1 + 15 * w, 15), 16, 10)
+            .cast("long")
+            .alias(f"h{w}")
+            for w in range(n_words)
+        ],
+    )
+    vote_cols = [
+        F.sum(
+            F.shiftright(f"h{i // _SIMHASH_WORD_BITS}", i % _SIMHASH_WORD_BITS)
+            .bitwiseAND(F.lit(1))
+            * 2
+            - 1
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    g = th.groupBy(id_col).agg(*vote_cols)
+    words = []
+    for w in range(n_words):
+        fp = F.lit(0).cast("long")
+        for j in range(_SIMHASH_WORD_BITS):
+            i = w * _SIMHASH_WORD_BITS + j
+            if i >= bits:
+                break
+            fp = fp + F.when(
+                F.col(f"v{i}") > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(fp.alias(f"fp_w{w}"))
+    return g.select(F.col(id_col), *words)
+
+
+def simhash_wide_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_WIDE_BITS,
+    n_bands: int = 4,
+    max_bucket_members: int = MAX_BUCKET_MEMBERS,
+    early_verify: bool = True,
+) -> DataFrame:
+    """simhash_near_dup_pairs over the wide fingerprint: same pigeonhole
+    (any hamming<=n_bands-1 pair shares >=1 exact band), same hot-bucket
+    second-level pigeonhole refinement, same early-verify pair_filter —
+    but band keys are bits/n_bands wide over the full 120-bit keyspace and
+    hamming is the SUM of per-word popcounts. Bands must not straddle the
+    60-bit words (width divides 60), which 120/4 satisfies."""
+    width = bits // n_bands
+    if bits % n_bands or _SIMHASH_WORD_BITS % width:
+        raise ValueError("band width must divide the 60-bit word")
+    bands_per_word = _SIMHASH_WORD_BITS // width
+    n_sub = max_hamming + 1
+    fps = simhash_fingerprints_wide(docs, text_col, id_col, bits)
+    n_words = bits // _SIMHASH_WORD_BITS
+
+    def _submask(b: int, j: int, word: int) -> int:
+        """Word-`word` slice of the j-th round-robin chunk of the bits
+        outside band b (same zero-recall-loss guarantee as the 60-bit
+        refine: <=max_hamming differing bits -> >=1 chunk untouched)."""
+        m, pos = 0, 0
+        for i in range(bits):
+            if b * width <= i < (b + 1) * width:
+                continue
+            if pos % n_sub == j and i // _SIMHASH_WORD_BITS == word:
+                m |= 1 << (i % _SIMHASH_WORD_BITS)
+            pos += 1
+        return m
+
+    def _refine(big: DataFrame) -> DataFrame:
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("sub_idx"),
+                    F.struct(
+                        *[
+                            F.col(f"m.fp{w}")
+                            .bitwiseAND(
+                                F.element_at(
+                                    F.array(
+                                        *[
+                                            F.lit(_submask(b, j, w))
+                                            for b in range(n_bands)
+                                        ]
+                                    ),
+                                    F.col("band_idx") + 1,
+                                )
+                            )
+                            .alias(f"k{w}")
+                            for w in range(n_words)
+                        ]
+                    ).alias("sub_key"),
+                )
+                for j in range(n_sub)
+            ]
+        )
+        cols = big.columns
+        return big.select("*", F.explode(subs).alias("__s")).select(
+            *cols,
+            F.col("__s.sub_idx").alias("sub_idx"),
+            F.col("__s.sub_key").alias("sub_key"),
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(
+                    F.col(f"fp_w{b // bands_per_word}"),
+                    (b % bands_per_word) * width,
+                )
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    member = F.struct(
+        F.col(id_col).alias("id"),
+        *[F.col(f"fp_w{w}").alias(f"fp{w}") for w in range(n_words)],
+    )
+    exploded = fps.select(member.alias("m"), F.explode(bands).alias("band")).select(
+        "m", "band.band_idx", "band.band_key"
+    )
+
+    def _hamming(a, b):
+        h = F.lit(0).cast("int")
+        for w in range(n_words):
+            h = h + F.bit_count(a[f"fp{w}"].bitwiseXOR(b[f"fp{w}"])).cast("int")
+        return h
+
+    pair_filter = (
+        (lambda a, b: _hamming(a, b) <= max_hamming) if early_verify else None
+    )
+    pairs = _bucket_pairs(
+        exploded,
+        ["band_idx", "band_key"],
+        "m",
+        max_bucket_members,
+        refine=_refine,
+        pair_filter=pair_filter,
+    )
+    out = (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            _hamming(F.col("a"), F.col("b")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+    release = getattr(pairs, "_spark_graft_release", None)
+    if release is not None:
+        out._spark_graft_release = release  # type: ignore[attr-defined]
+    return out
+
+
 def ngram_jaccard_sample_pairs(
     docs: DataFrame,
     text_col: str = "text",

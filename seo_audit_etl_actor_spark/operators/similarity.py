@@ -463,6 +463,122 @@ def cosine_topk_rerank(
     )
 
 
+# --- Recall-targeting probe policy (round 11) ------------------------------
+# The r10 recall study (SCALE_STUDY_r10.json:ann_recall) measured organic
+# neighbor recall at 0.375 under the single-probe defaults (8 planes,
+# hamming<=2; nprobe 4/16) at BOTH scale rungs — scale-invariant, tracking
+# the scanned fraction. The knobs existed but nothing chose them from a
+# recall target. This is the `choose_banding` analog (operators/dedup.py:61)
+# for the ANN family: an ANALYTIC model, not a lookup table.
+#
+# Model: for a neighbor at cosine c, each random hyperplane separates it
+# from the query independently with probability p = arccos(c)/pi (the
+# classic SimHash/random-projection collision bound, Charikar 2002 — public
+# result). Bucket hamming distance is then Binomial(n_planes, p), so
+#   recall(h)    = P[Binom(n_planes, p)       <= h]
+#   scan_frac(h) = P[Binom(n_planes, 1/2)     <= h]
+# (an isotropic corpus puts C(n,d)/2^n of its mass at hamming d). Because
+# p < 1/2 for any c > 0, growing n_planes ~ log2(n_vecs/bucket_target) while
+# holding recall >= target drives h/n_planes -> p < 1/2, and the Chernoff
+# bound makes scan_frac fall like exp(-2·n_planes·(1/2 - h/n_planes)^2):
+# scanned ROWS grow sub-linearly in corpus size. Concretely (c=0.9,
+# target 0.9): 2k vecs -> 8 planes, h=2, scan 14.4%; 200k -> 12 planes,
+# h=3, scan 7.3%; 20M -> 19 planes, h=5, scan 3.2%.
+#
+# IVF leg: the same separation model applied to the cell code's
+# b = log2(n_cells) implicit binary splits — nprobe = |hamming-<=h ball| =
+# sum C(b, i<=h) cells, probed in centroid-similarity order
+# (cosine_topk_ivf already ranks cells); expected scan fraction ~
+# nprobe/n_cells under the equal-mass-cell assumption (the honest caveat:
+# real cells are unequal; the measured fractions live in SCALE_STUDY_r11).
+LSH_TARGET_BUCKET_SIZE = 64
+LSH_MIN_PLANES = 8
+LSH_MAX_PLANES = 20
+
+
+def _binom_cdf(h: int, n: int, p: float) -> float:
+    from math import comb
+
+    return min(1.0, sum(comb(n, i) * p**i * (1 - p) ** (n - i) for i in range(h + 1)))
+
+
+def lsh_separation_prob(neighbor_cosine: float) -> float:
+    """Per-plane probability that a random hyperplane separates a query
+    from a neighbor at the given cosine: arccos(c)/pi."""
+    from math import acos, pi
+
+    return acos(max(-1.0, min(1.0, neighbor_cosine))) / pi
+
+
+def choose_lsh_planes(n_vecs: int, target_bucket: int = LSH_TARGET_BUCKET_SIZE) -> int:
+    """Plane count that pins the average bucket near `target_bucket` rows:
+    ceil(log2(n_vecs / target_bucket)), clamped to [8, 20]. The clamp floor
+    keeps every driver correctness SF (200 / 2000 vectors) on the static
+    8-plane oracle; the ceiling bounds the per-row bucket expression at
+    20 sign tests."""
+    from math import ceil, log2
+
+    if n_vecs <= 0:
+        return LSH_MIN_PLANES
+    raw = ceil(log2(max(1.0, n_vecs / target_bucket)))
+    return max(LSH_MIN_PLANES, min(LSH_MAX_PLANES, raw))
+
+
+def choose_probes(
+    n_vecs: int,
+    target_recall: float = 0.9,
+    neighbor_cosine: float = 0.8,
+    n_planes: int | None = None,
+    n_cells: int | None = None,
+) -> dict:
+    """Pick LSH (n_planes, max_hamming) and IVF (n_cells, nprobe) so the
+    modeled recall for neighbors at `neighbor_cosine` meets `target_recall`
+    at the smallest modeled scan fraction. Returns the chosen knobs plus
+    the model's expectations (recall and scan fraction, also as exact
+    x1e6-quantized ints for oracle-able audit columns).
+
+    Deterministic in its arguments — an audit query can hard-code the
+    choices for the driver SFs as SQL literals, exactly like the banding
+    ladder's tier-0 pin."""
+    p = lsh_separation_prob(neighbor_cosine)
+    if n_planes is None:
+        n_planes = choose_lsh_planes(n_vecs)
+    max_hamming = next(
+        h for h in range(n_planes + 1) if _binom_cdf(h, n_planes, p) >= target_recall
+    )
+    lsh_recall = _binom_cdf(max_hamming, n_planes, p)
+    lsh_scan = _binom_cdf(max_hamming, n_planes, 0.5)
+
+    from math import comb, log2
+
+    if n_cells is None:
+        n_cells = choose_ivf_cells(n_vecs)
+    b = max(1, int(round(log2(n_cells))))
+
+    h_ivf = next(h for h in range(b + 1) if _binom_cdf(h, b, p) >= target_recall)
+    nprobe = min(n_cells, sum(comb(b, i) for i in range(h_ivf + 1)))
+    ivf_recall = _binom_cdf(h_ivf, b, p)
+    ivf_scan = nprobe / n_cells
+
+    return {
+        "n_vecs": n_vecs,
+        "target_recall": target_recall,
+        "neighbor_cosine": neighbor_cosine,
+        "n_planes": n_planes,
+        "max_hamming": max_hamming,
+        "lsh_expected_recall": lsh_recall,
+        "lsh_expected_scan_frac": lsh_scan,
+        "lsh_expected_recall_x1e6": int(round(lsh_recall * 1_000_000)),
+        "lsh_expected_scan_frac_x1e6": int(round(lsh_scan * 1_000_000)),
+        "n_cells": n_cells,
+        "nprobe": nprobe,
+        "ivf_expected_recall": ivf_recall,
+        "ivf_expected_scan_frac": ivf_scan,
+        "ivf_expected_recall_x1e6": int(round(ivf_recall * 1_000_000)),
+        "ivf_expected_scan_frac_x1e6": int(round(ivf_scan * 1_000_000)),
+    }
+
+
 def lsh_bucket_py(vec: list[float], dim: int, n_planes: int = 8) -> int:
     """Driver-side twin of lsh_bucket for a single query vector: Python's
     left-assoc sum matches the SQL chain bit-for-bit, so the bucket agrees

@@ -521,6 +521,108 @@ ORDER BY id_a, id_b
 SQL_SIMHASH_NEAR_DUP = _sql_simhash_near_dup()
 
 
+def q_simhash_wide_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 120-bit SimHash as two 60-bit BIGINT words (both from ONE
+    md5 per token — hex chars 1-15 / 16-30). The r11 fix for the measured
+    60-bit scale boundary (band-keyspace saturation + n² chance
+    collisions, SCALE_STUDY_r10 simhash_decomposition); word 0 is
+    bit-identical to the 60-bit `simhash_fingerprints`."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_fingerprints_wide(docs).orderBy("doc_id")
+
+
+def _sql_md5_word(expr: str, word: int) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), {1 + 15 * word}, 15)) AS BIGINT)"
+
+
+def _sql_simhash_wide(bits: int = dedup.SIMHASH_WIDE_BITS) -> str:
+    toks = _TOKS.format(c="text")
+    wb = 60
+    votes = ",\n    ".join(
+        f"SUM((((h{i // wb} >> {i % wb}) & 1) * 2) - 1) AS v{i}" for i in range(bits)
+    )
+    words = []
+    for w in range(bits // wb):
+        fp = " + ".join(
+            f"(CASE WHEN v{w * wb + j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+            for j in range(wb)
+        )
+        words.append(f"CAST({fp} AS BIGINT) AS fp_w{w}")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+th AS (
+  SELECT doc_id,
+         {_sql_md5_word('s', 0)} AS h0,
+         {_sql_md5_word('s', 1)} AS h1
+  FROM (SELECT doc_id, unnest(t) AS s FROM toks WHERE len(t) > 0)
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, {', '.join(words)}
+FROM votes
+ORDER BY doc_id
+"""
+
+
+SQL_SIMHASH_WIDE_FINGERPRINTS = _sql_simhash_wide()
+
+
+def q_simhash_wide_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over the 120-bit fingerprint: 4-band pigeonhole with
+    30-bit band keys (keyspace 2^30 — no saturation below ~1e9 docs),
+    verified at hamming <= 3 summed across both words. Same banding
+    machinery (hot-bucket second-level pigeonhole, early-verify) as the
+    60-bit operator; its output is provably a SUBSET of the 60-bit pairs
+    on any corpus (extra bits only ADD hamming), with the difference being
+    exactly the chance collisions the width is there to kill."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_wide_near_dup_pairs(docs)
+
+
+def _sql_simhash_wide_near_dup(
+    bits: int = dedup.SIMHASH_WIDE_BITS, n_bands: int = 4, max_hamming: int = 3
+) -> str:
+    width = bits // n_bands
+    wb = 60
+    bands_per_word = wb // width
+    mask = (1 << width) - 1
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, fp_w0, fp_w1, {b} AS band_idx,"
+        f" (fp_w{b // bands_per_word} >> {(b % bands_per_word) * width}) & {mask} AS band_key FROM fps"
+        for b in range(n_bands)
+    )
+    base = _sql_simhash_wide(bits).strip().removesuffix("ORDER BY doc_id\n").rstrip()
+    ham = (
+        "bit_count(xor(a_w0, b_w0)) + bit_count(xor(a_w1, b_w1))"
+    )
+    return f"""
+WITH fps AS (
+  {base}
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.fp_w0 AS a_w0, a.fp_w1 AS a_w1, b.fp_w0 AS b_w0, b.fp_w1 AS b_w1
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
+FROM cand
+WHERE {ham} <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_SIMHASH_WIDE_NEAR_DUP = _sql_simhash_wide_near_dup()
+
+
 # ------------------------------------------------------------- n-gram Jaccard
 def q_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs 3-gram Jaccard over the deterministic id-sample —
@@ -999,6 +1101,162 @@ LIMIT {k}
 
 
 SQL_COSINE_TOPK_RERANK = _sql_cosine_topk_rerank()
+
+
+# --------------------------------------------- recall-targeting probe policy
+_POLICY_TARGET_RECALL = 0.9
+_POLICY_NEIGHBOR_COS = 0.8
+
+
+def q_ann_probe_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible audit for the r11 recall-targeting probe policy
+    (similarity.choose_probes): the policy picks (n_planes, max_hamming,
+    n_cells, nprobe) from a recall target the way choose_banding picks LSH
+    tiers, and this row pins (a) the chosen knobs + the model's expected
+    recall/scan fraction as exact x1e6 integers, (b) the MEASURED scanned
+    candidate count and fraction as oracled columns, and (c) exact top-k
+    equality on the scanned candidate set via two independent Spark
+    candidate enumerations (bit_count-XOR gate vs driver-enumerated
+    hamming-ball IN list — the recompute and prebucketed production paths).
+    The DuckDB oracle replays bucket assignment, the candidate count, and
+    the top-k list; `paths_agree` is pinned TRUE, so any divergence between
+    the two Spark paths hash-fails the row.
+
+    At every driver SF (20 / 200 / 2000 vectors) the policy floors at
+    8 planes, and target 0.9 at neighbor cosine 0.8 gives max_hamming=3,
+    16 cells, nprobe=11 — static, so the oracle hard-codes them (the
+    banding-ladder tier-0 idiom). The sub-linear scan-fraction story at
+    growing plane counts is measured in SCALE_STUDY_r11 (tools/ann_recall)."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    n_vecs = emb.count()
+    pol = similarity.choose_probes(
+        n_vecs, _POLICY_TARGET_RECALL, _POLICY_NEIGHBOR_COS
+    )
+    pl, h = pol["n_planes"], pol["max_hamming"]
+
+    bucketed = emb.withColumn(
+        "__b", similarity.lsh_bucket("embedding", EMB_DIM, pl)
+    )
+    qdf = bucketed.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("__qvec"), F.col("__b").alias("__qb")
+    )
+    q_row = qdf.first()
+    ball = similarity.hamming_ball(int(q_row["__qb"]), pl, h)
+
+    # path A: bit_count-XOR hamming gate (cosine_topk_lsh's form)
+    cand_a = (
+        bucketed.crossJoin(F.broadcast(qdf))
+        .where(F.col("vec_id") != _QUERY_VEC_ID)
+        .where(
+            F.bit_count(F.col("__b").bitwiseXOR(F.col("__qb")).cast("long")) <= h
+        )
+    )
+    # path B: driver-enumerated hamming-ball IN list (the prebucketed
+    # production path — cosine_topk_lsh_prebucketed's PartitionFilters form)
+    cand_b = (
+        bucketed.crossJoin(F.broadcast(qdf))
+        .where(F.col("vec_id") != _QUERY_VEC_ID)
+        .where(F.col("__b").isin(ball))
+    )
+
+    def topk_ids(cand: DataFrame) -> DataFrame:
+        sim = similarity.cosine(F.col("embedding"), F.col("__qvec"))
+        return (
+            cand.select(F.col("vec_id"), sim.alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    (-F.col("cosine_sim")).alias("s"),
+                                    F.col("vec_id").alias("i"),
+                                )
+                            )
+                        ),
+                        lambda x: x["i"].cast("string"),
+                    ),
+                    ",",
+                ).alias("ids")
+            )
+        )
+
+    scanned = cand_a.agg(F.count(F.lit(1)).alias("scanned_rows"))
+    a = topk_ids(cand_a).select(F.col("ids").alias("__ids_a"))
+    b = topk_ids(cand_b).select(F.col("ids").alias("__ids_b"))
+    return (
+        scanned.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.lit(n_vecs).cast("long").alias("n_vecs"),
+            F.lit(pl).cast("int").alias("n_planes"),
+            F.lit(h).cast("int").alias("max_hamming"),
+            F.lit(pol["n_cells"]).cast("int").alias("n_cells"),
+            F.lit(pol["nprobe"]).cast("int").alias("nprobe"),
+            F.lit(pol["lsh_expected_recall_x1e6"])
+            .cast("long")
+            .alias("expected_recall_x1e6"),
+            F.lit(pol["lsh_expected_scan_frac_x1e6"])
+            .cast("long")
+            .alias("expected_scan_frac_x1e6"),
+            F.col("scanned_rows").cast("long").alias("scanned_rows"),
+            F.expr("CAST(scanned_rows * 1000000 DIV " + str(n_vecs) + " AS BIGINT)").alias(
+                "scan_frac_x1e6"
+            ),
+            F.col("__ids_a").alias("topk_ids"),
+            (F.col("__ids_a") == F.col("__ids_b")).alias("paths_agree"),
+        )
+    )
+
+
+def _sql_ann_probe_policy_audit(
+    dim: int = EMB_DIM, qid: int = _QUERY_VEC_ID, max_hamming: int = 3
+) -> str:
+    # policy constants for every driver SF (choose_probes floors at 8
+    # planes; target 0.9 @ cosine 0.8 -> h=3, 16 cells, nprobe 11; model
+    # expectations binom-cdf exact): pinned as literals, like the banding
+    # ladder's tier-0 oracle
+    def chain(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_sql_lsh_bucket('embedding', dim)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS e, bucket AS qb FROM bucketed WHERE vec_id = {qid}),
+cand AS (
+  SELECT b.vec_id,
+         ({chain('b.embedding', 'e')})
+         / (sqrt({chain('b.embedding', 'b.embedding')}) * sqrt({chain('e', 'e')})) AS cosine_sim
+  FROM bucketed b, q
+  WHERE b.vec_id != {qid}
+    AND bit_count(CAST(xor(b.bucket, qb) AS BIGINT)) <= {max_hamming}
+),
+topk AS (SELECT vec_id, cosine_sim FROM cand ORDER BY cosine_sim DESC, vec_id LIMIT 10),
+n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+s AS (SELECT COUNT(*) AS scanned_rows FROM cand)
+SELECT CAST(n.n_vecs AS BIGINT) AS n_vecs,
+       8 AS n_planes,
+       {max_hamming} AS max_hamming,
+       16 AS n_cells,
+       11 AS nprobe,
+       CAST(939177 AS BIGINT) AS expected_recall_x1e6,
+       CAST(363281 AS BIGINT) AS expected_scan_frac_x1e6,
+       CAST(s.scanned_rows AS BIGINT) AS scanned_rows,
+       CAST(s.scanned_rows * 1000000 // n.n_vecs AS BIGINT) AS scan_frac_x1e6,
+       (SELECT string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY cosine_sim DESC, vec_id) FROM topk) AS topk_ids,
+       TRUE AS paths_agree
+FROM n, s
+"""
+
+
+SQL_ANN_PROBE_POLICY_AUDIT = _sql_ann_probe_policy_audit()
 
 
 # ------------------------------------------------------------- skew-safe distinct

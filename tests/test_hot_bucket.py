@@ -141,3 +141,75 @@ def test_sized_join_fallback_identical(spark, monkeypatch):
     monkeypatch.setattr(dedup, "MAX_BROADCAST_HOT_KEYS", 0)
     fallback = _pairs(dedup._bucket_pairs(ex, ["band_idx", "band_key"], "m", 10))
     assert fallback == baseline
+
+
+def test_simhash_wide_pipeline_capped_equals_uncapped(spark):
+    """The wide (120-bit) pipeline's over-cap branch — two-word struct
+    sub_keys — must produce exactly the uncapped output."""
+    boiler = "terms of service apply to all pages of this site always"
+    rows = [(i, boiler) for i in range(40)]
+    rows += [(100 + i, f"wholly distinct text number {i} about topic {i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    uncapped = dedup.simhash_wide_near_dup_pairs(docs, max_bucket_members=10**9)
+    capped = dedup.simhash_wide_near_dup_pairs(docs, max_bucket_members=5)
+    a = [(r["id_a"], r["id_b"], r["hamming"]) for r in uncapped.collect()]
+    b = [(r["id_a"], r["id_b"], r["hamming"]) for r in capped.collect()]
+    assert a == b
+    assert len([p for p in a if p[0] < 100 and p[1] < 100]) == 40 * 39 // 2
+
+
+def test_simhash_wide_word0_is_the_narrow_fingerprint(spark):
+    """Word 0 of the 120-bit fingerprint reads the SAME md5 hex chars as
+    the 60-bit fingerprint, so it must be bit-identical — the tier-0
+    compatibility contract of the widening."""
+    rows = [(i, f"some text about topic {i} with shared words") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    wide = {r["doc_id"]: r["fp_w0"] for r in dedup.simhash_fingerprints_wide(docs).collect()}
+    narrow = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs).collect()}
+    assert wide == narrow
+
+
+def test_simhash_wide_pairs_subset_of_narrow(spark):
+    """Extra fingerprint bits can only ADD hamming distance, so the wide
+    hamming<=3 pair set is a subset of the narrow one — the difference IS
+    the 60-bit chance-collision volume the widening exists to kill."""
+    rows = [(i, f"document {i % 7} body repeated words alpha beta gamma {i % 3}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    wide = {(r["id_a"], r["id_b"]) for r in dedup.simhash_wide_near_dup_pairs(docs).collect()}
+    narrow = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_dup_pairs(docs).collect()}
+    assert wide <= narrow
+
+
+def test_simhash_wide_submask_partition_property():
+    """Wide-refine chunk masks: per band, the per-word masks must be
+    pairwise disjoint, cover every bit outside the band across BOTH words,
+    and never touch the band's own bits."""
+    bits, n_bands, max_hamming, wb = dedup.SIMHASH_WIDE_BITS, 4, 3, 60
+    width = bits // n_bands
+    n_sub = max_hamming + 1
+
+    def submask(b, j, word):  # mirror of simhash_wide_near_dup_pairs
+        m, pos = 0, 0
+        for i in range(bits):
+            if b * width <= i < (b + 1) * width:
+                continue
+            if pos % n_sub == j and i // wb == word:
+                m |= 1 << (i % wb)
+            pos += 1
+        return m
+
+    for b in range(n_bands):
+        for word in range(bits // wb):
+            lo, hi = b * width, (b + 1) * width
+            band_bits_in_word = [
+                i % wb for i in range(word * wb, (word + 1) * wb) if lo <= i < hi
+            ]
+            band_mask = sum(1 << i for i in band_bits_in_word)
+            masks = [submask(b, j, word) for j in range(n_sub)]
+            union = 0
+            for j, m in enumerate(masks):
+                assert m & band_mask == 0
+                for m2 in masks[j + 1 :]:
+                    assert m & m2 == 0
+                union |= m
+            assert union == ((1 << wb) - 1) & ~band_mask

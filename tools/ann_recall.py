@@ -1,25 +1,23 @@
-"""Recall-at-scale for the ANN family (r10 verdict task 4): on the
-regenerated m10/m100 rungs — whose embeddings are exact-replica planted
-near-dups (gen_scale replicates the base table with vec_id shifts) —
-record recall@10 of cosine_topk_lsh and cosine_topk_ivf against the
-brute-force exact top-k (operators/similarity.py:61), plus the probe
-counts that explain the number. The dedup family's planted-ground-truth
-discipline applied to ANN.
+"""Recall-vs-scan-fraction study for the ANN probe policy (r11 verdict
+tasks 1+4). The r10 version measured recall 0.375 under single-probe
+defaults but its organic truth sets were DEGENERATE (pure-replica corpus,
+8 queries, binary recall). This version runs on the r11 graded corpus
+(tools/gen_scale.py plants 4 unique neighbors per cosine band {0.9, 0.8,
+0.7} for each of 64 query seeds) and measures, at each rung:
 
-Two recalls per (rung, query):
-  recall_raw    top-10 id overlap as-is. The planted replicas of the
-                query dominate the truth set (cos = 1.0) and share the
-                query's exact bucket/cell by construction, so this
-                validates the exact-duplicate path (expected ~1.0).
-  recall_nodup  top-10 overlap EXCLUDING near-exact hits (rounded
-                cos >= 1 - 1e-6): the honest near-neighbor recall on the
-                corpus's organic similarity structure. Computed from a
-                deep (k + replicas + slack) retrieval on both sides so
-                the exclusion cannot exhaust either list.
+  - per-BAND recall: of the 4 planted neighbors at cosine c, how many are
+    retrieved at each LSH hamming radius / IVF probe depth;
+  - nodup recall@10 (the r10 metric, now non-degenerate);
+  - the MEASURED scan fraction at each radius/depth;
+  - the policy point: similarity.choose_probes' chosen knobs, its modeled
+    expectations, and whether the measured recall meets the target.
 
-Probe accounting: LSH scans the hamming<=2 ball of the query's 8-plane
-bucket (37/256 bucket ids); IVF scans nprobe=4 of 16 cells — the
-candidate-row counts are measured, not assumed.
+One corpus pass per path per rung: every query's cosine, hamming distance
+and IVF cell land in a single broadcast-join job; radius/depth sweeps then
+derive driver-side from the per-query top-K candidates (exact for these
+metrics because every planted/replica row's cosine >= 0.69 while organic
+chance tops out ~0.46 — any candidate outranking a truth row is itself in
+the collected top slice).
 
 Usage: python tools/ann_recall.py m10=/tmp/scale_m10 m100=/tmp/scale_m100
 """
@@ -32,110 +30,229 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import numpy as np
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from gen_scale import PLANT_BANDS, PLANT_PER_BAND, PLANT_QUERY_SEEDS
 from seo_audit_etl_actor_spark.operators import similarity
 from seo_audit_etl_actor_spark.queries.llm_ext import EMB_DIM
 from seo_audit_etl_actor_spark.session import get_spark, load_table
 
 K = 10
-QUERY_IDS = [7, 123, 411, 777, 1203, 1577, 1801, 1999]
+N_QUERIES = 32
+TOP_SLICE = 600  # per-query candidate slice collected (replicas+plants+slack)
 NEAR_EXACT = 1.0 - 1e-6
-
-
-def _ids(rows) -> list[int]:
-    return [int(r["vec_id"]) for r in rows]
-
-
-def _nodup_ids(rows, k: int) -> list[int]:
-    out = [int(r["vec_id"]) for r in rows if r["cosine_sim"] < NEAR_EXACT]
-    return out[:k]
+BAND_WINDOW = 0.02
+TARGET_RECALL = 0.9
 
 
 def run_rung(spark, label: str, sf_dir: str) -> dict:
     emb = load_table(spark, sf_dir, "embeddings").persist()
     n_vecs = emb.count()
-    # deep enough that dropping every replica leaves >= K organic rows:
-    # replica count per vector = rung multiplier
-    n_replicas = n_vecs // 2000  # base sf0.1 corpus is ~2000 vectors
-    deep = K + n_replicas + 50
+    qids = list(PLANT_QUERY_SEEDS[:N_QUERIES])
+    pols = {c: similarity.choose_probes(n_vecs, TARGET_RECALL, c) for c in PLANT_BANDS}
+    planes = pols[PLANT_BANDS[0]]["n_planes"]
+    n_cells = pols[PLANT_BANDS[0]]["n_cells"]
 
-    per_q = []
-    for qid in QUERY_IDS:
-        t0 = time.time()
-        brute = similarity.cosine_topk(emb, qid, k=deep).collect()
-        t_brute = time.time() - t0
-        t0 = time.time()
-        lsh = similarity.cosine_topk_lsh(emb, qid, k=deep, dim=EMB_DIM).collect()
-        t_lsh = time.time() - t0
-        t0 = time.time()
-        ivf = similarity.cosine_topk_ivf(emb, qid, k=deep).collect()
-        t_ivf = time.time() - t0
-
-        truth_raw = set(_ids(brute)[:K])
-        truth_nd = set(_nodup_ids(brute, K))
-        row = {
-            "qid": qid,
-            "lsh_recall_raw": len(truth_raw & set(_ids(lsh)[:K])) / K,
-            "ivf_recall_raw": len(truth_raw & set(_ids(ivf)[:K])) / K,
-            "lsh_recall_nodup": (
-                len(truth_nd & set(_nodup_ids(lsh, K))) / len(truth_nd)
-                if truth_nd
-                else None
-            ),
-            "ivf_recall_nodup": (
-                len(truth_nd & set(_nodup_ids(ivf, K))) / len(truth_nd)
-                if truth_nd
-                else None
-            ),
-            "t_brute": round(t_brute, 2),
-            "t_lsh": round(t_lsh, 2),
-            "t_ivf": round(t_ivf, 2),
-        }
-        per_q.append(row)
-        print(f"  {label} qid={qid}: {row}", flush=True)
-
-    # probe accounting (independent of qid loop, one representative query)
-    qid = QUERY_IDS[0]
-    wb = emb.withColumn("__b", similarity.lsh_bucket("embedding", EMB_DIM, 8))
-    qb = wb.where(F.col("vec_id") == qid).select("__b").first()[0]
-    ball = similarity.hamming_ball(int(qb), 8, 2)
-    lsh_cand = wb.where(F.col("__b").isin(ball)).count()
-    assigned = similarity.assign_ivf_cells(emb, 16)
+    # --- one corpus pass: cosine + hamming + cell for all queries -------
+    t0 = time.time()
+    wb = emb.withColumn(
+        "b", similarity.lsh_bucket("embedding", EMB_DIM, planes)
+    )
+    assigned = similarity.assign_ivf_cells(wb, n_cells)
+    qdf = (
+        assigned.where(F.col("vec_id").isin(qids))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.col("b").alias("qb"),
+        )
+    )
+    sim = similarity.cosine(F.col("embedding"), F.col("qvec"))
+    joined = (
+        assigned.crossJoin(F.broadcast(qdf))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            sim.alias("cos"),
+            F.bit_count(F.col("b").bitwiseXOR(F.col("qb")).cast("long")).alias("ham"),
+            F.col("__cell").alias("cell"),
+        )
+    ).persist()
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    top = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_SLICE)
+        .collect()
+    )
+    ham_counts = {
+        (int(r["qid"]), int(r["ham"])): int(r["n"])
+        for r in joined.groupBy("qid", "ham").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     cell_sizes = {
         int(r["__cell"]): int(r["n"])
         for r in assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    centroids = {
+        int(r["vec_id"]): np.asarray([float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < n_cells).collect()
+    }
+    qvecs = {
+        int(r["qid"]): np.asarray([float(x) for x in r["qvec"]])
+        for r in qdf.collect()
+    }
+    t_pass = time.time() - t0
+    joined.unpersist()
     emb.unpersist()
 
-    def avg(key):
-        vals = [r[key] for r in per_q if r[key] is not None]
-        return round(sum(vals) / len(vals), 4) if vals else None
+    # per-query centroid-similarity probe order (the driver-side half of
+    # cosine_topk_ivf, vectorized)
+    cmat = np.stack([centroids[c] for c in sorted(centroids)])
+    cids = np.asarray(sorted(centroids))
+    cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+    probe_rank: dict[int, dict[int, int]] = {}
+    for q, qv in qvecs.items():
+        sims = (cmat @ qv) / (cnorms * np.sqrt(qv @ qv))
+        order = cids[np.argsort(-sims, kind="stable")]
+        probe_rank[q] = {int(c): i for i, c in enumerate(order)}
+
+    byq: dict[int, list] = {q: [] for q in qids}
+    for r in top:
+        byq[int(r["qid"])].append(r)
+
+    def truth_band(rows, c):
+        return [
+            r for r in rows if abs(float(r["cos"]) - c) <= BAND_WINDOW
+        ]
+
+    def nodup_truth(rows):
+        return [r for r in rows if float(r["cos"]) < NEAR_EXACT][:K]
+
+    def lsh_retrieved(rows, h):
+        cand = [r for r in rows if int(r["ham"]) <= h]
+        return set(
+            int(r["vec_id"])
+            for r in sorted(cand, key=lambda r: (-float(r["cos"]), int(r["vec_id"])))
+        ), cand
+
+    def sweep_point_lsh(h):
+        band_rec, nd_rec, fracs = {c: [] for c in PLANT_BANDS}, [], []
+        for q in qids:
+            rows = byq[q]
+            cand_ids, cand = lsh_retrieved(rows, h)
+            for c in PLANT_BANDS:
+                t = truth_band(rows, c)
+                if t:
+                    band_rec[c].append(
+                        sum(1 for r in t if int(r["vec_id"]) in cand_ids) / len(t)
+                    )
+            nd_t = nodup_truth(rows)
+            nd_got = [
+                int(r["vec_id"])
+                for r in sorted(
+                    (r for r in cand if float(r["cos"]) < NEAR_EXACT),
+                    key=lambda r: (-float(r["cos"]), int(r["vec_id"])),
+                )[:K]
+            ]
+            if nd_t:
+                nd_rec.append(
+                    len({int(r["vec_id"]) for r in nd_t} & set(nd_got)) / len(nd_t)
+                )
+            scanned = sum(v for (qq, hh), v in ham_counts.items() if qq == q and hh <= h)
+            fracs.append(scanned / n_vecs)
+        return {
+            "max_hamming": h,
+            "scan_frac": round(sum(fracs) / len(fracs), 4),
+            "band_recall": {
+                str(c): round(sum(v) / len(v), 4) for c, v in band_rec.items() if v
+            },
+            "nodup_recall_at_10": round(sum(nd_rec) / len(nd_rec), 4),
+        }
+
+    def sweep_point_ivf(nprobe):
+        band_rec, nd_rec, fracs = {c: [] for c in PLANT_BANDS}, [], []
+        for q in qids:
+            rows = byq[q]
+            rank = probe_rank[q]
+            cand = [r for r in rows if rank[int(r["cell"])] < nprobe]
+            cand_ids = {int(r["vec_id"]) for r in cand}
+            for c in PLANT_BANDS:
+                t = truth_band(rows, c)
+                if t:
+                    band_rec[c].append(
+                        sum(1 for r in t if int(r["vec_id"]) in cand_ids) / len(t)
+                    )
+            nd_t = nodup_truth(rows)
+            nd_got = [
+                int(r["vec_id"])
+                for r in sorted(
+                    (r for r in cand if float(r["cos"]) < NEAR_EXACT),
+                    key=lambda r: (-float(r["cos"]), int(r["vec_id"])),
+                )[:K]
+            ]
+            if nd_t:
+                nd_rec.append(
+                    len({int(r["vec_id"]) for r in nd_t} & set(nd_got)) / len(nd_t)
+                )
+            probed = [c for c, i in rank.items() if i < nprobe]
+            fracs.append(sum(cell_sizes.get(c, 0) for c in probed) / n_vecs)
+        return {
+            "nprobe": nprobe,
+            "scan_frac": round(sum(fracs) / len(fracs), 4),
+            "band_recall": {
+                str(c): round(sum(v) / len(v), 4) for c, v in band_rec.items() if v
+            },
+            "nodup_recall_at_10": round(sum(nd_rec) / len(nd_rec), 4),
+        }
+
+    lsh_curve = [sweep_point_lsh(h) for h in range(0, min(planes, 8) + 1)]
+    nprobes = sorted(
+        {1, 2, 4} | {pols[c]["nprobe"] for c in PLANT_BANDS} | {n_cells // 4}
+    )
+    ivf_curve = [sweep_point_ivf(p) for p in nprobes if p >= 1]
+
+    policy_points = {}
+    for c in PLANT_BANDS:
+        pol = pols[c]
+        pt = sweep_point_lsh(pol["max_hamming"])
+        ipt = sweep_point_ivf(pol["nprobe"])
+        policy_points[str(c)] = {
+            "lsh": {
+                "n_planes": pol["n_planes"],
+                "max_hamming": pol["max_hamming"],
+                "modeled_recall": round(pol["lsh_expected_recall"], 4),
+                "modeled_scan_frac": round(pol["lsh_expected_scan_frac"], 4),
+                "measured_band_recall": pt["band_recall"].get(str(c)),
+                "measured_scan_frac": pt["scan_frac"],
+                "meets_target": (pt["band_recall"].get(str(c)) or 0) >= TARGET_RECALL,
+            },
+            "ivf": {
+                "n_cells": pol["n_cells"],
+                "nprobe": pol["nprobe"],
+                "modeled_recall": round(pol["ivf_expected_recall"], 4),
+                "modeled_scan_frac": round(pol["ivf_expected_scan_frac"], 4),
+                "measured_band_recall": ipt["band_recall"].get(str(c)),
+                "measured_scan_frac": ipt["scan_frac"],
+                "meets_target": (ipt["band_recall"].get(str(c)) or 0) >= TARGET_RECALL,
+            },
+        }
 
     return {
         "rung": label,
         "sf_dir": sf_dir,
         "n_vecs": n_vecs,
-        "replicas_per_vec": n_replicas,
-        "avg": {
-            k: avg(k)
-            for k in (
-                "lsh_recall_raw",
-                "ivf_recall_raw",
-                "lsh_recall_nodup",
-                "ivf_recall_nodup",
-                "t_brute",
-                "t_lsh",
-                "t_ivf",
-            )
-        },
-        "lsh_ball_buckets": f"{len(ball)}/256",
-        "lsh_candidate_rows": lsh_cand,
-        "lsh_scan_frac": round(lsh_cand / n_vecs, 4),
-        "ivf_nprobe": "4/16",
-        "ivf_cell_sizes": cell_sizes,
-        "per_query": per_q,
+        "n_queries": len(qids),
+        "planted_per_band": PLANT_PER_BAND,
+        "n_planes": planes,
+        "n_cells": n_cells,
+        "t_corpus_pass_s": round(t_pass, 1),
+        "policy_points": policy_points,
+        "lsh_curve": lsh_curve,
+        "ivf_curve": ivf_curve,
     }
 
 

@@ -116,6 +116,68 @@ def _replicate_shifted(
     return len(out)
 
 
+# --- graded organic ANN neighbors (r11, verdict task 4) -------------------
+# The r10 ann_recall study's organic ("nodup") truth sets were DEGENERATE:
+# the embeddings rung was pure exact-replica planting, so every nodup truth
+# set collapsed to replicas of one base vector and per-query recall was
+# binary over 8 queries. Plant GRADED neighbors instead: for each of 64
+# designated query seeds, 4 unique neighbors per cosine band {0.9, 0.8,
+# 0.7}, constructed exactly at the target cosine (u = c·v̂ + √(1-c²)·ŵ with
+# ŵ ⊥ v̂ drawn from a seeded rng, then renormalized to the corpus's unit
+# norm). A small deterministic jitter (±0.006) keeps within-band rankings
+# strict while bands stay separated by ~0.1. Planted rows OVERWRITE the
+# tail rows of the replicated table (vec_ids kept — recall tooling derives
+# truth by brute force, not by knowing the plant), so corpus size and id
+# structure are unchanged.
+PLANT_BANDS = (0.9, 0.8, 0.7)
+PLANT_PER_BAND = 4
+PLANT_QUERY_SEEDS = tuple(7 + 31 * i for i in range(64))  # base vec_ids < 2000
+
+
+def gen_embeddings(out_dir: str, m: float, base_dir: str, seed: int = 11) -> int:
+    t = pq.read_table(f"{base_dir}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    labels = t.column("label").to_numpy()
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]
+    )
+    n_base, dim = vecs.shape
+    reps = int(np.ceil(m))
+    n_out = int(round(n_base * m))
+    out_ids = np.concatenate([ids + r * (1 << 32) for r in range(reps)])[:n_out]
+    out_labels = np.tile(labels, reps)[:n_out]
+    out_vecs = np.tile(vecs, (reps, 1))[:n_out]
+
+    n_plants = len(PLANT_QUERY_SEEDS) * len(PLANT_BANDS) * PLANT_PER_BAND
+    if n_out > n_base + n_plants:  # only rungs with replica tail to spare
+        rng = np.random.default_rng(seed)
+        plant_at = n_out - n_plants  # overwrite the tail replica rows
+        p = 0
+        for qid in PLANT_QUERY_SEEDS:
+            v = vecs[np.searchsorted(ids, qid)].astype(np.float64)
+            vhat = v / np.sqrt((v * v).sum())
+            for band in PLANT_BANDS:
+                for j in range(PLANT_PER_BAND):
+                    c = band + (j - (PLANT_PER_BAND - 1) / 2.0) * 0.004
+                    g = rng.standard_normal(dim)
+                    w = g - (g @ vhat) * vhat
+                    what = w / np.sqrt((w * w).sum())
+                    u = c * vhat + np.sqrt(1.0 - c * c) * what
+                    out_vecs[plant_at + p] = u.astype(np.float32)
+                    p += 1
+
+    emb_type = t.schema.field("embedding").type
+    out = pa.table(
+        {
+            "vec_id": pa.array(out_ids, pa.int64()),
+            "embedding": pa.array([row.tolist() for row in out_vecs], emb_type),
+            "label": pa.array(out_labels, t.schema.field("label").type),
+        }
+    )
+    pq.write_table(out, f"{out_dir}/embeddings.parquet")
+    return len(out)
+
+
 def _order_shift(base_dir: str) -> int:
     lmax = int(pq.read_table(f"{base_dir}/lineitem.parquet", columns=["l_orderkey"])
                .column("l_orderkey").to_numpy().max())
@@ -152,7 +214,7 @@ def main() -> None:
     shift = _order_shift(base_dir)
     nl = _replicate_shifted(out_dir, m, base_dir, "lineitem", "l_orderkey", shift)
     no = _replicate_shifted(out_dir, m, base_dir, "orders", "o_orderkey", shift)
-    ne = _replicate_shifted(out_dir, m, base_dir, "embeddings", "vec_id", 1 << 32)
+    ne = gen_embeddings(out_dir, m, base_dir)
     print(f"{out_dir}: documents={nd} lineitem={nl} orders={no} embeddings={ne} (m={m})")
 
 
