@@ -27,13 +27,34 @@ format:
   (SOF11 — the H.1.2.2 two-dimensional conditioning model over the same
   QM coder, `jpeg_arith.decode_jpeg_arith_lossless`) joining in
   round 10;
-- the REMAINING variants (hierarchical SOF5-7/13-15, restart intervals
-  in the lossless and arithmetic paths — patent-era rarities, genuinely
-  codec-hard or spec-ambiguous) still use the deterministic
-  byte-sampling fake:
+- the REMAINING variants still use the deterministic byte-sampling fake:
   header parsing for dimensions is real, the pixel inner loop is the
   documented stand-in (`real_decode = false`; swap point noted at the
-  function).
+  function). Status per variant (r11):
+  * SOF9 restart intervals: IMPLEMENTED and round-trip tested in
+    `jpeg_arith.decode_jpeg_arith(allow_restart=True)`, gated off here
+    until the pinned decode audits rotate back into the driver window
+    (arith_decode_audit r12; see that docstring);
+  * SOF10/SOF11 restart intervals: same restart semantics per segment,
+    scheduled with their audits' rotation (r13);
+  * hierarchical JPEG (DHP + SOF5-7/13-15 frames, T.81 Annex J) stays a
+    DOCUMENTED CLOSE rather than a build: a hierarchical stream is a
+    SEQUENCE of differential frames, each coding a residual against an
+    upsampled reference of the previous frame's full reconstruction, with
+    EXP frame-expansion segments between them. Every per-frame entropy
+    layer is machinery this repo already has (Huffman/arithmetic
+    sequential + progressive + lossless), but correctness of the PYRAMID
+    depends on the Annex J.1.1.2 upsampling filter and the differential
+    frame accumulation, for which no conforming encoder, reference
+    stream, or second implementation exists in this container to check
+    against — a from-spec build would be validated only by a same-repo
+    encoder twin sharing every convention, the exact evidence circularity
+    the SOF11 header already flags for its stats-bin layout. Hierarchical
+    JPEG is also a patent-era rarity absent from the synthetic corpus and
+    from every real-world corpus profile this engine targets (libjpeg
+    never shipped an encoder for it). Cost/benefit recorded: ~600 LoC of
+    unverifiable pyramid plumbing vs zero corpus coverage — fake-routing
+    with real header dims is the correct production behavior.
 
 Scale design:
 - binary payloads ride `spark.read.format("binaryFile")` (one row per

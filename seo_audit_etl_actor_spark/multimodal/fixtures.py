@@ -995,13 +995,20 @@ def _encode_ac_block(enc, stats, kx, sign_ctx, coef_zz):
         enc.encode(1, stats[3 * (k - 1)])  # EOB
 
 
-def encode_jpeg_arith(y_plane, chroma=None, sampling=(1, 1), precision=8):
+def encode_jpeg_arith(
+    y_plane, chroma=None, sampling=(1, 1), precision=8, restart_interval=0
+):
     """Arithmetic-coded sequential JPEG encoder (SOF9) with quant table
     all-ones — the spec-side twin of `jpeg_arith.decode_jpeg_arith`.
     Emits an explicit DAC segment with the default conditioning
     (DC L=0/U=1, AC Kx=5). Returns (jpeg_bytes, expected_y) with
     expected_y the encoder's own direct-formula IDCT reconstruction
-    reduced to uint8 via >> (precision - 8)."""
+    reduced to uint8 via >> (precision - 8).
+
+    `restart_interval` > 0 (r11): a DRI segment is written and the entropy
+    stream is cut every Ri MCUs — T.81 arithmetic restart (E.2.4/F.1.4.0):
+    flush the QM coder, emit RSTn (n cycling 0..7), and re-start with
+    FRESH statistics areas, DC predictions, and conditioning state."""
     import numpy as np
 
     from seo_audit_etl_actor_spark.multimodal.jpeg_arith import (
@@ -1014,6 +1021,13 @@ def encode_jpeg_arith(y_plane, chroma=None, sampling=(1, 1), precision=8):
         raise ValueError("sequential DCT precision must be 8 or 12")
     h, w = y_plane.shape
     sh, sv = sampling
+    if chroma is None:
+        # A single-component scan is NON-INTERLEAVED (T.81 A.2.2): its MCU
+        # is one 8x8 block in raster order and the component is full
+        # resolution regardless of sampling factors (hmax = its own h). The
+        # interleaved MCU walk below would scramble block order for
+        # sampling != (1,1) — found by the r11 DRI round-trip tests.
+        sh, sv = 1, 1
     mbw, mbh = 8 * sh, 8 * sv
     mcux, mcuy = (w + mbw - 1) // mbw, (h + mbh - 1) // mbh
     pad = np.pad(
@@ -1030,16 +1044,27 @@ def encode_jpeg_arith(y_plane, chroma=None, sampling=(1, 1), precision=8):
         planes[3] = np.full((mcuy * 8, mcux * 8), cr, dtype=np.float64)
 
     L, U, KX = 0, 1, 5
-    enc = _QMEncoder()
-    dc_stats = [[0, 0] for _ in range(DC_STAT_BINS)]
-    ac_stats = [[0, 0] for _ in range(AC_STAT_BINS)]
-    sign_ctx = fixed_ctx()
-    pred = {cid: 0 for cid, _, _ in comps}
-    dc_ctx = {cid: 0 for cid, _, _ in comps}
+
+    def fresh_state():
+        return (
+            _QMEncoder(),
+            [[0, 0] for _ in range(DC_STAT_BINS)],
+            [[0, 0] for _ in range(AC_STAT_BINS)],
+            fixed_ctx(),
+            {cid: 0 for cid, _, _ in comps},
+            {cid: 0 for cid, _, _ in comps},
+        )
+
+    enc, dc_stats, ac_stats, sign_ctx, pred, dc_ctx = fresh_state()
+    ecs_parts: list[bytes] = []
     expected = np.zeros_like(pad, dtype=np.uint8)
     level = float(1 << (precision - 1))
 
     for m in range(mcux * mcuy):
+        if restart_interval and m > 0 and m % restart_interval == 0:
+            ecs_parts.append(enc.finish())
+            ecs_parts.append(bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]))
+            enc, dc_stats, ac_stats, sign_ctx, pred, dc_ctx = fresh_state()
         my, mx = divmod(m, mcux)
         for cid, ch, cv in comps:
             for by in range(cv):
@@ -1059,10 +1084,14 @@ def encode_jpeg_arith(y_plane, chroma=None, sampling=(1, 1), precision=8):
                     )
                     _encode_ac_block(enc, ac_stats, KX, sign_ctx, zz)
 
+    ecs_parts.append(enc.finish())
+
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + b"\x01" * 64
     # DAC: explicit default conditioning (DC: Cs = U<<4 | L; AC: Cs = Kx)
     out += b"\xff\xcc" + struct.pack(">H", 2 + 4) + bytes([0x00, (U << 4) | L, 0x10, KX])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     ncomp = len(comps)
     out += b"\xff\xc9" + struct.pack(">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
     for cid, ch, cv in comps:
@@ -1071,7 +1100,7 @@ def encode_jpeg_arith(y_plane, chroma=None, sampling=(1, 1), precision=8):
     for cid, _, _ in comps:
         out += bytes([cid, 0x00])
     out += b"\x00\x3f\x00"
-    out += enc.finish() + b"\xff\xd9"
+    out += b"".join(ecs_parts) + b"\xff\xd9"
     return bytes(out), expected[:h, :w]
 
 

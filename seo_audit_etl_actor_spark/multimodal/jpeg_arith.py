@@ -30,8 +30,17 @@ Round 10 also adds arithmetic-coded LOSSLESS decode (SOF11,
 each sample difference coded by the DC DIFF decision tree under
 two-dimensional (Da, Db) conditioning — over the same QM coder.
 
-Out of scope (returns None → the documented fake): restart intervals
-(DRI > 0) in the arithmetic paths.
+Restart intervals (round 11): the SOF9 sequential path implements the
+strict T.81 arithmetic restart (ceil(mcus/Ri) entropy segments, RSTn
+cycling 0..7, per-segment re-init of the QM decoder + statistics +
+predictions — E.2.4/F.1.4.0), round-trip tested against the fixtures
+encoder's restart_interval support; it is GATED OFF by default
+(decode_jpeg_arith(allow_restart=False)) until the pinned decode audits
+rotate back into the driver window (arith_decode_audit: r12 — its
+`4_ar_dri.jpg` leg carries evidence classifying DRI blobs as fakes).
+Still out of scope (returns None → the documented fakes): DRI in the
+PROGRESSIVE (SOF10) and LOSSLESS (SOF11) arithmetic paths — same restart
+semantics per segment, scheduled with their audits' rotation (r13).
 
 Evidence honesty — what "encoder/decoder agreement" covers here: the
 DECODE procedures below and the ENCODE procedures in
@@ -47,6 +56,15 @@ post-0xFF byte > 0x8F is a marker, and exhausted streams feed 1-bits —
 rather than reproducing the flowcharts' byte-aligned 32-bit register
 bookkeeping, so bit-exact interop with external codecs is plausible but
 UNVERIFIED in this container, which ships no reference JPEG codec).
+
+Production guidance (r11, from the r10 advisory): the SOF11 stats-bin
+layout (LL_STAT_BINS=158, ladder bases 100/129, +14 magnitude-bit offset)
+is a self-defined convention validated only against this repo's fixture
+encoder. Before trusting real_decode=true SOF11 output from an EXTERNAL
+corpus, validate one externally-generated SOF11 stream against this
+decoder (or at minimum plausibility-check the decoded plane — e.g.
+residual energy vs the fake-thumb baseline); a layout mismatch would
+decode to garbage without fake-routing.
 """
 
 from __future__ import annotations
@@ -292,12 +310,24 @@ def decode_ac_block(dec: QMDecoder, stats: list[list[int]], kx: int,
         k += 1
 
 
-def decode_jpeg_arith(data: bytes):
+def decode_jpeg_arith(data: bytes, allow_restart: bool = False):
     """Decode an arithmetic-coded sequential JPEG (SOF9) to the uint8 Y
     luma plane (top 8 bits at 12-bit precision), or None when the stream
-    is structurally corrupt or out of scope (restart intervals,
-    SOF10/SOF11). Mirrors `_decode_jpeg_gray`'s contract so
-    `_decode_gray_pixels` can route to it transparently."""
+    is structurally corrupt or out of scope (SOF10/SOF11). Mirrors
+    `_decode_jpeg_gray`'s contract so `_decode_gray_pixels` can route to
+    it transparently.
+
+    Restart intervals (r11): the strict T.81 arithmetic restart —
+    ceil(mcus/Ri) entropy segments, RSTn markers cycling 0..7, each
+    segment re-initializing the QM decoder, ALL statistics areas, the DC
+    predictions and the DC conditioning state (E.2.4/F.1.4.0) — is
+    IMPLEMENTED (see _decode_arith_scan) and round-trip tested, but gated
+    OFF by default (`allow_restart=False` -> DRI streams return None):
+    the pinned decode audits (arith_decode_audit's `4_ar_dri.jpg` leg)
+    carry driver evidence that classifies DRI-spliced blobs as fakes, and
+    flipping their routing outside their driver-window round would break
+    the evidence union. Default flips when those audits rotate back into
+    the 50-entry window (arith_decode_audit: r12)."""
     import numpy as np
 
     from seo_audit_etl_actor_spark.multimodal.binary_ops import (
@@ -368,8 +398,8 @@ def decode_jpeg_arith(data: bytes):
             elif marker == 0xDD:  # DRI
                 restart_interval = struct.unpack(">H", body[:2])[0]
             elif marker == 0xDA:  # SOS
-                if sof is None or restart_interval:
-                    return None  # restart intervals out of scope
+                if sof is None or (restart_interval and not allow_restart):
+                    return None  # DRI gated off (see docstring)
                 ns = body[0]
                 scan = []
                 for c in range(ns):
@@ -377,7 +407,8 @@ def decode_jpeg_arith(data: bytes):
                     scan.append((cs, tda >> 4, tda & 15))
                 ecs = data[i + 2 + seg_len :]
                 return _decode_arith_scan(
-                    ecs, sof, scan, qtables, dc_cond, ac_cond, precision
+                    ecs, sof, scan, qtables, dc_cond, ac_cond, precision,
+                    restart_interval,
                 )
             i += 2 + seg_len
     except (ValueError, IndexError, struct.error):
@@ -385,9 +416,14 @@ def decode_jpeg_arith(data: bytes):
     return None
 
 
-def _decode_arith_scan(ecs, sof, scan, qtables, dc_cond, ac_cond, precision):
+def _decode_arith_scan(ecs, sof, scan, qtables, dc_cond, ac_cond, precision,
+                       restart_interval=0):
     """Sequential arithmetic scan → Y plane (same MCU walk as the Huffman
-    `_jpeg_decode_scan`, with QM statistics instead of Huffman tables)."""
+    `_jpeg_decode_scan`, with QM statistics instead of Huffman tables).
+    With `restart_interval` > 0 the entropy data is ceil(mcus/Ri) segments
+    separated by RSTn markers cycling 0..7 (strictly validated); each
+    segment starts a fresh QM decoder over fresh statistics, predictions
+    and conditioning state."""
     import numpy as np
 
     from seo_audit_etl_actor_spark.multimodal.binary_ops import (
@@ -430,12 +466,31 @@ def _decode_arith_scan(ecs, sof, scan, qtables, dc_cond, ac_cond, precision):
     sign_ctx = fixed_ctx()
     pred = {cid: 0 for cid, _, _, _ in order}
     dc_ctx_base = {cid: 0 for cid, _, _, _ in order}
+    seg_start = 0
 
     plane = np.zeros((mcuy * 8 * y_v, mcux * 8 * y_h), dtype=np.uint8)
     level = 1 << (precision - 1)
     maxval = (1 << precision) - 1
     try:
         for m in range(mcux * mcuy):
+            if restart_interval and m > 0 and m % restart_interval == 0:
+                # end of segment: the first marker at/after seg_start is
+                # the restart (stuffed 0xFFs inside the segment are
+                # followed by <= 0x8F and skipped by _arith_ecs_end)
+                seg_end = _arith_ecs_end(ecs, seg_start)
+                expect = 0xD0 + ((m // restart_interval - 1) % 8)
+                if (
+                    seg_end + 1 >= len(ecs)
+                    or ecs[seg_end] != 0xFF
+                    or ecs[seg_end + 1] != expect
+                ):
+                    return None  # missing / out-of-order RSTn
+                seg_start = seg_end + 2
+                dec = QMDecoder(ecs[seg_start:])
+                dc_stats, ac_stats = {}, {}
+                sign_ctx = fixed_ctx()
+                pred = {cid: 0 for cid, _, _, _ in order}
+                dc_ctx_base = {cid: 0 for cid, _, _, _ in order}
             my, mx = divmod(m, mcux)
             for cid, ch, cv, _tq in order:
                 td, ta = scan_by_id[cid]

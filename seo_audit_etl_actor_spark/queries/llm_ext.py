@@ -1134,9 +1134,15 @@ def q_ann_probe_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pl, h = pol["n_planes"], pol["max_hamming"]
 
+    # The bucket column is one giant literal expression (planes x dim
+    # multiply-add terms); the audit runs several jobs over it (count,
+    # two candidate paths, query row), and re-PLANNING that tree per job
+    # dominates wall time. The localCheckpoint materializes it once —
+    # which is also the production shape: a persisted bucket column
+    # (write_lsh_bucketed_corpus), not a per-query recompute.
     bucketed = emb.withColumn(
         "__b", similarity.lsh_bucket("embedding", EMB_DIM, pl)
-    )
+    ).localCheckpoint(eager=True)
     qdf = bucketed.where(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("__qvec"), F.col("__b").alias("__qb")
     )

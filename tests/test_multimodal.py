@@ -933,6 +933,68 @@ def test_jpeg_arith_gradient_noise_color_and_12bit():
     assert int(np.abs(dec.astype(int) - expected.astype(int)).max()) <= 1
 
 
+def test_jpeg_arith_dri_round_trip_behind_gate():
+    """r11: SOF9 restart intervals are IMPLEMENTED (strict T.81 restart:
+    per-segment QM + statistics + prediction re-init, RSTn cycling
+    validated) and exact against the fixtures encoder — but gated OFF by
+    default until arith_decode_audit rotates back into the driver window
+    (its 4_ar_dri.jpg leg pins DRI blobs as fakes; see
+    jpeg_arith.decode_jpeg_arith's docstring)."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal import jpeg_arith as JA
+
+    rng = np.random.default_rng(42)
+    cases = [
+        # (shape, Ri, sampling, chroma, restarts_fire)
+        ((16, 24), 2, (1, 1), None, True),      # multi-segment, even split
+        ((24, 40), 1, (1, 1), None, True),      # restart after EVERY MCU
+        ((16, 16), 5, (1, 1), None, False),     # Ri > mcus: DRI declared, 0 markers
+        ((17, 23), 2, (1, 1), None, True),      # partial-MCU edges
+        ((32, 24), 2, (2, 2), (100, 140), True),  # interleaved 3-comp, subsampled
+    ]
+    for (h, w), ri, samp, chroma, fires in cases:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        data, expected = FX.encode_jpeg_arith(
+            img, chroma=chroma, restart_interval=ri, sampling=samp
+        )
+        assert b"\xff\xdd" in data
+        if fires:
+            assert b"\xff\xd0" in data
+        # default gate: DRI streams still fake-route
+        assert JA.decode_jpeg_arith(data) is None
+        out = JA.decode_jpeg_arith(data, allow_restart=True)
+        assert out is not None and np.array_equal(out, expected), (ri, samp)
+    # 12-bit precision with restarts
+    img12 = rng.integers(0, 4096, (16, 24)).astype(np.int64)
+    data, expected = FX.encode_jpeg_arith(img12, precision=12, restart_interval=2)
+    out = JA.decode_jpeg_arith(data, allow_restart=True)
+    assert out is not None and np.array_equal(out, expected)
+    # strict validation: an out-of-cycle RSTn must fail, not resync
+    data, _ = FX.encode_jpeg_arith(
+        rng.integers(0, 256, (16, 32), dtype=np.uint8), restart_interval=1
+    )
+    bad = bytearray(data)
+    i = bad.find(b"\xff\xd0")
+    bad[i + 1] = 0xD5
+    assert JA.decode_jpeg_arith(bytes(bad), allow_restart=True) is None
+
+
+def test_jpeg_arith_single_component_scan_is_noninterleaved():
+    """T.81 A.2.2: a single-component scan's MCU is one 8x8 block in
+    raster order at full component resolution, whatever the declared
+    sampling — the r11 DRI tests caught the fixtures encoder walking
+    interleaved MCU order here (blocks scrambled for sampling != (1,1))."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal import jpeg_arith as JA
+
+    img = np.random.default_rng(7).integers(0, 256, (32, 24), dtype=np.uint8)
+    data, expected = FX.encode_jpeg_arith(img, sampling=(2, 2))
+    out = JA.decode_jpeg_arith(data)
+    assert out is not None and np.array_equal(out, expected)
+
+
 def test_jpeg_arith_out_of_scope_routes_to_fake():
     import numpy as np
 

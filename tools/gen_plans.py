@@ -160,6 +160,24 @@ COMMENT = {
         "depth x width per partition), and the probe join enters as "
         "BroadcastHashJoin — the sketch side is bounded by construction."
     ),
+    "ann_probe_policy_audit": (
+        "Recall-targeting probe policy audit (round 11). What to check: the bucketed "
+        "frame is a Scan ExistingRDD (the eager localCheckpoint — the production shape is "
+        "a PERSISTED bucket column via write_lsh_bucketed_corpus, so per-job recompute of "
+        "the planes x dim literal expression is gone and each downstream job plans over a "
+        "small tree); both candidate paths read that checkpoint with the one-row query "
+        "side BROADCAST, and the final assembly is crossJoins of one-row aggregates "
+        "(BroadcastNestedLoopJoin over single rows — constant data movement)."
+    ),
+    "simhash_wide_near_dup": (
+        "120-bit SimHash banding (round 11). What to check: ONE corpus scan into the "
+        "token explode, md5 materialized once per token in its own Project (both 60-bit "
+        "words read the same digest — no second hash pass), one partial/final "
+        "HashAggregate pair carrying the 120 vote sums, then the same single "
+        "band-explode shuffle as the 60-bit operator with 30-bit band keys; hamming "
+        "verification (two bit_count XORs) sits BELOW the cross-band distinct "
+        "(early-verify), so only verified pairs reach the dedup exchange."
+    ),
 }
 
 
