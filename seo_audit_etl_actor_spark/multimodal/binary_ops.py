@@ -31,12 +31,16 @@ format:
   header parsing for dimensions is real, the pixel inner loop is the
   documented stand-in (`real_decode = false`; swap point noted at the
   function). Status per variant (r11):
-  * SOF9 restart intervals: IMPLEMENTED and round-trip tested in
-    `jpeg_arith.decode_jpeg_arith(allow_restart=True)`, gated off here
+  * SOF9 + SOF10 restart intervals: IMPLEMENTED and round-trip tested
+    (`jpeg_arith.decode_jpeg_arith(allow_restart=True)` /
+    `decode_jpeg_arith_progressive(allow_restart=True)`), gated off here
     until the pinned decode audits rotate back into the driver window
-    (arith_decode_audit r12; see that docstring);
-  * SOF10/SOF11 restart intervals: same restart semantics per segment,
-    scheduled with their audits' rotation (r13);
+    (arith_decode_audit r12, arith_progressive_decode_audit r13; see the
+    jpeg_arith docstrings);
+  * SOF11 restart intervals: stay documented — T.81's lossless restart
+    is genuinely ambiguous about post-restart neighbor availability
+    (jpeg_arith module header), matching the SOF3 Huffman-lossless
+    rationale;
   * hierarchical JPEG (DHP + SOF5-7/13-15 frames, T.81 Annex J) stays a
     DOCUMENTED CLOSE rather than a build: a hierarchical stream is a
     SEQUENCE of differential frames, each coding a residual against an

@@ -1202,7 +1202,9 @@ def _encode_ac_band_refine(enc, stats, sign_ctx, zz, ss, se, al):
         k += 1
 
 
-def encode_jpeg_arith_progressive(y_plane, chroma=None, sampling=(1, 1), precision=8):
+def encode_jpeg_arith_progressive(
+    y_plane, chroma=None, sampling=(1, 1), precision=8, restart_interval=0
+):
     """Arithmetic-coded progressive JPEG encoder (SOF10) with quant table
     all-ones — the spec-side twin of
     `jpeg_arith.decode_jpeg_arith_progressive`, same scan script as the
@@ -1276,12 +1278,24 @@ def encode_jpeg_arith_progressive(y_plane, chroma=None, sampling=(1, 1), precisi
 
     L, U, KX = 0, 1, 5
 
+    ri = restart_interval
+
+    def _rst(n: int) -> bytes:
+        return bytes([0xFF, 0xD0 + (n % 8)])
+
     def dc_first_scan(al: int) -> bytes:
+        parts: list[bytes] = []
         enc = _QMEncoder()
         stats = [[0, 0] for _ in range(DC_STAT_BINS)]
         pred = {cid: 0 for cid, _h, _v in comps}
         ctx = {cid: 0 for cid, _h, _v in comps}
         for m in range(mcux * mcuy):
+            if ri and m and m % ri == 0:
+                parts += [enc.finish(), _rst(m // ri - 1)]
+                enc = _QMEncoder()
+                stats = [[0, 0] for _ in range(DC_STAT_BINS)]
+                pred = {cid: 0 for cid, _h, _v in comps}
+                ctx = {cid: 0 for cid, _h, _v in comps}
             my, mx = divmod(m, mcux)
             for cid, ch_, cv_ in comps:
                 _gy, gxx = grid_dims[cid]
@@ -1292,12 +1306,18 @@ def encode_jpeg_arith_progressive(y_plane, chroma=None, sampling=(1, 1), precisi
                         diff = v - pred[cid]
                         pred[cid] = v
                         ctx[cid] = _encode_dc_diff(enc, stats, ctx[cid], L, U, diff)
-        return enc.finish()
+        parts.append(enc.finish())
+        return b"".join(parts)
 
     def dc_refine_scan(al: int) -> bytes:
+        parts: list[bytes] = []
         enc = _QMEncoder()
         corr = fixed_ctx()
         for m in range(mcux * mcuy):
+            if ri and m and m % ri == 0:
+                parts += [enc.finish(), _rst(m // ri - 1)]
+                enc = _QMEncoder()
+                corr = fixed_ctx()
             my, mx = divmod(m, mcux)
             for cid, ch_, cv_ in comps:
                 _gy, gxx = grid_dims[cid]
@@ -1305,24 +1325,39 @@ def encode_jpeg_arith_progressive(y_plane, chroma=None, sampling=(1, 1), precisi
                     for bx in range(ch_):
                         zz = zz_blocks[cid][(my * cv_ + by) * gxx + (mx * ch_ + bx)]
                         enc.encode((zz[0] >> al) & 1, corr)
-        return enc.finish()
+        parts.append(enc.finish())
+        return b"".join(parts)
 
     def ac_first_scan(blocks, ss, se, al) -> bytes:
+        parts: list[bytes] = []
         enc = _QMEncoder()
         stats = [[0, 0] for _ in range(AC_STAT_BINS)]
         sign_ctx = fixed_ctx()
-        for zz in blocks:
+        for bi, zz in enumerate(blocks):
+            if ri and bi and bi % ri == 0:  # non-interleaved: unit = block
+                parts += [enc.finish(), _rst(bi // ri - 1)]
+                enc = _QMEncoder()
+                stats = [[0, 0] for _ in range(AC_STAT_BINS)]
+                sign_ctx = fixed_ctx()
             va = [_truncal(zz[k], al) if al else zz[k] for k in range(64)]
             _encode_ac_band_first(enc, stats, KX, sign_ctx, va, ss, se)
-        return enc.finish()
+        parts.append(enc.finish())
+        return b"".join(parts)
 
     def ac_refine_scan(blocks, ss, se, al) -> bytes:
+        parts: list[bytes] = []
         enc = _QMEncoder()
         stats = [[0, 0] for _ in range(AC_STAT_BINS)]
         sign_ctx = fixed_ctx()
-        for zz in blocks:
+        for bi, zz in enumerate(blocks):
+            if ri and bi and bi % ri == 0:
+                parts += [enc.finish(), _rst(bi // ri - 1)]
+                enc = _QMEncoder()
+                stats = [[0, 0] for _ in range(AC_STAT_BINS)]
+                sign_ctx = fixed_ctx()
             _encode_ac_band_refine(enc, stats, sign_ctx, zz, ss, se, al)
-        return enc.finish()
+        parts.append(enc.finish())
+        return b"".join(parts)
 
     def sos(scan_comps, ss, se, ah, al) -> bytes:
         ns = len(scan_comps)
@@ -1334,6 +1369,8 @@ def encode_jpeg_arith_progressive(y_plane, chroma=None, sampling=(1, 1), precisi
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + b"\x01" * 64
     out += b"\xff\xcc" + struct.pack(">H", 2 + 4) + bytes([0x00, (U << 4) | L, 0x10, KX])
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
     ncomp = len(comps)
     out += b"\xff\xca" + struct.pack(">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
     for cid, ch_, cv_ in comps:

@@ -30,17 +30,23 @@ Round 10 also adds arithmetic-coded LOSSLESS decode (SOF11,
 each sample difference coded by the DC DIFF decision tree under
 two-dimensional (Da, Db) conditioning — over the same QM coder.
 
-Restart intervals (round 11): the SOF9 sequential path implements the
-strict T.81 arithmetic restart (ceil(mcus/Ri) entropy segments, RSTn
-cycling 0..7, per-segment re-init of the QM decoder + statistics +
-predictions — E.2.4/F.1.4.0), round-trip tested against the fixtures
-encoder's restart_interval support; it is GATED OFF by default
-(decode_jpeg_arith(allow_restart=False)) until the pinned decode audits
-rotate back into the driver window (arith_decode_audit: r12 — its
-`4_ar_dri.jpg` leg carries evidence classifying DRI blobs as fakes).
-Still out of scope (returns None → the documented fakes): DRI in the
-PROGRESSIVE (SOF10) and LOSSLESS (SOF11) arithmetic paths — same restart
-semantics per segment, scheduled with their audits' rotation (r13).
+Restart intervals (round 11): the SOF9 sequential AND SOF10 progressive
+paths implement the strict T.81 arithmetic restart (entropy segments of
+Ri MCUs — or Ri blocks in non-interleaved scans — RSTn cycling 0..7
+strictly validated, per-segment re-init of the QM decoder + statistics +
+predictions + conditioning; E.2.4/F.1.4.0/G.2), round-trip tested
+against the fixtures encoders' restart_interval support; both are GATED
+OFF by default (allow_restart=False) until the pinned decode audits
+rotate back into the driver window (arith_decode_audit: r12;
+arith_progressive_decode_audit: r13 — their DRI legs carry evidence
+classifying DRI blobs as fakes). Still out of scope (returns None → the
+documented fake): DRI in the LOSSLESS (SOF11) path — T.81's lossless
+restart semantics are genuinely ambiguous about which decoded neighbor
+samples the post-restart predictor may reference (full independence
+would forbid the above-row neighbors every non-restart decoder uses),
+so any implementation here would be a private convention round-tripping
+against itself; it stays documented, matching the SOF3 Huffman-lossless
+path's standing rationale.
 
 Evidence honesty — what "encoder/decoder agreement" covers here: the
 DECODE procedures below and the ENCODE procedures in
@@ -545,11 +551,34 @@ def _arith_ecs_end(data: bytes, start: int) -> int:
     return n
 
 
-def decode_jpeg_arith_progressive(data: bytes):
+def _arith_scan_end(data: bytes, start: int) -> int:
+    """End of a SCAN's entropy body: like _arith_ecs_end but RSTn markers
+    (0xD0-0xD7) belong to the scan when restart intervals are in effect —
+    skip them and keep scanning for the terminating marker."""
+    i = start
+    while True:
+        j = _arith_ecs_end(data, i)
+        if j + 1 < len(data) and 0xD0 <= data[j + 1] <= 0xD7:
+            i = j + 2
+            continue
+        return j
+
+
+def decode_jpeg_arith_progressive(data: bytes, allow_restart: bool = False):
     """Arithmetic-coded progressive JPEG (SOF10) decode to the uint8 Y
     plane — T.81 Annex G.2: spectral selection + successive approximation
-    with the QM coder. Retires the r9-documented fake for this variant;
-    restart intervals and SOF11 remain out of scope (returns None).
+    with the QM coder. Retires the r9-documented fake for this variant.
+
+    Restart intervals (r11): implemented per scan — every Ri MCUs
+    (interleaved DC scans) or Ri blocks (non-interleaved DC / AC scans)
+    the entropy segment ends at a strictly-validated RSTn (cycling 0..7
+    per scan) and the QM decoder, statistics areas, DC predictions and
+    conditioning re-initialize; the persistent coefficient grid (and the
+    refinement passes' kex derivation from it) is untouched. Gated OFF by
+    default like the sequential path (`allow_restart=False` → DRI streams
+    return None) until `arith_progressive_decode_audit` rotates back into
+    the driver window (r13); see decode_jpeg_arith's docstring for the
+    evidence-union rationale.
 
     Scan semantics (the G.2 procedures; each scan is an independent
     entropy segment with fresh statistics and a fresh QM decoder):
@@ -656,8 +685,10 @@ def decode_jpeg_arith_progressive(data: bytes):
             elif marker == 0xDD:  # DRI
                 restart_interval = struct.unpack(">H", body[:2])[0]
             elif marker == 0xDA:  # SOS — one progressive scan
-                if sof is None or ycoef is None or restart_interval:
-                    return None  # restart intervals out of scope
+                if sof is None or ycoef is None or (
+                    restart_interval and not allow_restart
+                ):
+                    return None  # DRI gated off (see docstring)
                 ns = body[0]
                 scan = []
                 for c in range(ns):
@@ -666,10 +697,14 @@ def decode_jpeg_arith_progressive(data: bytes):
                 Ss, Se, ahal = body[1 + ns * 2 : 4 + ns * 2]
                 Ah, Al = ahal >> 4, ahal & 15
                 ecs_start = i + 2 + seg_len
-                ecs_end = _arith_ecs_end(data, ecs_start)
+                ecs_end = (
+                    _arith_scan_end(data, ecs_start)
+                    if restart_interval
+                    else _arith_ecs_end(data, ecs_start)
+                )
                 ok = _arith_progressive_scan(
                     data[ecs_start:ecs_end], sof, scan, (Ss, Se, Ah, Al),
-                    dc_cond, ac_cond, ycoef, y_meta,
+                    dc_cond, ac_cond, ycoef, y_meta, restart_interval,
                 )
                 if not ok:
                     return None
@@ -706,12 +741,14 @@ def decode_jpeg_arith_progressive(data: bytes):
     return _jpeg_upsample_y(plane, y_h, y_v, hmax, vmax, iw, ih)
 
 
-def _arith_progressive_scan(ecs, sof, scan, band, dc_cond, ac_cond, ycoef, y_meta):
+def _arith_progressive_scan(ecs, sof, scan, band, dc_cond, ac_cond, ycoef, y_meta,
+                            restart_interval=0):
     """Decode ONE SOF10 scan into the persistent Y coefficient grid
     (decode mirrors of the G.2 coding models; bin layout shared with the
     sequential F.1.4.4 statistics areas). Returns False on structural
     corruption; chroma-only scans return True without touching the
-    segment."""
+    segment. With `restart_interval` > 0 the segment is cut every Ri
+    MCUs/blocks at a strictly-validated RSTn with full state re-init."""
     from seo_audit_etl_actor_spark.multimodal.binary_ops import _JPEG_ZIGZAG
 
     iw, ih, comps = sof
@@ -726,6 +763,22 @@ def _arith_progressive_scan(ecs, sof, scan, band, dc_cond, ac_cond, ycoef, y_met
         return False  # AC scans are single-component per T.81 G.1.1
 
     dec = QMDecoder(ecs)
+    seg_start = [0]
+
+    def restart_at(unit_idx: int) -> QMDecoder:
+        """Validate the RSTn ending the current segment, open the next;
+        the caller re-initializes its statistics/prediction state."""
+        seg_end = _arith_ecs_end(ecs, seg_start[0])
+        expect = 0xD0 + ((unit_idx // restart_interval - 1) % 8)
+        if (
+            seg_end + 1 >= len(ecs)
+            or ecs[seg_end] != 0xFF
+            or ecs[seg_end + 1] != expect
+        ):
+            raise ValueError("missing or out-of-order RSTn")
+        seg_start[0] = seg_end + 2
+        return QMDecoder(ecs[seg_start[0]:])
+
     try:
         if Ss == 0:
             order = [(cid, h, v) for cid, h, v, _tq in comps if cid in scan_by_id]
@@ -745,6 +798,11 @@ def _arith_progressive_scan(ecs, sof, scan, band, dc_cond, ac_cond, ycoef, y_met
                 pred = {cid: 0 for cid, _h, _v in grid}
                 ctx_base = {cid: 0 for cid, _h, _v in grid}
                 for idx in range(tx * ty):
+                    if restart_interval and idx and idx % restart_interval == 0:
+                        dec = restart_at(idx)
+                        dc_stats = {}
+                        pred = {cid: 0 for cid, _h, _v in grid}
+                        ctx_base = {cid: 0 for cid, _h, _v in grid}
                     my, mx = divmod(idx, tx)
                     for cid, ch, cv in grid:
                         td, _ta = scan_by_id[cid]
@@ -768,6 +826,9 @@ def _arith_progressive_scan(ecs, sof, scan, band, dc_cond, ac_cond, ycoef, y_met
                 # two's complement exactly like the Huffman path
                 corr = fixed_ctx()
                 for idx in range(tx * ty):
+                    if restart_interval and idx and idx % restart_interval == 0:
+                        dec = restart_at(idx)
+                        corr = fixed_ctx()
                     my, mx = divmod(idx, tx)
                     for cid, ch, cv in grid:
                         for by in range(cv):
@@ -786,6 +847,10 @@ def _arith_progressive_scan(ecs, sof, scan, band, dc_cond, ac_cond, ycoef, y_met
         sign_ctx = fixed_ctx()
         p1 = 1 << Al
         for idx in range(nbx * nby):
+            if restart_interval and idx and idx % restart_interval == 0:
+                dec = restart_at(idx)
+                stats = _new_stats(AC_STAT_BINS)
+                sign_ctx = fixed_ctx()
             gby, gbx = divmod(idx, nbx)
             coef = ycoef[gby, gbx]
             if Ah == 0:

@@ -980,6 +980,45 @@ def test_jpeg_arith_dri_round_trip_behind_gate():
     assert JA.decode_jpeg_arith(bytes(bad), allow_restart=True) is None
 
 
+def test_jpeg_arith_progressive_dri_round_trip_behind_gate():
+    """r11: SOF10 restart intervals implemented per scan (interleaved DC
+    scans restart on MCUs, non-interleaved DC/AC scans on blocks; RSTn
+    cycling per scan strictly validated; QM + statistics + predictions
+    re-init, persistent coefficient grid untouched) — gated OFF by
+    default until arith_progressive_decode_audit rotates back into the
+    driver window (r13)."""
+    import numpy as np
+
+    from seo_audit_etl_actor_spark.multimodal import jpeg_arith as JA
+
+    rng = np.random.default_rng(5)
+    cases = [
+        ((16, 24), 2, (1, 1), None),
+        ((24, 40), 1, (1, 1), None),       # restart after every unit
+        ((17, 23), 3, (1, 1), None),       # partial-MCU edges
+        ((32, 24), 2, (2, 2), (100, 140)),  # subsampled + real chroma scans
+        ((16, 16), 7, (1, 1), None),       # Ri > units: DRI declared, 0 markers
+    ]
+    for (h, w), ri, samp, chroma in cases:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        data, expected = FX.encode_jpeg_arith_progressive(
+            img, chroma=chroma, restart_interval=ri, sampling=samp
+        )
+        assert b"\xff\xdd" in data
+        assert JA.decode_jpeg_arith_progressive(data) is None  # default gate
+        out = JA.decode_jpeg_arith_progressive(data, allow_restart=True)
+        assert out is not None, (ri, samp)
+        assert int(np.abs(out.astype(int) - expected.astype(int)).max()) <= 1
+    # strict validation: out-of-cycle RSTn fails, no resync
+    data, _ = FX.encode_jpeg_arith_progressive(
+        rng.integers(0, 256, (16, 48), dtype=np.uint8), restart_interval=1
+    )
+    bad = bytearray(data)
+    i = bad.find(b"\xff\xd0")
+    bad[i + 1] = 0xD4
+    assert JA.decode_jpeg_arith_progressive(bytes(bad), allow_restart=True) is None
+
+
 def test_jpeg_arith_single_component_scan_is_noninterleaved():
     """T.81 A.2.2: a single-component scan's MCU is one 8x8 block in
     raster order at full component resolution, whatever the declared

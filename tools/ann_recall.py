@@ -211,8 +211,11 @@ def run_rung(spark, label: str, sf_dir: str) -> dict:
 
     lsh_curve = [sweep_point_lsh(h) for h in range(0, min(planes, 8) + 1)]
     nprobes = sorted(
-        {1, 2, 4} | {pols[c]["nprobe"] for c in PLANT_BANDS} | {n_cells // 4}
+        {1, 2, 4, 8, 16, 32, 64}
+        | {pols[c]["nprobe"] for c in PLANT_BANDS}
+        | {n_cells // 4}
     )
+    nprobes = [p for p in nprobes if p <= n_cells]
     ivf_curve = [sweep_point_ivf(p) for p in nprobes if p >= 1]
 
     policy_points = {}
