@@ -844,16 +844,39 @@ def simhash_fingerprints_wide(
             for w in range(n_words)
         ],
     )
-    vote_cols = [
+    # Lane-packed vote aggregation: the +-1 vote for bit i is 2*cnt_i - n
+    # where cnt_i counts SET bits (0/1, never negative — no cross-lane
+    # borrows), so 4 independent 16-bit counters ride ONE long and the
+    # aggregate carries bits/4 + 1 columns instead of `bits` (120 -> 31;
+    # measured 6.6 s -> the dominant HashAggregate cost drops ~4x at
+    # sf0.1). Lane capacity 65,535 tokens per doc — far above any real
+    # document; the 60-bit single-word operator keeps its original
+    # unpacked form (byte-frozen alongside its driver evidence).
+    LANES, LANE_W = 4, 16
+    packed = [
         F.sum(
-            F.shiftright(f"h{i // _SIMHASH_WORD_BITS}", i % _SIMHASH_WORD_BITS)
-            .bitwiseAND(F.lit(1))
-            * 2
-            - 1
-        ).alias(f"v{i}")
-        for i in range(bits)
+            sum(
+                (
+                    F.shiftright(
+                        f"h{(g * LANES + l) // _SIMHASH_WORD_BITS}",
+                        (g * LANES + l) % _SIMHASH_WORD_BITS,
+                    ).bitwiseAND(F.lit(1))
+                    * F.lit(1 << (LANE_W * l)).cast("long")
+                )
+                for l in range(LANES)
+                if g * LANES + l < bits
+            )
+        ).alias(f"p{g}")
+        for g in range((bits + LANES - 1) // LANES)
     ]
-    g = th.groupBy(id_col).agg(*vote_cols)
+    g = th.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *packed)
+    lane_mask = (1 << LANE_W) - 1
+
+    def cnt(i: int):
+        return F.shiftright(f"p{i // LANES}", LANE_W * (i % LANES)).bitwiseAND(
+            F.lit(lane_mask)
+        )
+
     words = []
     for w in range(n_words):
         fp = F.lit(0).cast("long")
@@ -861,8 +884,9 @@ def simhash_fingerprints_wide(
             i = w * _SIMHASH_WORD_BITS + j
             if i >= bits:
                 break
+            # vote > 0  <=>  2*cnt_i > n_tokens (ties -> bit unset)
             fp = fp + F.when(
-                F.col(f"v{i}") > 0, F.lit(1 << j).cast("long")
+                cnt(i) * 2 > F.col("__n"), F.lit(1 << j).cast("long")
             ).otherwise(F.lit(0).cast("long"))
         words.append(fp.alias(f"fp_w{w}"))
     return g.select(F.col(id_col), *words)
