@@ -295,3 +295,32 @@ def test_centroid_outliers_broadcasts_centroid(spark, sf_dir):
     """The (label, dim) centroid frame is tiny — its re-join against the
     exploded vectors must be a broadcast, not a shuffle of the big side."""
     assert audit.has_broadcast_join(SPECS["embedding_centroid_outliers"].fn(spark, sf_dir))
+
+
+def test_ann_probe_policy_audit_checkpoints_and_broadcasts(spark, sf_dir):
+    """r11 probe-policy audit plan: the bucketed frame must be a
+    materialized checkpoint (Scan ExistingRDD — the production persisted-
+    bucket shape; re-planning the planes x dim literal tree per job is
+    what made the first cut 6x slower), every query-side join a broadcast,
+    and no Python eval anywhere."""
+    df = SPECS["ann_probe_policy_audit"].fn(spark, sf_dir)
+    p = audit.plan_string(df)
+    assert "ExistingRDD" in p, p[:800]
+    assert "BroadcastExchange" in p
+    assert not audit.uses_python_udf(df)
+
+
+def test_simhash_wide_single_fingerprint_aggregate(spark, sf_dir):
+    """The lane-packed wide fingerprint must stay ONE partial/final
+    HashAggregate pair over the token explode (one exchange on doc_id),
+    with no Python eval — the 120-votes-in-31-columns packing is an
+    expression-level change, not a plan-shape change."""
+    df = SPECS["simhash_wide_fingerprints"].fn(spark, sf_dir)
+    p = audit.plan_string(df)
+    assert not audit.uses_python_udf(df)
+    # ensure_parallelism round-robin + the doc_id aggregate + final sort
+    assert audit.num_shuffles(df) <= 3, p[:400]
+    assert "HashAggregate" in p
+    # the md5 must be materialized ONCE per token in its own projection —
+    # both conv() words read hx, not two inlined md5 calls
+    assert p.count("md5(") == 1, p[:1500]

@@ -125,9 +125,15 @@ def run_rung(spark, sf_dir: str, measure_narrow: bool) -> dict:
 def main() -> None:
     spark = get_spark("simhash-wide-scale")
     spark.sparkContext.setLogLevel("ERROR")
+    args = [a for a in sys.argv[1:] if a != "--wide-only"]
+    # --wide-only: skip the narrow near-dup baseline entirely — at the
+    # m3160 rung the narrow operator's verified output extrapolates to
+    # ~1.6 B pairs (the n^2 term), a count job this host should not pay
+    # for a baseline r10 already pinned at the lower rungs.
+    wide_only = "--wide-only" in sys.argv[1:]
     results = []
-    for i, d in enumerate(sys.argv[1:]):
-        results.append(run_rung(spark, d, measure_narrow=(i == 0)))
+    for i, d in enumerate(args):
+        results.append(run_rung(spark, d, measure_narrow=(i == 0 and not wide_only)))
     summary: dict = {"rungs": results}
     if len(results) == 2:
         import math
