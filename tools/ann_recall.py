@@ -42,8 +42,13 @@ from seo_audit_etl_actor_spark.queries.llm_ext import EMB_DIM
 from seo_audit_etl_actor_spark.session import get_spark, load_table
 
 K = 10
-N_QUERIES = 32
-TOP_SLICE = 600  # per-query candidate slice collected (replicas+plants+slack)
+# SPARK_GRAFT_ANN_QUERIES trims the query panel for big rungs (the m1000
+# embeddings rung at 2M vectors costs ~1 corpus-minute per query)
+N_QUERIES = int(os.environ.get("SPARK_GRAFT_ANN_QUERIES", "32"))
+# per-query candidate slice collected — must exceed the EXACT-replica
+# count (n_vecs/2000 per base vector) or the graded truth rows fall
+# outside the slice; sized per rung in run_rung
+TOP_SLICE_SLACK = 150
 NEAR_EXACT = 1.0 - 1e-6
 BAND_WINDOW = 0.02
 TARGET_RECALL = 0.9
@@ -86,7 +91,7 @@ def run_rung(spark, label: str, sf_dir: str) -> dict:
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     top = (
         joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_SLICE)
+        .where(F.col("rn") <= K + max(0, n_vecs // 2000) + TOP_SLICE_SLACK)
         .collect()
     )
     ham_counts = {

@@ -193,13 +193,19 @@ def main() -> None:
     # 1000 x lineitem replication (600M rows, ~40 GB) would exhaust the
     # host for tables those queries never read. Scoping the rung to the
     # queries it can serve is the harness's job (SPARK_GRAFT_SCALE_QUERIES).
-    args = [a for a in sys.argv[1:] if a != "--docs-only"]
+    args = [a for a in sys.argv[1:] if a not in ("--docs-only", "--emb-only")]
     docs_only = "--docs-only" in sys.argv[1:]
+    emb_only = "--emb-only" in sys.argv[1:]  # ANN-recall rungs: embeddings
+    # (with the graded neighbor plant) at m x; every other table symlinked
     out_dir, m = args[0], float(args[1])
     base_dir = args[2] if len(args) > 2 else BASE
     os.makedirs(out_dir, exist_ok=True)
-    generated = ("documents",) if docs_only else (
-        "documents", "lineitem", "orders", "embeddings"
+    generated = (
+        ("documents",)
+        if docs_only
+        else ("embeddings",)
+        if emb_only
+        else ("documents", "lineitem", "orders", "embeddings")
     )
     for name in TABLES:
         dst = f"{out_dir}/{name}.parquet"
@@ -207,6 +213,10 @@ def main() -> None:
             continue
         if not os.path.exists(dst):
             os.symlink(f"{base_dir}/{name}.parquet", dst)
+    if emb_only:
+        ne = gen_embeddings(out_dir, m, base_dir)
+        print(f"{out_dir}: embeddings={ne} (m={m}, emb-only)")
+        return
     nd = gen_documents(out_dir, m, base_dir)
     if docs_only:
         print(f"{out_dir}: documents={nd} (m={m}, docs-only)")
