@@ -31,12 +31,13 @@ format:
   header parsing for dimensions is real, the pixel inner loop is the
   documented stand-in (`real_decode = false`; swap point noted at the
   function). Status per variant (r11):
-  * SOF9 + SOF10 restart intervals: IMPLEMENTED and round-trip tested
-    (`jpeg_arith.decode_jpeg_arith(allow_restart=True)` /
-    `decode_jpeg_arith_progressive(allow_restart=True)`), gated off here
-    until the pinned decode audits rotate back into the driver window
-    (arith_decode_audit r12, arith_progressive_decode_audit r13; see the
-    jpeg_arith docstrings);
+  * SOF9 restart intervals: LIVE by default since r12
+    (`jpeg_arith.decode_jpeg_arith` defaults `allow_restart=True`; the
+    flip landed with arith_decode_audit's rotation into the r12 driver
+    window). SOF10 restart intervals: implemented and round-trip tested
+    (`decode_jpeg_arith_progressive(allow_restart=True)`) but still
+    gated off here until arith_progressive_decode_audit rotates in
+    (r13; see the jpeg_arith docstrings);
   * SOF11 restart intervals: stay documented — T.81's lossless restart
     is genuinely ambiguous about post-restart neighbor availability
     (jpeg_arith module header), matching the SOF3 Huffman-lossless
@@ -434,8 +435,10 @@ def _decode_jpeg_gray(data: bytes):
     round 10 — Annex G.2 scan procedures,
     jpeg_arith.decode_jpeg_arith_progressive); arithmetic-coded
     lossless (SOF11, round 10 — H.1.2.2 two-dimensional conditioning,
-    jpeg_arith.decode_jpeg_arith_lossless). Hierarchical and restart
-    intervals in the lossless/arithmetic paths are out of scope."""
+    jpeg_arith.decode_jpeg_arith_lossless). Restart intervals decode
+    real in the Huffman DCT paths and (since r12) in SOF9; hierarchical
+    JPEG and restart intervals in the SOF10/lossless paths are out of
+    scope."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":

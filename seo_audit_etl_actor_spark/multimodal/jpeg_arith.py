@@ -35,11 +35,14 @@ paths implement the strict T.81 arithmetic restart (entropy segments of
 Ri MCUs — or Ri blocks in non-interleaved scans — RSTn cycling 0..7
 strictly validated, per-segment re-init of the QM decoder + statistics +
 predictions + conditioning; E.2.4/F.1.4.0/G.2), round-trip tested
-against the fixtures encoders' restart_interval support; both are GATED
-OFF by default (allow_restart=False) until the pinned decode audits
-rotate back into the driver window (arith_decode_audit: r12;
-arith_progressive_decode_audit: r13 — their DRI legs carry evidence
-classifying DRI blobs as fakes). Still out of scope (returns None → the
+against the fixtures encoders' restart_interval support. Gate status
+(r12): SOF9's default is now allow_restart=True — the flip landed with
+arith_decode_audit's rotation into the r12 driver window (its DRI leg's
+pinned constants moved from fake-route to the hand-derived real decode).
+SOF10 stays gated OFF (allow_restart=False) until
+arith_progressive_decode_audit rotates in (r13 — its DRI leg still
+carries evidence classifying DRI blobs as fakes). Still out of scope
+(returns None → the
 documented fake): DRI in the LOSSLESS (SOF11) path — T.81's lossless
 restart semantics are genuinely ambiguous about which decoded neighbor
 samples the post-restart predictor may reference (full independence
@@ -316,24 +319,24 @@ def decode_ac_block(dec: QMDecoder, stats: list[list[int]], kx: int,
         k += 1
 
 
-def decode_jpeg_arith(data: bytes, allow_restart: bool = False):
+def decode_jpeg_arith(data: bytes, allow_restart: bool = True):
     """Decode an arithmetic-coded sequential JPEG (SOF9) to the uint8 Y
     luma plane (top 8 bits at 12-bit precision), or None when the stream
     is structurally corrupt or out of scope (SOF10/SOF11). Mirrors
     `_decode_jpeg_gray`'s contract so `_decode_gray_pixels` can route to
     it transparently.
 
-    Restart intervals (r11): the strict T.81 arithmetic restart —
+    Restart intervals: the strict T.81 arithmetic restart —
     ceil(mcus/Ri) entropy segments, RSTn markers cycling 0..7, each
     segment re-initializing the QM decoder, ALL statistics areas, the DC
-    predictions and the DC conditioning state (E.2.4/F.1.4.0) — is
-    IMPLEMENTED (see _decode_arith_scan) and round-trip tested, but gated
-    OFF by default (`allow_restart=False` -> DRI streams return None):
-    the pinned decode audits (arith_decode_audit's `4_ar_dri.jpg` leg)
-    carry driver evidence that classifies DRI-spliced blobs as fakes, and
-    flipping their routing outside their driver-window round would break
-    the evidence union. Default flips when those audits rotate back into
-    the 50-entry window (arith_decode_audit: r12)."""
+    predictions and the DC conditioning state (E.2.4/F.1.4.0) — was
+    implemented in r11 (see _decode_arith_scan) behind
+    `allow_restart=False` while arith_decode_audit's `4_ar_dri.jpg` leg
+    still carried driver evidence pinning DRI blobs as fakes; the default
+    flipped to True in r12 when that audit rotated back into the driver
+    window with updated real-decode constants. `allow_restart=False` is
+    kept as an explicit opt-out for callers that need the old
+    fake-routing behavior."""
     import numpy as np
 
     from seo_audit_etl_actor_spark.multimodal.binary_ops import (

@@ -884,10 +884,13 @@ def q_arith_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       2_ar12_flat.jpg 8x8 flat 3210, SOF9 P=12   -> 3210>>4 = 200; 12800
       3_ar_color.jpg  16x16 flat 90, chroma (100,140), Y at (2,2)
                                                  -> 8x8 thumb of flat 90 -> 5760
-      4_ar_dri.jpg    blob 1 with DRI spliced before SOF9: restart
-                      intervals are out of scope -> fake
+      4_ar_dri.jpg    blob 1 with DRI (Ri=2) spliced before SOF9: an
+                      8x8 single-MCU stream, so zero RSTn markers fire —
+                      since the r12 gate flip the strict T.81 restart
+                      decode handles it REAL -> flat 200, thumb 12800
       5_ar10_prec.jpg blob 1 precision byte patched to 10 -> fake
-    thumb_checksum = 1*12800 + 2*12800 + 3*5760 = 55680; n_real = 3 of 5.
+    thumb_checksum = 1*12800 + 2*12800 + 3*5760 + 4*12800 = 106880;
+    n_real = 4 of 5.
     dims_checksum = sum of weight*(width*1000 + height) over ALL blobs
     (SOF9 carries dimensions like any SOFn, fake path included):
                   = 8008*(1+2+4+5) + 16016*3 = 144144.
@@ -943,8 +946,8 @@ def q_arith_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ARITH_DECODE_AUDIT = """
 SELECT CAST(5 AS BIGINT)      AS n_blobs,
-       CAST(3 AS BIGINT)      AS n_real,
-       CAST(55680 AS BIGINT)  AS thumb_checksum,
+       CAST(4 AS BIGINT)      AS n_real,
+       CAST(106880 AS BIGINT) AS thumb_checksum,
        CAST(144144 AS BIGINT) AS dims_checksum
 """
 

@@ -933,13 +933,12 @@ def test_jpeg_arith_gradient_noise_color_and_12bit():
     assert int(np.abs(dec.astype(int) - expected.astype(int)).max()) <= 1
 
 
-def test_jpeg_arith_dri_round_trip_behind_gate():
-    """r11: SOF9 restart intervals are IMPLEMENTED (strict T.81 restart:
-    per-segment QM + statistics + prediction re-init, RSTn cycling
-    validated) and exact against the fixtures encoder — but gated OFF by
-    default until arith_decode_audit rotates back into the driver window
-    (its 4_ar_dri.jpg leg pins DRI blobs as fakes; see
-    jpeg_arith.decode_jpeg_arith's docstring)."""
+def test_jpeg_arith_dri_round_trip():
+    """SOF9 restart intervals (strict T.81 restart: per-segment QM +
+    statistics + prediction re-init, RSTn cycling validated) are exact
+    against the fixtures encoder and — since the r12 gate flip — decode
+    real by DEFAULT; `allow_restart=False` remains an explicit opt-out
+    that fake-routes (see jpeg_arith.decode_jpeg_arith's docstring)."""
     import numpy as np
 
     from seo_audit_etl_actor_spark.multimodal import jpeg_arith as JA
@@ -961,9 +960,9 @@ def test_jpeg_arith_dri_round_trip_behind_gate():
         assert b"\xff\xdd" in data
         if fires:
             assert b"\xff\xd0" in data
-        # default gate: DRI streams still fake-route
-        assert JA.decode_jpeg_arith(data) is None
-        out = JA.decode_jpeg_arith(data, allow_restart=True)
+        # r12 default: DRI streams decode real; the opt-out fake-routes
+        assert JA.decode_jpeg_arith(data, allow_restart=False) is None
+        out = JA.decode_jpeg_arith(data)
         assert out is not None and np.array_equal(out, expected), (ri, samp)
     # 12-bit precision with restarts
     img12 = rng.integers(0, 4096, (16, 24)).astype(np.int64)
@@ -1039,10 +1038,13 @@ def test_jpeg_arith_out_of_scope_routes_to_fake():
 
     img = np.full((8, 8), 150, dtype=np.uint8)
     data, _ = FX.encode_jpeg_arith(img)
-    # restart intervals: DRI spliced before SOF9 must fake-route
+    # restart intervals: since the r12 gate flip a DRI segment spliced
+    # before SOF9 decodes REAL through the production route (single MCU,
+    # Ri=2 -> zero RSTn markers, plane unchanged)
     sof_at = data.index(b"\xff\xc9")
     dri = data[:sof_at] + b"\xff\xdd\x00\x04\x00\x02" + data[sof_at:]
-    assert B._decode_gray_pixels(dri) is None
+    dec_dri = B._decode_gray_pixels(dri)
+    assert dec_dri is not None and np.array_equal(dec_dri, img)
     # SOF9 marker patched to SOF10: its one scan has Ss=0, Se=63 — an
     # illegal progressive band, so the (r10-real) SOF10 path fake-routes
     assert B._decode_gray_pixels(data.replace(b"\xff\xc9", b"\xff\xca", 1)) is None
@@ -1253,12 +1255,16 @@ def test_jpeg_arith_progressive_out_of_scope_routes_to_fake():
     ten = bytearray(data)
     ten[sof_at + 4] = 10
     assert B._decode_gray_pixels(bytes(ten)) is None
-    # truncation to mid-scan-script must not crash
+    # truncation mid-final-scan-header is structural garbage -> None
     last_sos = data.rindex(b"\xff\xda")
-    assert B._decode_gray_pixels(data[: last_sos + 4]) is not None or True
-    # (a truncated FINAL refinement scan may still decode the earlier
-    # scans' plane — the assertion above only guards against crashes;
-    # structural garbage before the first scan must still None-route)
+    assert B._decode_gray_pixels(data[: last_sos + 4]) is None
+    # a FINAL refinement scan truncated right after its complete header
+    # (zero entropy bytes) still decodes the earlier scans' plane; this
+    # fixture is flat DC-only so the plane is already exact
+    hdr_end = last_sos + 2 + struct.unpack(">H", data[last_sos + 2 : last_sos + 4])[0]
+    trunc = B._decode_gray_pixels(data[:hdr_end])
+    assert trunc is not None and np.array_equal(trunc, img)
+    # structural garbage before the first scan must still None-route
     assert B._decode_gray_pixels(data[: data.index(b"\xff\xda") + 2]) is None
 
 
