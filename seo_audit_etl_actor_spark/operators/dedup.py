@@ -1017,6 +1017,68 @@ def simhash_wide_near_dup_pairs(
     return out
 
 
+# Narrow (60-bit) simhash is MEASURED wrong above ~1.5M docs: the 15-bit
+# band keyspace saturates (69.5% occupied at 15.8M docs, 2.68T analytic
+# candidates at m3160 — SCALE_STUDY_r10/r11) while the wide (120-bit)
+# keyspace sits at 0.19% occupancy with 56B analytic candidates on the
+# same corpus. The boundary below is set at the BANDING_LADDER tier-0
+# bound (100k docs), far under the measured saturation point, so the
+# narrow form is only ever chosen where it is provably safe AND the
+# driver correctness SFs (<=5k docs) keep selecting it — the static
+# DuckDB oracles written for the 60-bit fingerprint stay bit-identical.
+SIMHASH_WIDTH_BOUND = BANDING_LADDER[1][0]
+
+
+def choose_simhash_width(n_docs: int) -> int:
+    """Fingerprint width (bits) for a corpus of `n_docs`: 60 below
+    SIMHASH_WIDTH_BOUND, 120 at or above — the simhash twin of
+    `choose_banding` (same auto-tier contract; r12, closing VERDICT r11
+    gap #2: a naive caller at scale silently got the saturating 15-bit
+    band keyspace)."""
+    return SIMHASH_BITS if n_docs < SIMHASH_WIDTH_BOUND else SIMHASH_WIDE_BITS
+
+
+def simhash_near_dup_pairs_auto(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_members: int = MAX_BUCKET_MEMBERS,
+    early_verify: bool = True,
+) -> DataFrame:
+    """Width-routed simhash near-dup pairs: probe the corpus size (cached
+    `_probe_count`, same probe the minhash tiers use) and dispatch to the
+    60-bit operator below SIMHASH_WIDTH_BOUND or the 120-bit wide
+    operator at or above it. Both branches emit the same
+    (id_a, id_b, hamming) schema; hamming is measured over the chosen
+    fingerprint width. Semantics across the boundary follow the width
+    (that is the point — the narrow form's chance-collision pair volume
+    grows ~n² past saturation, SCALE_STUDY_r10)."""
+    width = choose_simhash_width(_probe_count(docs))
+    if width == SIMHASH_BITS:
+        return simhash_near_dup_pairs(
+            docs,
+            text_col,
+            id_col,
+            max_hamming,
+            width,
+            n_bands,
+            max_bucket_members,
+            early_verify=early_verify,
+        )
+    return simhash_wide_near_dup_pairs(
+        docs,
+        text_col,
+        id_col,
+        max_hamming,
+        width,
+        n_bands,
+        max_bucket_members,
+        early_verify,
+    )
+
+
 def ngram_jaccard_sample_pairs(
     docs: DataFrame,
     text_col: str = "text",

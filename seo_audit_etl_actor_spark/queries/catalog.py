@@ -55,6 +55,8 @@ class QuerySpec:
 # Never append below position 50 — that silently exempts the entry from the
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
+    # --- NEW: no driver evidence yet ---
+    QuerySpec("simhash_auto_near_dup", ext.q_simhash_auto_near_dup, ext.SQL_SIMHASH_AUTO_NEAR_DUP),
     # --- latest green: r8 ---
     QuerySpec("tpch_q3_shipping_priority", rel.q_tpch_q3_shipping_priority, rel.SQL_TPCH_Q3_SHIPPING_PRIORITY),
     QuerySpec("weekly_retention_cohorts", ev.q_weekly_retention_cohorts, ev.SQL_WEEKLY_RETENTION_COHORTS),

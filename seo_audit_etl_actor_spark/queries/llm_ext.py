@@ -521,6 +521,22 @@ ORDER BY id_a, id_b
 SQL_SIMHASH_NEAR_DUP = _sql_simhash_near_dup()
 
 
+def q_simhash_auto_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Width-routed simhash near-dup (`choose_simhash_width`, r12): the
+    cached corpus-count probe selects the 60-bit operator below 100k docs
+    and the 120-bit wide operator above — closing the last scale-unsafe
+    default in the dedup family (VERDICT r11 gap #2: narrow's 15-bit band
+    keyspace is 69.5% occupied at 15.8M docs). At the driver SFs
+    (<=5k docs) the probe lands in the narrow tier, so the result — and
+    the oracle — are exactly simhash_near_dup's; the wide route is pinned
+    by the tier tests in tests/test_hot_bucket.py."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_near_dup_pairs_auto(docs)
+
+
+SQL_SIMHASH_AUTO_NEAR_DUP = SQL_SIMHASH_NEAR_DUP
+
+
 def q_simhash_wide_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 120-bit SimHash as two 60-bit BIGINT words (both from ONE
     md5 per token — hex chars 1-15 / 16-30). The r11 fix for the measured
@@ -1123,16 +1139,34 @@ def q_ann_probe_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two Spark paths hash-fails the row.
 
     At every driver SF (20 / 200 / 2000 vectors) the policy floors at
-    8 planes, and target 0.9 at neighbor cosine 0.8 gives max_hamming=3,
-    16 cells, nprobe=11 — static, so the oracle hard-codes them (the
-    banding-ladder tier-0 idiom). The sub-linear scan-fraction story at
-    growing plane counts is measured in SCALE_STUDY_r11 (tools/ann_recall)."""
+    8 planes, and target 0.9 at neighbor cosine 0.8 gives max_hamming=3
+    and — under the r12 RANKED-probing IVF model (ranked_probe_recall,
+    replacing the r11 binomial-ball bound the study measured ~8-16x
+    conservative) — 16 cells probed exhaustively (nprobe=16, recall
+    exactly 1: the ranked k with safety exceeds the tiny tier-0 codebook,
+    and probing every cell is brute force). Static, so the oracle
+    hard-codes them (the banding-ladder tier-0 idiom). Because the
+    driver-SF knob is the degenerate case, the row ALSO pins the model at
+    the two measured production rungs — choose_probes(200k) and
+    choose_probes(2M) evaluated in-query, so the MODEL code (not just
+    this row's constants) hash-fails if it drifts: nprobe 23/512 cells =
+    4.49% modeled scan at 200k and 23/4096 = 0.56% at 2M (vs the r11
+    ball's 130/512 = 25.4%), modeled recall 0.9236 at the 0.8 band.
+    Measured validation lives in SCALE_STUDY_r12 (tools/ann_recall)."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     n_vecs = emb.count()
     pol = similarity.choose_probes(
         n_vecs, _POLICY_TARGET_RECALL, _POLICY_NEIGHBOR_COS
     )
     pl, h = pol["n_planes"], pol["max_hamming"]
+    # production-rung model pins (pure model evaluation — deterministic
+    # in the literals, so the oracle can hard-code the outputs)
+    pol200k = similarity.choose_probes(
+        200_000, _POLICY_TARGET_RECALL, _POLICY_NEIGHBOR_COS
+    )
+    pol2m = similarity.choose_probes(
+        2_000_000, _POLICY_TARGET_RECALL, _POLICY_NEIGHBOR_COS
+    )
 
     # The bucket column is one giant literal expression (planes x dim
     # multiply-add terms); the audit runs several jobs over it (count,
@@ -1201,6 +1235,22 @@ def q_ann_probe_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(h).cast("int").alias("max_hamming"),
             F.lit(pol["n_cells"]).cast("int").alias("n_cells"),
             F.lit(pol["nprobe"]).cast("int").alias("nprobe"),
+            F.lit(pol["ivf_expected_recall_x1e6"])
+            .cast("long")
+            .alias("ivf_recall_x1e6"),
+            F.lit(pol200k["n_cells"]).cast("int").alias("n_cells_200k"),
+            F.lit(pol200k["nprobe"]).cast("int").alias("nprobe_200k"),
+            F.lit(pol200k["ivf_expected_recall_x1e6"])
+            .cast("long")
+            .alias("ivf_recall_x1e6_200k"),
+            F.lit(pol200k["ivf_expected_scan_frac_x1e6"])
+            .cast("long")
+            .alias("ivf_scan_frac_x1e6_200k"),
+            F.lit(pol2m["n_cells"]).cast("int").alias("n_cells_2m"),
+            F.lit(pol2m["nprobe"]).cast("int").alias("nprobe_2m"),
+            F.lit(pol2m["ivf_expected_scan_frac_x1e6"])
+            .cast("long")
+            .alias("ivf_scan_frac_x1e6_2m"),
             F.lit(pol["lsh_expected_recall_x1e6"])
             .cast("long")
             .alias("expected_recall_x1e6"),
@@ -1221,8 +1271,10 @@ def _sql_ann_probe_policy_audit(
     dim: int = EMB_DIM, qid: int = _QUERY_VEC_ID, max_hamming: int = 3
 ) -> str:
     # policy constants for every driver SF (choose_probes floors at 8
-    # planes; target 0.9 @ cosine 0.8 -> h=3, 16 cells, nprobe 11; model
-    # expectations binom-cdf exact): pinned as literals, like the banding
+    # planes; target 0.9 @ cosine 0.8 -> h=3; the r12 ranked-probing IVF
+    # leg caps at the 16-cell tier-0 codebook -> nprobe 16, recall 1) and
+    # the production-rung model pins (200k -> 23/512, 2M -> 23/4096,
+    # modeled recall 923583 x1e6): pinned as literals, like the banding
     # ladder's tier-0 oracle
     def chain(a: str, b: str) -> str:
         return " + ".join(
@@ -1251,7 +1303,15 @@ SELECT CAST(n.n_vecs AS BIGINT) AS n_vecs,
        8 AS n_planes,
        {max_hamming} AS max_hamming,
        16 AS n_cells,
-       11 AS nprobe,
+       16 AS nprobe,
+       CAST(1000000 AS BIGINT) AS ivf_recall_x1e6,
+       512 AS n_cells_200k,
+       23 AS nprobe_200k,
+       CAST(923583 AS BIGINT) AS ivf_recall_x1e6_200k,
+       CAST(44922 AS BIGINT) AS ivf_scan_frac_x1e6_200k,
+       4096 AS n_cells_2m,
+       23 AS nprobe_2m,
+       CAST(5615 AS BIGINT) AS ivf_scan_frac_x1e6_2m,
        CAST(939177 AS BIGINT) AS expected_recall_x1e6,
        CAST(363281 AS BIGINT) AS expected_scan_frac_x1e6,
        CAST(s.scanned_rows AS BIGINT) AS scanned_rows,

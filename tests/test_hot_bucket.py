@@ -213,3 +213,39 @@ def test_simhash_wide_submask_partition_property():
                     assert m & m2 == 0
                 union |= m
             assert union == ((1 << wb) - 1) & ~band_mask
+
+
+def test_choose_simhash_width_tiers():
+    """Width auto-tier (r12): narrow only below the BANDING_LADDER tier-0
+    bound — the driver correctness SFs (<=5k docs) must keep the 60-bit
+    form so the static DuckDB oracles stay bit-identical, and everything
+    at or above 100k docs (far under the measured ~1.5M saturation point)
+    must get the 120-bit keyspace."""
+    assert dedup.SIMHASH_WIDTH_BOUND == dedup.BANDING_LADDER[1][0] == 100_000
+    for n in (0, 1, 5_000, 99_999):
+        assert dedup.choose_simhash_width(n) == dedup.SIMHASH_BITS
+    for n in (100_000, 1_500_000, 15_800_000):
+        assert dedup.choose_simhash_width(n) == dedup.SIMHASH_WIDE_BITS
+
+
+def test_simhash_auto_routes_narrow_below_bound(spark):
+    """Below the bound the auto router's output is EXACTLY the narrow
+    operator's — same pairs, same hamming values (the catalog row
+    simhash_auto_near_dup relies on this to reuse the narrow oracle)."""
+    rows = [(i, f"document {i % 7} body repeated words alpha beta gamma {i % 3}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    auto = [tuple(r) for r in dedup.simhash_near_dup_pairs_auto(docs).collect()]
+    narrow = [tuple(r) for r in dedup.simhash_near_dup_pairs(docs).collect()]
+    assert auto == narrow and len(auto) > 0
+
+
+def test_simhash_auto_routes_wide_above_bound(spark, monkeypatch):
+    """Above the bound (forced low so a unit-sized corpus crosses it) the
+    router must dispatch to the wide operator — bit-identical pairs AND
+    wide hamming values."""
+    rows = [(i, f"document {i % 7} body repeated words alpha beta gamma {i % 3}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    monkeypatch.setattr(dedup, "SIMHASH_WIDTH_BOUND", 10)
+    auto = [tuple(r) for r in dedup.simhash_near_dup_pairs_auto(docs).collect()]
+    wide = [tuple(r) for r in dedup.simhash_wide_near_dup_pairs(docs).collect()]
+    assert auto == wide and len(auto) > 0
