@@ -485,12 +485,40 @@ def cosine_topk_rerank(
 # target 0.9): 2k vecs -> 8 planes, h=2, scan 14.4%; 200k -> 12 planes,
 # h=3, scan 7.3%; 20M -> 19 planes, h=5, scan 3.2%.
 #
-# IVF leg: the same separation model applied to the cell code's
-# b = log2(n_cells) implicit binary splits — nprobe = |hamming-<=h ball| =
-# sum C(b, i<=h) cells, probed in centroid-similarity order
-# (cosine_topk_ivf already ranks cells); expected scan fraction ~
-# nprobe/n_cells under the equal-mass-cell assumption (the honest caveat:
-# real cells are unequal; the measured fractions live in SCALE_STUDY_r11).
+# IVF leg (r12 — REPLACED the r11 binomial-ball bound): nprobe is sized
+# from the RANKED-probing model, because that is what cosine_topk_ivf
+# actually does — probe the nprobe cells whose centroids are most similar
+# to the query, not a hamming ball over the cell code. The r11 study
+# measured the ball bound ~8-16x conservative (nprobe=4/512 already gave
+# 0.88 recall at 0.84% scan vs the ball's 130/512 = 25%;
+# SCALE_STUDY_r11.json:ann_recall) — at 100 TB that bound was the
+# engine's largest standing cost error (VERDICT r11 gap #1).
+#
+# Model: recall(k) = P(rank of the neighbor's cell in the query's
+# centroid-cosine ordering <= k). With the codebook data-sampled and
+# choose_ivf_cells holding cells near IVF_TARGET_CELL_SIZE members, the
+# measured rank curves are nearly scale-free in n_cells (m10 vs m100
+# rungs agree point-for-point at equal ABSOLUTE k), so rank is modeled
+# log-normal with spread driven by the same Charikar separation
+# probability p = arccos(c)/pi as the LSH leg:
+#   P(rank <= k) = Phi((ln k - RANKED_MU) / sigma),
+#   sigma = RANKED_SIGMA0 + RANKED_SIGMA_SLOPE * p
+# Constants calibrated on the r11 graded corpus's m100 rung (512 cells,
+# 200k vecs, 128 trials/band — the rung whose cells sit at the target
+# size): fitted curves reproduce every measured point within ~3pp across
+# all three cosine bands. nprobe = ceil(RANKED_SAFETY * smallest k
+# meeting the target), the safety margin absorbing band-to-band fit
+# error; capped at n_cells (cap reached -> exhaustive, recall exactly 1).
+# Expected scan fraction stays nprobe/n_cells under the equal-mass-cell
+# assumption (honest caveat: real cells are unequal; measured fractions
+# live in the SCALE_STUDY files). Second caveat: above
+# IVF_MAX_CELLS * IVF_TARGET_CELL_SIZE (~42M) vectors the codebook cap
+# grows cells past the calibrated size, so the model drifts conservative
+# territory unknown — recalibrate before quoting it there.
+RANKED_MU = -1.25
+RANKED_SIGMA0 = 0.2
+RANKED_SIGMA_SLOPE = 14.0
+RANKED_SAFETY = 1.5
 LSH_TARGET_BUCKET_SIZE = 64
 LSH_MIN_PLANES = 8
 LSH_MAX_PLANES = 20
@@ -508,6 +536,43 @@ def lsh_separation_prob(neighbor_cosine: float) -> float:
     from math import acos, pi
 
     return acos(max(-1.0, min(1.0, neighbor_cosine))) / pi
+
+
+def ranked_probe_recall(nprobe: int, neighbor_cosine: float) -> float:
+    """Modeled probability that ranked centroid probing of `nprobe` cells
+    reaches a neighbor at the given cosine: the log-normal rank law above
+    (calibrated on SCALE_STUDY_r11's m100 graded rung)."""
+    from math import erf, log, sqrt
+
+    if nprobe < 1:
+        return 0.0
+    p = lsh_separation_prob(neighbor_cosine)
+    sigma = RANKED_SIGMA0 + RANKED_SIGMA_SLOPE * p
+    z = (log(nprobe) - RANKED_MU) / sigma
+    return 0.5 * (1.0 + erf(z / sqrt(2.0)))
+
+
+def choose_ranked_nprobe(
+    n_cells: int, target_recall: float, neighbor_cosine: float
+) -> int:
+    """Smallest nprobe whose modeled ranked-probing recall meets the
+    target, times RANKED_SAFETY, capped at n_cells. Deterministic in its
+    arguments (monotone model -> exponential + binary search)."""
+    from math import ceil
+
+    if ranked_probe_recall(n_cells, neighbor_cosine) < target_recall:
+        return n_cells  # even exhaustive modeled short: probe everything
+    hi = 1
+    while hi < n_cells and ranked_probe_recall(hi, neighbor_cosine) < target_recall:
+        hi *= 2
+    lo = max(1, hi // 2)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if ranked_probe_recall(mid, neighbor_cosine) >= target_recall:
+            hi = mid
+        else:
+            lo = mid + 1
+    return min(n_cells, ceil(RANKED_SAFETY * hi))
 
 
 def choose_lsh_planes(n_vecs: int, target_bucket: int = LSH_TARGET_BUCKET_SIZE) -> int:
@@ -549,15 +614,17 @@ def choose_probes(
     lsh_recall = _binom_cdf(max_hamming, n_planes, p)
     lsh_scan = _binom_cdf(max_hamming, n_planes, 0.5)
 
-    from math import comb, log2
-
     if n_cells is None:
         n_cells = choose_ivf_cells(n_vecs)
-    b = max(1, int(round(log2(n_cells))))
-
-    h_ivf = next(h for h in range(b + 1) if _binom_cdf(h, b, p) >= target_recall)
-    nprobe = min(n_cells, sum(comb(b, i) for i in range(h_ivf + 1)))
-    ivf_recall = _binom_cdf(h_ivf, b, p)
+    # r12: ranked-probing model (see the calibration block above) — the
+    # r11 binomial-ball bound here over-provisioned nprobe ~8-16x vs the
+    # measured ranked curves because cosine_topk_ivf probes cells in
+    # centroid-similarity order, not a hamming ball over the cell code.
+    nprobe = choose_ranked_nprobe(n_cells, target_recall, neighbor_cosine)
+    # probing every cell IS brute force — recall exactly 1 by definition
+    ivf_recall = (
+        1.0 if nprobe >= n_cells else ranked_probe_recall(nprobe, neighbor_cosine)
+    )
     ivf_scan = nprobe / n_cells
 
     return {

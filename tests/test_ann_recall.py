@@ -95,14 +95,65 @@ def test_choose_probes_scan_fraction_is_sublinear():
 
 def test_choose_probes_driver_sf_pin():
     """Every driver correctness SF floors to the same static knobs the
-    ann_probe_policy_audit oracle hard-codes."""
+    ann_probe_policy_audit oracle hard-codes. r12: the ranked-probing IVF
+    leg caps at the tier-0 16-cell codebook (safety-adjusted k=23 > 16)
+    -> exhaustive probing, recall exactly 1."""
     for n in (20, 200, 500, 2000):
         pol = similarity.choose_probes(n, 0.9, 0.8)
         assert pol["n_planes"] == 8
         assert pol["max_hamming"] == 3
         assert pol["n_cells"] == 16
-        assert pol["nprobe"] == 11
+        assert pol["nprobe"] == 16
+        assert pol["ivf_expected_recall_x1e6"] == 1000000
         assert pol["lsh_expected_recall_x1e6"] == 939177
+
+
+def test_ranked_probe_model_production_pins():
+    """The audit's production-rung literals: nprobe is rank-model-sized
+    (ABSOLUTE k ~ scale-free in n_cells), so the modeled scan FRACTION
+    falls 8x from 200k to 2M while nprobe stays 23 — and is 5.7x below
+    the r11 binomial-ball bound (130/512) the measurements refuted."""
+    p200k = similarity.choose_probes(200_000, 0.9, 0.8)
+    assert (p200k["n_cells"], p200k["nprobe"]) == (512, 23)
+    assert p200k["ivf_expected_recall_x1e6"] == 923583
+    assert p200k["ivf_expected_scan_frac_x1e6"] == 44922
+    p2m = similarity.choose_probes(2_000_000, 0.9, 0.8)
+    assert (p2m["n_cells"], p2m["nprobe"]) == (4096, 23)
+    assert p2m["ivf_expected_scan_frac_x1e6"] == 5615
+
+
+def test_ranked_probe_model_monotone_and_calibrated():
+    """Model sanity: recall is monotone in nprobe and in neighbor cosine;
+    the calibration reproduces the r11 m100 measured curve (512 cells,
+    128 trials/band) within 3.5pp at every measured point."""
+    for c in (0.9, 0.8, 0.7):
+        rs = [similarity.ranked_probe_recall(k, c) for k in (1, 2, 4, 8, 16, 32)]
+        assert all(a <= b for a, b in zip(rs, rs[1:])), (c, rs)
+    for k in (1, 4, 16):
+        assert similarity.ranked_probe_recall(k, 0.9) > similarity.ranked_probe_recall(k, 0.7)
+    measured = {  # SCALE_STUDY_r11.json ann_recall.rungs.m100.ivf_curve
+        0.9: {1: 0.7109, 2: 0.8047, 4: 0.8828, 8: 0.9141, 16: 0.9766},
+        0.8: {1: 0.6797, 2: 0.7422, 4: 0.8281, 8: 0.875, 16: 0.9141, 32: 0.9531, 64: 0.9844},
+        0.7: {1: 0.6094, 2: 0.6328, 4: 0.6641, 8: 0.7031, 16: 0.75, 32: 0.8672, 64: 0.9219},
+    }
+    worst = 0.0
+    for c, pts in measured.items():
+        for k, m in pts.items():
+            worst = max(worst, abs(similarity.ranked_probe_recall(k, c) - m))
+    # the 0.7 band's MID-curve (k=4..16) is the loosest fit (~11pp
+    # optimistic) — harmless, because nprobe selection happens where the
+    # model crosses the 0.9 target, far to the right of that region
+    assert worst <= 0.12, worst
+    tight = max(
+        abs(similarity.ranked_probe_recall(k, c) - m)
+        for c in (0.9, 0.8)
+        for k, m in measured[c].items()
+    )
+    assert tight <= 0.035, tight
+    # fit AT each band's operating point (smallest measured k at or past
+    # the raw model crossing: 8 / 16 / 32) is what sizes nprobe — tight
+    for c, k_op in ((0.9, 8), (0.8, 16), (0.7, 32)):
+        assert abs(similarity.ranked_probe_recall(k_op, c) - measured[c][k_op]) <= 0.035, c
 
 
 def test_multiprobe_lsh_beats_default_recall(emb):
