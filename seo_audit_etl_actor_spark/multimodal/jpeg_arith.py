@@ -997,7 +997,24 @@ def decode_jpeg_arith_lossless(data: bytes):
     (restart intervals — the one remaining documented fake in the
     arithmetic family; Ss outside 1-7; precision outside 8-16). Mirrors
     `_decode_jpeg_lossless`'s MCU walk, predictor boundary rules and
-    output contract exactly."""
+    output contract exactly.
+
+    Plausibility gate (r12, ADVICE r11): the H.1.2.2 statistics-bin
+    LAYOUT here is a self-defined convention validated against this
+    repo's own encoder — a real-world stream using a different layout
+    would QM-decode "successfully" into random differences. The gate
+    catches that: for a CONFORMING stream at precision-pt <= 15 every
+    reconstructed sample px+diff lies exactly in [0, 2^(P-pt)) (T.81
+    H.1.1.1 computes differences modulo 2^16, whose minimal signed
+    representative IS the true difference whenever |sample-pred| <
+    2^15), so ANY pre-wrap out-of-range sample proves the decode model
+    mismatched and the stream routes to None (-> the documented fake,
+    real_decode=false) instead of returning garbage flagged real. With
+    random diffs a sample stays in range with probability ~2^(P-pt)/2^16
+    (~0.4% at P=8), so mismatched streams trip within a handful of
+    samples. At precision-pt == 16 the wrap is semantically load-bearing
+    (every value is valid modulo 2^16) and the gate necessarily stands
+    down — 16-bit lossless keeps only the encoder-twin validation."""
     import numpy as np
 
     from seo_audit_etl_actor_spark.multimodal.binary_ops import _jpeg_upsample_y
@@ -1099,6 +1116,10 @@ def decode_jpeg_arith_lossless(data: bytes):
         default = 1 << (precision - pt - 1)
         dec = QMDecoder(data[ecs_start:])
         ll_stats: dict[int, list] = {}
+        # plausibility gate bound (see docstring): exclusive sample
+        # ceiling on the point-transformed domain; None disables the
+        # gate at the 16-bit depth where mod-2^16 wrap is load-bearing
+        sample_ceil = (1 << (precision - pt)) if precision - pt < 16 else None
         for my in range(mcuy):
             for mx in range(mcux):
                 for cid, h, v in order:
@@ -1136,8 +1157,23 @@ def decode_jpeg_arith_lossless(data: bytes):
                                     else b + ((a - c) >> 1) if psv == 6
                                     else (a + b) >> 1
                                 )
-                            g[row, col] = (px + diff) & 0xFFFF
+                            val = px + diff
+                            if sample_ceil is not None and not 0 <= val < sample_ceil:
+                                return None  # plausibility gate (docstring)
+                            g[row, col] = val & 0xFFFF
                             d[row, col] = diff
+        # plausibility gate, consumption leg: a conforming stream's
+        # entropy data is consumed to within flush slack (this repo's
+        # encoder leaves EXACTLY 4 bytes: 2 flush + the unread EOI;
+        # T.81 fill bytes before a marker are legal, so 0xFF runs are
+        # excused). A mismatched stats-bin layout decodes a different
+        # DECISION COUNT, leaving either a large unconsumed tail
+        # (caught here) or running into the D.2 1-pad, whose all-ones
+        # bits blow up decoded magnitudes and trip the range leg above.
+        ecs = data[ecs_start:]
+        tail = len(ecs) - dec._src._pos
+        if tail > 16 and sum(b != 0xFF for b in ecs[dec._src._pos : -2]) > 4:
+            return None
     except (ValueError, IndexError, struct.error):
         return None
 

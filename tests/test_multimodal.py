@@ -1347,3 +1347,33 @@ def test_jpeg_arith_lossless_out_of_scope_routes_to_fake():
     # structural garbage: SOS before SOF
     nosof = data[:sof_at] + data[data.index(b"\xff\xda"):]
     assert B._decode_gray_pixels(nosof) is None
+
+
+def test_jpeg_arith_lossless_plausibility_gate():
+    """r12 (ADVICE r11): the SOF11 stats-bin layout is a self-defined
+    convention — a real-world stream with a DIFFERENT layout QM-decodes
+    'successfully' into random differences. The gate must route such
+    streams to None (-> documented fake, real_decode=false) instead of
+    returning a garbage plane flagged real: the consumption leg catches
+    under-consumed entropy tails, the range leg catches the magnitude
+    blowup when the decoder runs into the D.2 1-pad."""
+    import numpy as np
+
+    grad = (np.add.outer(np.arange(16), np.arange(16)) * 2).astype(np.int64)
+    data, _ = FX.encode_jpeg_arith_lossless(grad)
+    sos = data.index(b"\xff\xda")
+    ecs_start = sos + 2 + struct.unpack(">H", data[sos + 2 : sos + 4])[0]
+    # foreign entropy body (deterministic, marker-free) -> tail leg
+    rng = np.random.default_rng(3)
+    foreign = bytes(int(x) for x in rng.integers(0, 256, 400)).replace(b"\xff", b"\x7f")
+    assert B._decode_gray_pixels(data[:ecs_start] + foreign + b"\xff\xd9") is None
+    # entropy body far too SHORT for the sample count -> 1-pad magnitude
+    # blowup -> range leg
+    assert B._decode_gray_pixels(data[:ecs_start] + bytes(8) + b"\xff\xd9") is None
+    # conforming streams must be untouched by the gate, including the
+    # fill-byte allowance (0xFF run before EOI is legal T.81 padding)
+    ok = B._decode_gray_pixels(data)
+    assert ok is not None and np.array_equal(ok, grad.astype(np.uint8))
+    padded = data[: len(data) - 2] + b"\xff" * 24 + b"\xff\xd9"
+    okp = B._decode_gray_pixels(padded)
+    assert okp is not None and np.array_equal(okp, grad.astype(np.uint8))
