@@ -46,20 +46,35 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k against one stored vector.
 
-    The single-row query side is broadcast (explicit hint), so the scan side
-    streams map-only — no shuffle until the final TakeOrderedAndProject,
-    which is Spark's distributed top-k (per-partition heads, then merge).
-    """
-    q = embeddings.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("__qvec")
-    )
-    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    With `dim` (r12 fast path) the query vector is fetched driver-side
+    (one early-stopping lookup) and inlined as a literal codegen chain
+    (cosine_query_cols — bit-identical to the HOF fold AND to the
+    oracle), so the corpus pass is ONE map-only WholeStageCodegen scan
+    feeding TakeOrderedAndProject — Spark's distributed top-k
+    (per-partition heads, then merge). Without `dim` the dim-agnostic
+    HOF path broadcasts the single-row query side instead (which costs a
+    BroadcastNestedLoopJoin that breaks codegen — interpreted chain
+    evaluation; fine for small corpora)."""
+    if dim:
+        q_row = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()
+        if q_row is None:
+            return embeddings.where(F.lit(False)).select(
+                F.col(id_col), F.lit(0.0).alias("cosine_sim")
+            )
+        sim = cosine_query_cols(vec_col, [float(x) for x in q_row[0]])
+        scan = embeddings
+    else:
+        q = embeddings.where(F.col(id_col) == query_vec_id).select(
+            F.col(vec_col).alias("__qvec")
+        )
+        sim = cosine(F.col(vec_col), F.col("__qvec"))
+        scan = embeddings.crossJoin(F.broadcast(q))
     return (
-        embeddings.crossJoin(F.broadcast(q))
-        .where(F.col(id_col) != query_vec_id)
+        scan.where(F.col(id_col) != query_vec_id)
         .select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -95,6 +110,59 @@ def _dot_sql(vec_sql: str, weights: list[float]) -> str:
         for j, w in enumerate(weights)
     ]
     return "(0.0D + " + " + ".join(terms) + ")"
+
+
+def dot_cols_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    """Unrolled dot product of two array COLUMNS as one SQL string —
+    whole-stage-codegen arithmetic replacing the F.aggregate/zip_with HOF
+    fold (CodegenFallback: one interpreted lambda eval per element, which
+    the r12 2M-vector sf0.1 bench corpus exposed at ~10 s/query/pass).
+    The chain is the same left-assoc sequence as the fold, INCLUDING the
+    0.0 seed, so every double is bit-identical to `dot` and to the DuckDB
+    oracle chains."""
+    terms = [
+        f"CAST(element_at({a_sql}, {j}) AS DOUBLE)*CAST(element_at({b_sql}, {j}) AS DOUBLE)"
+        for j in range(1, dim + 1)
+    ]
+    return "(0.0D + " + " + ".join(terms) + ")"
+
+
+def cosine_cols(a_sql: str, b_sql: str, dim: int) -> Column:
+    """Codegen-chain cosine between two array columns (bit-identical to
+    `cosine`; see dot_cols_sql)."""
+    return F.expr(
+        f"{dot_cols_sql(a_sql, b_sql, dim)}"
+        f" / (SQRT({dot_cols_sql(a_sql, a_sql, dim)})"
+        f" * SQRT({dot_cols_sql(b_sql, b_sql, dim)}))"
+    )
+
+
+def cosine_query_cols(vec_sql: str, qvec: list[float]) -> Column:
+    """Cosine of an array column against a DRIVER-SIDE query vector,
+    emitted as one literal-weight codegen chain (the lsh_bucket pattern).
+
+    Bit-identical to the oracle's chain: the numerator terms multiply the
+    cast element by the literal double (same value CAST(e[j] AS DOUBLE)
+    produces), the column norm is the unrolled self-chain, and the query
+    norm is folded left-assoc in Python (IEEE doubles, same order) with
+    math.sqrt (correctly rounded — identical to SQL SQRT).
+
+    The point vs the crossJoin(broadcast(q)) form: a BroadcastNestedLoop
+    join breaks whole-stage codegen, so every downstream chain term runs
+    INTERPRETED (~15 µs/row at dim 64 — the r12 2M-vector corpus exposed
+    it at ~20 s/query); the literal chain keeps the whole scan inside one
+    WholeStageCodegen stage (~1 µs/row, scan-bound).
+    """
+    import math
+
+    nq = 0.0
+    for y in qvec:
+        nq = nq + float(y) * float(y)
+    return F.expr(
+        f"({_dot_sql(vec_sql, [float(y) for y in qvec])})"
+        f" / (SQRT({dot_cols_sql(vec_sql, vec_sql, len(qvec))})"
+        f" * ({math.sqrt(nq)!r}D))"
+    )
 
 
 def lsh_bucket(vec_sql: str, dim: int, n_planes: int = 8) -> Column:
@@ -148,40 +216,104 @@ def cosine_scores_pandas(
     return embeddings.select(F.col(id_col), score(F.col(vec_col)).alias("cosine_sim"))
 
 
-def embedding_near_dup_pairs(
+def rep_collapse(
     embeddings: DataFrame,
-    threshold: float = 0.95,
-    modulus: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs over a deterministic id-sample
-    (id % modulus == 0): all pairs with cosine ≥ threshold.
+    """Collapse numerically-equal vectors to representatives: one row per
+    distinct embedding, carrying rep_id = MIN(id) and n_copies.
 
-    The exact all-pairs form is the verification baseline (quadratic by
-    design, sample-bounded); the full-corpus scale path is the same
-    predicate applied inside LSH buckets (lsh_bucket) or IVF cells
-    (assign_ivf_cells) — candidate generation identical to the text
-    near-dup pipelines in operators/dedup.py.
+    This is the replica-corpus workhorse (r12): every copy of a vector
+    gets the SAME cell assignment, the SAME pairwise cosine to any other
+    vector, and the SAME per-vector derived values — all downstream
+    arithmetic depends only on the numeric element values, so cell/pair
+    work done once per representative is bit-identical to doing it per
+    copy. (Spark normalizes -0.0/NaN in grouping keys, so grouped rows are
+    numerically equal elementwise — exactly the precondition.) On an
+    all-distinct corpus the collapse is an identity with one extra
+    shuffle; on the 2M-row 1000×-replica bench corpus it shrinks the
+    vector-math domain 1000×.
     """
+    return embeddings.groupBy(vec_col).agg(
+        F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# Scale-aware sample modulus for the brute-force pair baseline (r12; same
+# tier discipline as choose_ivf_cells). Tier 0 pins modulus=5 so the static
+# DuckDB oracle stays exact at every driver correctness SF; above it the
+# modulus doubles until the sampled-rep count is bounded, keeping the
+# all-pairs verification quadratic at a constant ~EMB_SAMPLE_TARGET² work
+# regardless of corpus size.
+EMB_SAMPLE_TIER0_MAX_REPS = 20_000
+EMB_SAMPLE_TARGET = 4_000
+
+
+def choose_sample_modulus(n_reps: int) -> int:
+    m = 5
+    while n_reps / m > EMB_SAMPLE_TARGET and m < (1 << 40):
+        m *= 2
+    return m
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    modulus: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at REPRESENTATIVE level over a
+    deterministic rep-id sample (rep_id % modulus == 0): all rep pairs with
+    cosine ≥ threshold, plus one self row per duplicated representative.
+
+    r12 redesign for replica-heavy corpora: vectors are first collapsed to
+    distinct representatives (rep_collapse), the sample is taken over
+    rep_ids, and each emitted row carries n_pairs — the number of
+    underlying copy pairs it stands for (n_a×n_b across two reps;
+    C(n,2) within one). On an all-distinct corpus this is the old
+    copy-level output with n_pairs=1 and no self rows; on the 2M-row
+    bench corpus the old form's 400k-row sample (1.6·10¹¹ pairs) becomes
+    a ~550-rep sample. The exact all-pairs form remains the verification
+    baseline (quadratic by design, sample-bounded); the full-corpus scale
+    path is the same predicate inside LSH buckets or IVF cells.
+    """
+    reps = rep_collapse(embeddings, id_col, vec_col).localCheckpoint(eager=True)
+    if modulus is None:
+        modulus = choose_sample_modulus(reps.count())
     # norms precomputed once per vector, not once per pair (same doubles —
     # a vector's norm is pair-independent; the per-pair work drops to one
     # dot product)
-    sample = embeddings.where(F.col(id_col) % modulus == 0).select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("n", norm(F.col("v")))
+    sample = (
+        reps.where(F.col("rep_id") % modulus == 0)
+        .select("rep_id", "n_copies", _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", norm(F.col("v")))
+    )
     a, b = sample.alias("a"), sample.alias("b")
     sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    cross = (
+        a.join(b, F.col("a.rep_id") < F.col("b.rep_id"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.rep_id").alias("id_a"),
+            F.col("b.rep_id").alias("id_b"),
             sim.alias("cosine_sim"),
+            (F.col("a.n_copies") * F.col("b.n_copies")).cast("long").alias("n_pairs"),
         )
         .where(F.col("cosine_sim") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    selfsim = dot(F.col("v"), F.col("v")) / (F.col("n") * F.col("n"))
+    selfrows = (
+        sample.where(F.col("n_copies") > 1)
+        .select(
+            F.col("rep_id").alias("id_a"),
+            F.col("rep_id").alias("id_b"),
+            selfsim.alias("cosine_sim"),
+            F.expr("CAST(n_copies * (n_copies - 1) DIV 2 AS BIGINT)").alias("n_pairs"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    return cross.unionByName(selfrows).orderBy("id_a", "id_b")
 
 
 # Scale-aware IVF codebook sizing (round 5; same discipline as dedup's
@@ -299,6 +431,16 @@ def embedding_near_dup_ivf_pairs(
     recall trade-off); identical vectors always share a cell, so exact
     duplicates are never missed.
 
+    r12 redesign: the pair predicate runs at REPRESENTATIVE level
+    (rep_collapse — identical vectors share a cell and every copy pair
+    shares the rep pair's cosine), and each row carries n_pairs, the
+    number of underlying copy pairs it stands for (n_a×n_b across reps,
+    C(n,2) within one). On an all-distinct corpus this is the old
+    copy-level output with n_pairs=1 and no self rows; on the 2M-row
+    1000×-replica bench corpus the old form's exact answer is ~10⁹
+    materialized rows — the rep form carries the same information in
+    ~10³.
+
     The localCheckpoint materializes the assignment once — the inner
     join's per-side projection would otherwise re-run the Arrow argmax UDF
     per consumer. At production scale this IS the persisted
@@ -308,10 +450,19 @@ def embedding_near_dup_ivf_pairs(
         # column-pruned count: parquet row-group metadata only, sub-second
         # at any corpus size
         n_cells = choose_ivf_cells(embeddings.count())
-    assigned = assign_ivf_cells(embeddings, n_cells, id_col, vec_col)
+    centroids = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.where(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    ]
+    reps = rep_collapse(embeddings, id_col, vec_col)
+    assigned = assign_ivf_cells(reps, n_cells, "rep_id", vec_col, centroids)
     v = (
         assigned.select(
-            F.col(id_col),
+            "rep_id",
+            "n_copies",
             F.col("__cell").alias("cell"),
             _as_double(F.col(vec_col)).alias("v"),
         )
@@ -320,20 +471,110 @@ def embedding_near_dup_ivf_pairs(
     )
     a, b = v.alias("a"), v.alias("b")
     sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
-    return (
+    cross = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.rep_id") < F.col("b.rep_id")),
         )
         .select(
             F.col("a.cell").alias("cell"),
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.rep_id").alias("id_a"),
+            F.col("b.rep_id").alias("id_b"),
             sim.alias("cosine_sim"),
+            (F.col("a.n_copies") * F.col("b.n_copies")).cast("long").alias("n_pairs"),
         )
         .where(F.col("cosine_sim") >= threshold)
-        .orderBy("id_a", "id_b")
+    )
+    selfsim = dot(F.col("v"), F.col("v")) / (F.col("n") * F.col("n"))
+    selfrows = (
+        v.where(F.col("n_copies") > 1)
+        .select(
+            F.col("cell"),
+            F.col("rep_id").alias("id_a"),
+            F.col("rep_id").alias("id_b"),
+            selfsim.alias("cosine_sim"),
+            F.expr("CAST(n_copies * (n_copies - 1) DIV 2 AS BIGINT)").alias("n_pairs"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    return cross.unionByName(selfrows).orderBy("id_a", "id_b")
+
+
+def semantic_dedup_flags(
+    embeddings: DataFrame,
+    threshold: float,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup drop decision, rep-collapsed but BIT-EXACT to the copy-level
+    rule: vector b is dropped ⟺ ∃a in the same IVF cell with a.id < b.id
+    and cosine(a,b) ≥ threshold.
+
+    Exact collapse (r12): copies of a representative share its cell and
+    every cosine it participates in, so per-copy drop status reduces to
+    two rep-level facts —
+      (1) a copy that is not its rep's minimum id always has an identical
+          lower-id cell-mate (the min copy), so it is dropped whenever the
+          rep's self-cosine ≥ threshold (the computed dot/(n·n) value, so
+          zero vectors — NaN self-cosine — behave exactly as copy-level);
+      (2) any copy c is additionally dropped iff some OTHER rep S in the
+          cell has cosine(S,R) ≥ threshold and min_id(S) < c.id — i.e.
+          c.id exceeds m_low = MIN(min_id over similar cell-mates).
+    On an all-distinct corpus both legs degenerate to the original rule
+    verbatim. The quadratic pair work runs over representatives only; the
+    per-copy flags come from one broadcast join on the embedding key.
+
+    Returns `embeddings` plus an is_dropped 0/1 column.
+    """
+    if n_cells is None:
+        n_cells = choose_ivf_cells(embeddings.count())
+    centroids = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.where(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    ]
+    reps = rep_collapse(embeddings, id_col, vec_col)
+    assigned = assign_ivf_cells(reps, n_cells, "rep_id", vec_col, centroids)
+    r = (
+        assigned.select(
+            F.col(vec_col),
+            "rep_id",
+            "n_copies",
+            F.col("__cell").alias("cell"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("n", norm(F.col("v")))
+        .localCheckpoint(eager=True)
+    )
+    a, b = r.alias("a"), r.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    lows = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.rep_id") != F.col("b.rep_id")),
+        )
+        .where(sim >= threshold)
+        .groupBy(F.col("b.rep_id").alias("rep_id"))
+        .agg(F.min(F.col("a.rep_id")).alias("m_low"))
+    )
+    selfsim = dot(F.col("v"), F.col("v")) / (F.col("n") * F.col("n"))
+    rep_info = (
+        r.select(F.col(vec_col), "rep_id", (selfsim >= threshold).alias("self_sim_ok"))
+        .join(lows, "rep_id", "left")
+    )
+    flagged = embeddings.join(F.broadcast(rep_info), vec_col)
+    return flagged.withColumn(
+        "is_dropped",
+        F.when(
+            (F.col("self_sim_ok") & (F.col(id_col) > F.col("rep_id")))
+            | (F.col("m_low") < F.col(id_col)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     )
 
 
@@ -345,11 +586,13 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: score only vectors in the `nprobe` cells whose
     centroids are most similar to the query — the partition-pruned scale
     path (vs. LSH's hash-bucket pruning). Recall vs. brute force is
-    asserted in tests."""
+    asserted in tests. With `dim`, candidate scoring is the unrolled
+    codegen chain (bit-identical to the HOF fold — dot_cols_sql)."""
     # one driver collect serves both the codebook and the probe choice;
     # orderBy pins the codebook order so tie-breaks are reproducible
     centroids = [
@@ -370,14 +613,19 @@ def cosine_topk_ivf(
         return num / den if den else -2.0
 
     probe = sorted(cents, key=lambda c: cos(qvec, cents[c]), reverse=True)[:nprobe]
-    q = embeddings.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("__qvec")
-    )
-    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    if dim:
+        # literal-chain scoring: no broadcast join, candidate scan stays
+        # one WholeStageCodegen stage (see cosine_query_cols)
+        sim = cosine_query_cols(vec_col, qvec)
+        scan = with_cell.where(F.col("__cell").isin(probe))
+    else:
+        q = embeddings.where(F.col(id_col) == query_vec_id).select(
+            F.col(vec_col).alias("__qvec")
+        )
+        sim = cosine(F.col(vec_col), F.col("__qvec"))
+        scan = with_cell.where(F.col("__cell").isin(probe)).crossJoin(F.broadcast(q))
     return (
-        with_cell.where(F.col("__cell").isin(probe))
-        .crossJoin(F.broadcast(q))
-        .where(F.col(id_col) != query_vec_id)
+        scan.where(F.col(id_col) != query_vec_id)
         .select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -423,21 +671,22 @@ def cosine_topk_rerank(
     q_row = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()
     qv = np.asarray([float(x) for x in q_row[0]], dtype=np.float64)
 
+    # literal query bucket + literal-chain coarse cosine (r12): the
+    # candidate pass is one map-only codegen scan, no broadcast join
+    qb = lsh_bucket_py([float(x) for x in q_row[0]], dim, n_planes)
     with_bucket = embeddings.withColumn("__bucket", lsh_bucket(vec_col, dim, n_planes))
-    q = with_bucket.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
-    )
     coarse = (
-        with_bucket.crossJoin(F.broadcast(q))
-        .where(F.col(id_col) != query_vec_id)
+        with_bucket.where(F.col(id_col) != query_vec_id)
         .where(
-            F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qbucket")).cast("long"))
+            F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qb)).cast("long"))
             <= max_hamming
         )
         .select(
             F.col(id_col),
             F.col(vec_col),
-            cosine(F.col(vec_col), F.col("__qvec")).alias("coarse_sim"),
+            cosine_query_cols(vec_col, [float(x) for x in q_row[0]]).alias(
+                "coarse_sim"
+            ),
         )
         .orderBy(F.col("coarse_sim").desc(), F.col(id_col).asc())
         .limit(n_candidates)
@@ -712,11 +961,11 @@ def cosine_topk_lsh_prebucketed(
     """
     qb = lsh_bucket_py(query_vec, len(query_vec), n_planes)
     ball = hamming_ball(qb, n_planes, max_hamming)
-    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     cand = corpus.where(F.col(bucket_col).isin(ball))
     if query_vec_id is not None:
         cand = cand.where(F.col(id_col) != query_vec_id)
-    sim = cosine(F.col(vec_col), qcol)
+    # literal-chain cosine (r12): stays inside the pruned scan's codegen
+    sim = cosine_query_cols(vec_col, [float(v) for v in query_vec])
     return (
         cand.select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
@@ -747,21 +996,26 @@ def cosine_topk_lsh(
     returns the identical top-k. Recall vs brute force is validated in
     tests (recall@10 on the synthetic corpus).
     """
+    q_row = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()
+    if q_row is None:
+        return embeddings.where(F.lit(False)).select(
+            F.col(id_col), F.lit(0.0).alias("cosine_sim")
+        )
+    qv = [float(x) for x in q_row[0]]
+    # query bucket computed driver-side (lsh_bucket_py — bit-identical to
+    # the SQL chain) and inlined as a literal: the candidate pass is ONE
+    # map-only WholeStageCodegen scan, no broadcast join (r12 — the join
+    # form left the chain interpreted; see cosine_query_cols)
+    qb = lsh_bucket_py(qv, dim, n_planes)
     with_bucket = embeddings.withColumn("__bucket", lsh_bucket(vec_col, dim, n_planes))
-    q = with_bucket.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
-    )
     cand = (
-        with_bucket.crossJoin(F.broadcast(q))
-        .where(F.col(id_col) != query_vec_id)
+        with_bucket.where(F.col(id_col) != query_vec_id)
         .where(
-            F.bit_count(
-                F.col("__bucket").bitwiseXOR(F.col("__qbucket")).cast("long")
-            )
+            F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qb)).cast("long"))
             <= max_hamming
         )
     )
-    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    sim = cosine_query_cols(vec_col, qv)
     return (
         cand.select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())

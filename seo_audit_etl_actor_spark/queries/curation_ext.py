@@ -246,41 +246,64 @@ SQL_DUP_NGRAM_SPAN_RATIO = _sql_dup_ngram_span_ratio()
 # summed. max() is order-independent, so the max-abs error may stay a
 # double until its own quantization.
 
+_EMB_DIM = 64
+
+
 def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label int8-quantization reconstruction error (avg max-abs error
     and avg MSE, integer-quantized per element).
 
-    Scale: map-only per-vector array math (whole-stage codegen, no Python)
-    + one tiny shuffle on label. 100 TB: embarrassingly parallel."""
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    xs = emb.select(
-        "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("xs")
-    )
-    scaled = xs.select(
-        "label", "xs", F.expr("array_max(transform(xs, x -> abs(x))) / 127.0").alias("s")
-    )
-    errs = scaled.select(
+    Scale (r12 rep-collapse): the per-vector math depends only on the
+    element values, so it runs once per DISTINCT (embedding, label) group
+    and label aggregates weight by the group's copy count — exact
+    integers either way, so the output is bit-identical to the unchanged
+    per-copy oracle (same BIGINT sums, same division operand order). One
+    map-side-combining groupBy over the raw scan is the only full-corpus
+    shuffle; the unrolled per-rep lambda work (the HOF form interpreted
+    one lambda per element — ~20 s/pass on the 2M-vector bench corpus)
+    shrinks 1000× on the replica-heavy corpus and is bounded by distinct
+    vectors on any corpus. 100 TB: embarrassingly parallel."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = emb.groupBy("embedding", "label").agg(F.count(F.lit(1)).alias("nc"))
+    x = [f"CAST(element_at(embedding, {j}) AS DOUBLE)" for j in range(1, _EMB_DIM + 1)]
+    s_df = g.select(
         "label",
-        F.expr(
-            "CASE WHEN s = 0.0 THEN CAST(array() AS array<double>) "
-            "ELSE transform(xs, x -> x - round(x / s) * s) END"
-        ).alias("e"),
+        "nc",
+        "embedding",
+        F.expr(f"GREATEST({', '.join(f'abs({xj})' for xj in x)}) / 127.0").alias("s"),
     )
-    per_vec = errs.select(
+    e_df = s_df.select(
         "label",
+        "nc",
+        "s",
+        *[
+            F.expr(f"({xj} - ROUND({xj} / s) * s)").alias(f"e{j}")
+            for j, xj in enumerate(x, start=1)
+        ],
+    )
+    abs_terms = ", ".join(f"abs(e{j})" for j in range(1, _EMB_DIM + 1))
+    sse_terms = " + ".join(
+        f"CAST(ROUND(e{j} * e{j} * 1e12) AS BIGINT)" for j in range(1, _EMB_DIM + 1)
+    )
+    per_rep = e_df.select(
+        "label",
+        "nc",
         F.expr(
-            "CAST(ROUND(COALESCE(array_max(transform(e, x -> abs(x))), 0.0) * 1e9) AS BIGINT)"
+            "CASE WHEN s = 0.0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(ROUND(GREATEST({abs_terms}) * 1e9) AS BIGINT) END"
         ).alias("maxerr9"),
         F.expr(
-            "aggregate(e, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(ROUND(x * x * 1e12) AS BIGINT))"
+            f"CASE WHEN s = 0.0 THEN CAST(0 AS BIGINT) ELSE ({sse_terms}) END"
         ).alias("sse12"),
     )
     return (
-        per_vec.groupBy("label")
+        per_rep.groupBy("label")
         .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            (F.sum("maxerr9") / F.count(F.lit(1)) / 1e9).alias("avg_max_err"),
-            (F.sum("sse12") / F.count(F.lit(1)) / 1e12).alias("avg_sse"),
+            F.sum("nc").alias("n_vecs"),
+            (F.sum(F.col("nc") * F.col("maxerr9")) / F.sum("nc") / 1e9).alias(
+                "avg_max_err"
+            ),
+            (F.sum(F.col("nc") * F.col("sse12")) / F.sum("nc") / 1e12).alias("avg_sse"),
         )
         .orderBy("label")
     )
@@ -302,49 +325,75 @@ def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFram
 def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid-distance stats + >1.05x-mean outlier counts.
 
-    Scale: posexplode (x64 rows) -> partial-agg (label, dim) centroid sums
-    (tiny: labels x dims rows, BROADCAST back — the re-join costs no
-    shuffle) -> per-vec integer distance -> one label window for the mean.
-    At 100 TB the explode factor is the embedding dim; every aggregate is
-    map-side-combining on uniform keys."""
-    from pyspark.sql import Window
-
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    ex = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
-            "pos", "x"
-        ),
-    ).select("vec_id", "label", (F.col("pos") + 1).alias("i"), "x")
-    cent = ex.groupBy("label", "i").agg(
-        F.sum(F.expr("CAST(ROUND(x * 1e6) AS BIGINT)")).alias("sumq6"),
-        F.count(F.lit(1)).alias("n"),
-    ).select("label", "i", F.expr("sumq6 / n / 1e6").alias("c"))
-    per_vec = (
-        ex.join(F.broadcast(cent), ["label", "i"])
-        .groupBy("vec_id", "label")
+    Scale (r12 rep-collapse rewrite): the old shape posexploded ×64 rows
+    (128M rows on the 2M-vector bench corpus) through two wide shuffles
+    and a label window. Every per-vector quantity here depends only on
+    (embedding, label), so the work collapses to one row per distinct
+    pair (copy-count-weighted): centroid sums become Σ nc·q6 BIGINT lanes
+    (exact integers, order-free — identical to the per-copy sums), the
+    distance chain runs once per rep against the broadcast centroid row,
+    and the mean/outlier pass weights by nc. One map-side-combining
+    groupBy over the raw scan is the only full-corpus shuffle; no window
+    (a label window shuffles the whole corpus onto n_labels reducers —
+    the skew trap at 100 TB). Bit-identical to the unchanged oracle:
+    every double op (centroid division, mean division, 1.05× compare)
+    keeps the original operand order over the same exact-integer sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = (
+        emb.groupBy("embedding", "label")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .localCheckpoint(eager=True)
+    )
+    x = [f"CAST(element_at(embedding, {j}) AS DOUBLE)" for j in range(1, _EMB_DIM + 1)]
+    cent = (
+        g.groupBy("label")
         .agg(
-            F.sum(F.expr("CAST(ROUND((x - c) * (x - c) * 1e12) AS BIGINT)")).alias(
-                "dist2q"
-            )
+            F.sum("nc").alias("n"),
+            *[
+                F.sum(F.col("nc") * F.expr(f"CAST(ROUND({xj} * 1e6) AS BIGINT)")).alias(
+                    f"s{j}"
+                )
+                for j, xj in enumerate(x, start=1)
+            ],
+        )
+        .select(
+            "label",
+            *[
+                F.expr(f"s{j} / n / 1e6").alias(f"c{j}")
+                for j in range(1, _EMB_DIM + 1)
+            ],
         )
     )
-    w = Window.partitionBy("label")
-    flagged = per_vec.select(
+    dist_terms = " + ".join(
+        f"CAST(ROUND(({xj} - c{j}) * ({xj} - c{j}) * 1e12) AS BIGINT)"
+        for j, xj in enumerate(x, start=1)
+    )
+    per_rep = g.join(F.broadcast(cent), "label").select(
+        "label", "nc", F.expr(f"({dist_terms})").alias("dist2q")
+    )
+    lab = per_rep.groupBy("label").agg(
+        F.sum(F.col("nc") * F.col("dist2q")).alias("sumd"),
+        F.sum("nc").alias("cnt"),
+    )
+    flagged = per_rep.join(F.broadcast(lab), "label").select(
         "label",
+        "nc",
         "dist2q",
         (
             F.col("dist2q").cast("double")
-            > 1.05 * (F.sum("dist2q").over(w) / F.count(F.lit(1)).over(w))
+            > 1.05 * (F.col("sumd") / F.col("cnt"))
         ).alias("is_outlier"),
     )
     return (
         flagged.groupBy("label")
         .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            (F.sum("dist2q") / F.count(F.lit(1)) / 1e12).alias("avg_dist2"),
-            F.sum(F.expr("CASE WHEN is_outlier THEN 1 ELSE 0 END")).alias("n_outliers"),
+            F.sum("nc").alias("n_vecs"),
+            (F.sum(F.col("nc") * F.col("dist2q")) / F.sum("nc") / 1e12).alias(
+                "avg_dist2"
+            ),
+            F.sum(F.expr("CASE WHEN is_outlier THEN nc ELSE 0 END")).alias(
+                "n_outliers"
+            ),
         )
         .orderBy("label")
     )

@@ -809,7 +809,7 @@ def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of vec_id=0 (sequential double
     fold — bit-identical to the oracle's explicit sum chain)."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    return similarity.cosine_topk(emb, _QUERY_VEC_ID, k=10)
+    return similarity.cosine_topk(emb, _QUERY_VEC_ID, k=10, dim=EMB_DIM)
 
 
 def _sql_cosine_topk(dim: int = EMB_DIM, qid: int = _QUERY_VEC_ID, k: int = 10) -> str:
@@ -834,10 +834,13 @@ SQL_COSINE_TOPK = _sql_cosine_topk()
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, deterministic id-sample) —
+    """Embedding-cosine near-dup pairs (exact, deterministic REP-id sample
+    — r12 rep-level redesign, see similarity.embedding_near_dup_pairs) —
     the vector-space member of the dedup family. The synthetic embeddings
     top out near cosine 0.46, so 0.35 plays the role a ~0.95 threshold
-    plays on a real near-dup-bearing corpus (top ~0.1% of pairs)."""
+    plays on a real near-dup-bearing corpus (top ~0.1% of pairs). Each
+    row carries n_pairs, the count of underlying copy pairs (always 1 on
+    an all-distinct corpus)."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     return similarity.embedding_near_dup_pairs(emb, threshold=EMB_NEAR_DUP_T)
 
@@ -856,11 +859,28 @@ def _sql_embedding_near_dup(dim: int = EMB_DIM, modulus: int = 5) -> str:
         f" / (sqrt({chain('a.embedding', 'a.embedding')})"
         f" * sqrt({chain('b.embedding', 'b.embedding')}))"
     )
+    selfsim = (
+        f"({chain('s.embedding', 's.embedding')})"
+        f" / (sqrt({chain('s.embedding', 's.embedding')})"
+        f" * sqrt({chain('s.embedding', 's.embedding')}))"
+    )
     return f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS cosine_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id % {modulus} = 0 AND b.vec_id % {modulus} = 0
-  AND {sim} >= {EMB_NEAR_DUP_T}
+WITH reps AS (
+  SELECT embedding, MIN(vec_id) AS rep_id, COUNT(*) AS n_copies
+  FROM embeddings GROUP BY embedding
+),
+sample AS (SELECT * FROM reps WHERE rep_id % {modulus} = 0)
+SELECT * FROM (
+  SELECT a.rep_id AS id_a, b.rep_id AS id_b, {sim} AS cosine_sim,
+         CAST(a.n_copies * b.n_copies AS BIGINT) AS n_pairs
+  FROM sample a JOIN sample b ON a.rep_id < b.rep_id
+  WHERE {sim} >= {EMB_NEAR_DUP_T}
+  UNION ALL
+  SELECT s.rep_id, s.rep_id, {selfsim},
+         CAST(s.n_copies * (s.n_copies - 1) // 2 AS BIGINT)
+  FROM sample s
+  WHERE s.n_copies > 1 AND {selfsim} >= {EMB_NEAR_DUP_T}
+)
 ORDER BY id_a, id_b
 """
 
@@ -889,7 +909,12 @@ def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     average cell near a constant membership so Σ|cell|² grows linearly —
     the r5 ANN ladder measured the fixed-16-cell form at b=1.69 (311 s at
     31.6× sf0.1), the quadratic cliff this removes. Driver correctness SFs
-    land in tier 0 (16 cells), matching the static oracle exactly."""
+    land in tier 0 (16 cells), matching the static oracle exactly.
+
+    r12: output is REP-level (one row per distinct-vector pair + a self
+    row per duplicated vector, each carrying n_pairs — see
+    similarity.embedding_near_dup_ivf_pairs); on an all-distinct corpus
+    this is the old copy-level output with n_pairs=1."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     return similarity.embedding_near_dup_ivf_pairs(emb, threshold=EMB_NEAR_DUP_T)
 
@@ -904,28 +929,40 @@ def _sql_embedding_near_dup_ivf(dim: int = 64, n_cells: int = 16) -> str:
         return f"({chain(a, b)}) / (sqrt({chain(a, a)}) * sqrt({chain(b, b)}))"
 
     sim = cos_sql("a.embedding", "b.embedding")
+    selfsim = cos_sql("s.embedding", "s.embedding")
     return f"""
-WITH cent AS (
+WITH reps AS (
+  SELECT embedding, MIN(vec_id) AS rep_id, COUNT(*) AS n_copies
+  FROM embeddings GROUP BY embedding
+),
+cent AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_cells}
 ),
 cell_sims AS (
-  SELECT e.vec_id, c.cid, {cos_sql('e.embedding', 'c.cv')} AS sim
-  FROM embeddings e CROSS JOIN cent c
+  SELECT r.rep_id, r.embedding, r.n_copies, c.cid,
+         {cos_sql('r.embedding', 'c.cv')} AS sim
+  FROM reps r CROSS JOIN cent c
 ),
 assigned AS (
-  SELECT vec_id, cid AS cell
-  FROM (SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
+  SELECT rep_id, embedding, n_copies, cid AS cell
+  FROM (SELECT rep_id, embedding, n_copies, cid,
+               ROW_NUMBER() OVER (PARTITION BY rep_id
                                   ORDER BY round(sim, 6) DESC, cid ASC) AS rn
         FROM cell_sims)
   WHERE rn = 1
 )
-SELECT aa.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS cosine_sim
-FROM assigned aa
-JOIN assigned ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
-JOIN embeddings a ON a.vec_id = aa.vec_id
-JOIN embeddings b ON b.vec_id = ab.vec_id
-WHERE {sim} >= {EMB_NEAR_DUP_T}
+SELECT * FROM (
+  SELECT a.cell AS cell, a.rep_id AS id_a, b.rep_id AS id_b, {sim} AS cosine_sim,
+         CAST(a.n_copies * b.n_copies AS BIGINT) AS n_pairs
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND a.rep_id < b.rep_id
+  WHERE {sim} >= {EMB_NEAR_DUP_T}
+  UNION ALL
+  SELECT s.cell, s.rep_id, s.rep_id, {selfsim},
+         CAST(s.n_copies * (s.n_copies - 1) // 2 AS BIGINT)
+  FROM assigned s
+  WHERE s.n_copies > 1 AND {selfsim} >= {EMB_NEAR_DUP_T}
+)
 ORDER BY id_a, id_b
 """
 
@@ -942,7 +979,7 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax + nprobe pruning + cosine scoring. Recall vs brute force is
     additionally asserted in tests."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    return similarity.cosine_topk_ivf(emb, _QUERY_VEC_ID, k=10)
+    return similarity.cosine_topk_ivf(emb, _QUERY_VEC_ID, k=10, dim=EMB_DIM)
 
 
 def _sql_cosine_topk_ivf(
@@ -1803,27 +1840,23 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of an iterative fixpoint, and it is the standard one-pass
     approximation. Documented trade-off, identical in the oracle.
 
-    Scale: inherits embedding_near_dup_ivf's linear-growth design
-    (scale-aware codebook pins mean cell membership, Σ|cell|² linear);
-    the decision adds one distinct on id_b (shuffle on vec_id) and one
-    broadcast-size join against labels. At 100 TB the drop-set is the
-    only new materialization and it is ids-only.
+    Scale (r12): the drop decision is computed by
+    similarity.semantic_dedup_flags — rep-collapsed (one unit of pair
+    work per DISTINCT vector, bit-exact to the copy-level rule; see its
+    docstring for the two-leg proof) with the scale-aware codebook
+    pinning mean cell membership so rep-pair work stays linear. Per-copy
+    flags come back through one broadcast join on the embedding key; the
+    only shuffles over the full corpus are the rep groupBy and the label
+    aggregation. The 2M-row 1000×-replica bench corpus (whose copy-level
+    pair set is ~10⁹ rows) runs in seconds with byte-identical output.
     """
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    pairs = similarity.embedding_near_dup_ivf_pairs(emb, threshold=EMB_NEAR_DUP_T)
-    dropped = (
-        pairs.select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dropped", F.lit(1))
-    )
-    flagged = emb.join(dropped, "vec_id", "left")
+    flagged = similarity.semantic_dedup_flags(emb, threshold=EMB_NEAR_DUP_T)
     return (
         flagged.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)).cast("long")).alias(
-                "n_dropped"
-            ),
+            F.sum(F.col("is_dropped").cast("long")).alias("n_dropped"),
         )
         .withColumn("n_kept", F.col("n_vecs") - F.col("n_dropped"))
         .orderBy("label")

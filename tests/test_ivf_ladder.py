@@ -65,9 +65,16 @@ def test_ladder_tier_finds_all_exact_duplicates(spark):
     emb = _dup_corpus(spark, n_distinct)
     assert similarity.choose_ivf_cells(2 * n_distinct) == 64
     pairs = similarity.embedding_near_dup_ivf_pairs(emb, threshold=0.999999)
-    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
-    truth = {(i, i + n_distinct) for i in range(n_distinct)}
-    assert truth <= got, f"missed {len(truth - got)} exact-duplicate pairs"
+    # r12 rep-level output: an exact-duplicate pair (i, i+n_distinct)
+    # surfaces as the rep's SELF row (id_a = id_b = min copy id = i) with
+    # n_pairs = C(2,2) = 1
+    got = {
+        (r["id_a"], r["id_b"]): r["n_pairs"]
+        for r in pairs.where(F.col("id_a") == F.col("id_b")).collect()
+    }
+    truth = {(i, i) for i in range(n_distinct)}
+    assert truth <= set(got), f"missed {len(truth - set(got))} exact-duplicate reps"
+    assert all(got[t] == 1 for t in truth)
     # the codebook actually engaged beyond tier 0
     n_cells_used = (
         similarity.assign_ivf_cells(emb, similarity.choose_ivf_cells(2 * n_distinct))

@@ -19,6 +19,12 @@ metrics because every planted/replica row's cosine >= 0.69 while organic
 chance tops out ~0.46 — any candidate outranking a truth row is itself in
 the collected top slice).
 
+r12: the ivf sweeps additionally report a DECONTAMINATED recall over
+queries that are not codebook centroids (gen_scale's 32 out-of-codebook
+high-id query plants + base seeds outside the codebook) — base seeds
+inside the codebook get their planted neighbors at centroid rank 1 by
+construction, which saturated the r11 m1000 ivf_curve at 1.0.
+
 Usage: python tools/ann_recall.py m10=/tmp/scale_m10 m100=/tmp/scale_m100
 """
 
@@ -36,7 +42,13 @@ import numpy as np
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from gen_scale import PLANT_BANDS, PLANT_PER_BAND, PLANT_QUERY_SEEDS
+from gen_scale import (
+    HIGH_QUERY_COUNT,
+    PLANT_BANDS,
+    PLANT_PER_BAND,
+    PLANT_QUERY_SEEDS,
+    high_query_ids,
+)
 from seo_audit_etl_actor_spark.operators import similarity
 from seo_audit_etl_actor_spark.queries.llm_ext import EMB_DIM
 from seo_audit_etl_actor_spark.session import get_spark, load_table
@@ -62,6 +74,24 @@ def run_rung(spark, label: str, sf_dir: str) -> dict:
     planes = pols[PLANT_BANDS[0]]["n_planes"]
     n_cells = pols[PLANT_BANDS[0]]["n_cells"]
 
+    # r12: out-of-codebook query plants (gen_scale.high_query_ids) — the
+    # IVF codebook is the first n_cells BASE vec_ids, so base query seeds
+    # sitting inside it get their planted neighbors at centroid rank 1 by
+    # construction (the r11 m1000 artifact: 4096 cells ⊇ all 64 seeds ->
+    # uniform 1.0 IVF recall). High-id queries can never be centroids;
+    # the ivf sweeps report a decontaminated recall over them plus the
+    # base seeds outside the codebook.
+    base_ids = sorted(
+        int(r[0])
+        for r in emb.where(F.col("vec_id") < (1 << 32)).select("vec_id").collect()
+    )
+    n_plants = len(PLANT_QUERY_SEEDS) * len(PLANT_BANDS) * PLANT_PER_BAND
+    n_high = HIGH_QUERY_COUNT * (1 + len(PLANT_BANDS) * PLANT_PER_BAND)
+    high_qids: list[int] = []
+    if n_vecs > len(base_ids) + n_plants + n_high:
+        high_qids = high_query_ids(base_ids, n_vecs)
+    all_qids = qids + high_qids
+
     # --- one corpus pass: cosine + hamming + cell for all queries -------
     t0 = time.time()
     wb = emb.withColumn(
@@ -69,7 +99,7 @@ def run_rung(spark, label: str, sf_dir: str) -> dict:
     )
     assigned = similarity.assign_ivf_cells(wb, n_cells)
     qdf = (
-        assigned.where(F.col("vec_id").isin(qids))
+        assigned.where(F.col("vec_id").isin(all_qids))
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qvec"),
@@ -125,9 +155,10 @@ def run_rung(spark, label: str, sf_dir: str) -> dict:
         order = cids[np.argsort(-sims, kind="stable")]
         probe_rank[q] = {int(c): i for i, c in enumerate(order)}
 
-    byq: dict[int, list] = {q: [] for q in qids}
+    byq: dict[int, list] = {q: [] for q in all_qids}
     for r in top:
         byq[int(r["qid"])].append(r)
+    decontam_qids = [q for q in all_qids if q >= n_cells]
 
     def truth_band(rows, c):
         return [
@@ -178,9 +209,9 @@ def run_rung(spark, label: str, sf_dir: str) -> dict:
             "nodup_recall_at_10": round(sum(nd_rec) / len(nd_rec), 4),
         }
 
-    def sweep_point_ivf(nprobe):
+    def _ivf_metrics(nprobe, qlist):
         band_rec, nd_rec, fracs = {c: [] for c in PLANT_BANDS}, [], []
-        for q in qids:
+        for q in qlist:
             rows = byq[q]
             rank = probe_rank[q]
             cand = [r for r in rows if rank[int(r["cell"])] < nprobe]
@@ -205,7 +236,11 @@ def run_rung(spark, label: str, sf_dir: str) -> dict:
                 )
             probed = [c for c, i in rank.items() if i < nprobe]
             fracs.append(sum(cell_sizes.get(c, 0) for c in probed) / n_vecs)
-        return {
+        return band_rec, nd_rec, fracs
+
+    def sweep_point_ivf(nprobe):
+        band_rec, nd_rec, fracs = _ivf_metrics(nprobe, qids)
+        out = {
             "nprobe": nprobe,
             "scan_frac": round(sum(fracs) / len(fracs), 4),
             "band_recall": {
@@ -213,6 +248,18 @@ def run_rung(spark, label: str, sf_dir: str) -> dict:
             },
             "nodup_recall_at_10": round(sum(nd_rec) / len(nd_rec), 4),
         }
+        # decontaminated leg (r12): queries that are NOT centroids — the
+        # only queries whose rank distribution the ranked-probing model
+        # actually describes
+        if decontam_qids:
+            dband, dnd, _ = _ivf_metrics(nprobe, decontam_qids)
+            out["n_decontam_queries"] = len(decontam_qids)
+            out["band_recall_decontam"] = {
+                str(c): round(sum(v) / len(v), 4) for c, v in dband.items() if v
+            }
+            if dnd:
+                out["nodup_recall_decontam"] = round(sum(dnd) / len(dnd), 4)
+        return out
 
     lsh_curve = [sweep_point_lsh(h) for h in range(0, min(planes, 8) + 1)]
     nprobes = sorted(
@@ -248,12 +295,21 @@ def run_rung(spark, label: str, sf_dir: str) -> dict:
                 "meets_target": (ipt["band_recall"].get(str(c)) or 0) >= TARGET_RECALL,
             },
         }
+        if "band_recall_decontam" in ipt:
+            policy_points[str(c)]["ivf"]["measured_band_recall_decontam"] = ipt[
+                "band_recall_decontam"
+            ].get(str(c))
+            policy_points[str(c)]["ivf"]["meets_target_decontam"] = (
+                ipt["band_recall_decontam"].get(str(c)) or 0
+            ) >= TARGET_RECALL
 
     return {
         "rung": label,
         "sf_dir": sf_dir,
         "n_vecs": n_vecs,
         "n_queries": len(qids),
+        "n_high_queries": len(high_qids),
+        "n_decontam_queries": len(decontam_qids),
         "planted_per_band": PLANT_PER_BAND,
         "n_planes": planes,
         "n_cells": n_cells,

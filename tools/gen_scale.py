@@ -133,6 +133,33 @@ PLANT_BANDS = (0.9, 0.8, 0.7)
 PLANT_PER_BAND = 4
 PLANT_QUERY_SEEDS = tuple(7 + 31 * i for i in range(64))  # base vec_ids < 2000
 
+# r12: OUT-OF-CODEBOOK query plants. The IVF codebook is the first
+# n_cells base vec_ids (similarity.assign_ivf_cells), and every base
+# PLANT_QUERY_SEED is < 2000 — so at the m1000 rung (4096 cells) ALL 64
+# base queries ARE centroids and their planted neighbors are rank-1 by
+# construction (the r11 m1000 ivf_curve's uniform 1.0 recall). These 32
+# extra queries are FRESH random unit vectors written into tail replica
+# slots, whose vec_ids carry the replica offset (base + r*2^32) and so
+# can never enter a codebook; each gets the same 4-per-band graded
+# neighbors in the slots that follow. high_query_ids() reproduces their
+# vec_ids from (base ids, n_out) so the recall tooling can find them
+# without generator bookkeeping in the parquet.
+HIGH_QUERY_COUNT = 32
+_HIGH_BLOCK = 1 + len(PLANT_BANDS) * PLANT_PER_BAND  # query + its neighbors
+
+
+def high_query_ids(base_ids, n_out: int) -> list[int]:
+    """vec_ids of the out-of-codebook planted queries (tail positions
+    mirror gen_embeddings' layout; ids follow the replica formula)."""
+    n_base = len(base_ids)
+    n_plants = len(PLANT_QUERY_SEEDS) * len(PLANT_BANDS) * PLANT_PER_BAND
+    start = n_out - n_plants - HIGH_QUERY_COUNT * _HIGH_BLOCK
+    out = []
+    for i in range(HIGH_QUERY_COUNT):
+        pos = start + i * _HIGH_BLOCK
+        out.append(int(base_ids[pos % n_base]) + (pos // n_base) * (1 << 32))
+    return out
+
 
 def gen_embeddings(out_dir: str, m: float, base_dir: str, seed: int = 11) -> int:
     t = pq.read_table(f"{base_dir}/embeddings.parquet")
@@ -149,13 +176,14 @@ def gen_embeddings(out_dir: str, m: float, base_dir: str, seed: int = 11) -> int
     out_vecs = np.tile(vecs, (reps, 1))[:n_out]
 
     n_plants = len(PLANT_QUERY_SEEDS) * len(PLANT_BANDS) * PLANT_PER_BAND
-    if n_out > n_base + n_plants:  # only rungs with replica tail to spare
+    n_high = HIGH_QUERY_COUNT * _HIGH_BLOCK
+    if n_out > n_base + n_plants + n_high:  # rungs with replica tail to spare
         rng = np.random.default_rng(seed)
         plant_at = n_out - n_plants  # overwrite the tail replica rows
         p = 0
-        for qid in PLANT_QUERY_SEEDS:
-            v = vecs[np.searchsorted(ids, qid)].astype(np.float64)
-            vhat = v / np.sqrt((v * v).sum())
+
+        def plant_neighbors(vhat: "np.ndarray", at: int) -> int:
+            k = 0
             for band in PLANT_BANDS:
                 for j in range(PLANT_PER_BAND):
                     c = band + (j - (PLANT_PER_BAND - 1) / 2.0) * 0.004
@@ -163,8 +191,26 @@ def gen_embeddings(out_dir: str, m: float, base_dir: str, seed: int = 11) -> int
                     w = g - (g @ vhat) * vhat
                     what = w / np.sqrt((w * w).sum())
                     u = c * vhat + np.sqrt(1.0 - c * c) * what
-                    out_vecs[plant_at + p] = u.astype(np.float32)
-                    p += 1
+                    out_vecs[at + k] = u.astype(np.float32)
+                    k += 1
+            return k
+
+        for qid in PLANT_QUERY_SEEDS:
+            v = vecs[np.searchsorted(ids, qid)].astype(np.float64)
+            vhat = v / np.sqrt((v * v).sum())
+            p += plant_neighbors(vhat, plant_at + p)
+        # out-of-codebook queries (r12, see module comment): fresh unit
+        # query vectors in the slots BEFORE the base plants, each block
+        # followed by its own graded neighbors — rng draws come after the
+        # base plants' draws, so the base plant stays byte-identical to
+        # the r11 corpora
+        high_at = n_out - n_plants - n_high
+        for i in range(HIGH_QUERY_COUNT):
+            g = rng.standard_normal(dim)
+            qhat = g / np.sqrt((g * g).sum())
+            at = high_at + i * _HIGH_BLOCK
+            out_vecs[at] = qhat.astype(np.float32)
+            plant_neighbors(qhat, at + 1)
 
     emb_type = t.schema.field("embedding").type
     out = pa.table(
