@@ -841,7 +841,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plays on a real near-dup-bearing corpus (top ~0.1% of pairs). Each
     row carries n_pairs, the count of underlying copy pairs (always 1 on
     an all-distinct corpus)."""
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # RAW frame: rep groupBy first — see q_embedding_near_dup_ivf
+    emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, threshold=EMB_NEAR_DUP_T)
 
 
@@ -915,7 +916,10 @@ def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per duplicated vector, each carrying n_pairs — see
     similarity.embedding_near_dup_ivf_pairs); on an all-distinct corpus
     this is the old copy-level output with n_pairs=1."""
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # RAW frame: the first thing the operator does is a map-side-combining
+    # rep groupBy, so ensure_parallelism's round-robin exchange would just
+    # move 600 MB to reach the same aggregate
+    emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_ivf_pairs(emb, threshold=EMB_NEAR_DUP_T)
 
 
@@ -1191,7 +1195,9 @@ def q_ann_probe_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ball's 130/512 = 25.4%), modeled recall 0.9236 at the 0.8 band.
     Measured validation lives in SCALE_STUDY_r12 (tools/ann_recall)."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    n_vecs = emb.count()
+    # count the RAW table: Spark serves it from parquet row-group counts;
+    # counting the repartitioned frame would pay the exchange for nothing
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
     pol = similarity.choose_probes(
         n_vecs, _POLICY_TARGET_RECALL, _POLICY_NEIGHBOR_COS
     )
@@ -1205,39 +1211,57 @@ def q_ann_probe_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         2_000_000, _POLICY_TARGET_RECALL, _POLICY_NEIGHBOR_COS
     )
 
-    # The bucket column is one giant literal expression (planes x dim
-    # multiply-add terms); the audit runs several jobs over it (count,
-    # two candidate paths, query row), and re-PLANNING that tree per job
-    # dominates wall time. The localCheckpoint materializes it once —
-    # which is also the production shape: a persisted bucket column
-    # (write_lsh_bucketed_corpus), not a per-query recompute.
-    bucketed = emb.withColumn(
-        "__b", similarity.lsh_bucket("embedding", EMB_DIM, pl)
-    ).localCheckpoint(eager=True)
-    qdf = bucketed.where(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("embedding").alias("__qvec"), F.col("__b").alias("__qb")
+    # r12 cost shape: ONE full-corpus pass computes the bucket via the
+    # Arrow path (lsh_bucket_pandas — bit-identical left-assoc
+    # accumulation; the planes × dim expression form crosses the JIT
+    # huge-method ceiling at production plane counts and drops the whole
+    # stage to interpreted eval) and materializes ONLY the hamming-ball
+    # candidates (localCheckpoint of ~scan_frac·n rows, not the corpus).
+    # The query row's bucket + vector are inlined as LITERALS so every
+    # pass is a map-only codegen scan with no broadcast join (see
+    # cosine_query_cols). The two candidate predicates select the same
+    # rows BY CONSTRUCTION (bit_count(xor) <= h ⟺ bucket ∈ ball); both
+    # forms are kept live over the materialized set so `paths_agree`
+    # still cross-checks the recompute and prebucketed production paths.
+    bucketed = emb.withColumn("__b", similarity.lsh_bucket_pandas(EMB_DIM, pl))
+    q_row = (
+        emb.where(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
     )
-    q_row = qdf.first()
-    ball = similarity.hamming_ball(int(q_row["__qb"]), pl, h)
+    qv = [float(x) for x in q_row[0]]
+    # query bucket driver-side (lsh_bucket_py — bit-identical chain), no
+    # corpus pass just to bucket one row
+    qb = similarity.lsh_bucket_py(qv, EMB_DIM, pl)
+    ball = similarity.hamming_ball(qb, pl, h)
 
+    xor_gate = (
+        F.bit_count(F.col("__b").bitwiseXOR(F.lit(qb)).cast("long")) <= h
+    )
+    # ball membership as a BROADCAST HASH JOIN, not an IN list: at
+    # production plane counts the ball has thousands of ids (4,944 at 15
+    # planes / h=5) and a literal IN degenerates to a per-row linear
+    # membership scan (~20 s over the 2M corpus measured); the hash join
+    # is O(1) per row and is the same lookup a partition-pruned scan does
+    # at planning time. Both path predicates are evaluated independently
+    # over the materialized candidates, so paths_agree still cross-checks
+    # the XOR arithmetic against the driver-enumerated ball.
+    ball_df = spark.createDataFrame([(int(b),) for b in ball], "ball_b int")
+    cand = (
+        bucketed.where(F.col("vec_id") != _QUERY_VEC_ID)
+        .withColumn("in_a", xor_gate)
+        .join(F.broadcast(ball_df), F.col("__b") == F.col("ball_b"), "left")
+        .withColumn("in_b", F.col("ball_b").isNotNull())
+        .where(F.col("in_a") | F.col("in_b"))
+        .select("vec_id", "embedding", "__b", "in_a", "in_b")
+        .localCheckpoint(eager=True)
+    )
     # path A: bit_count-XOR hamming gate (cosine_topk_lsh's form)
-    cand_a = (
-        bucketed.crossJoin(F.broadcast(qdf))
-        .where(F.col("vec_id") != _QUERY_VEC_ID)
-        .where(
-            F.bit_count(F.col("__b").bitwiseXOR(F.col("__qb")).cast("long")) <= h
-        )
-    )
-    # path B: driver-enumerated hamming-ball IN list (the prebucketed
+    cand_a = cand.where("in_a")
+    # path B: driver-enumerated hamming-ball lookup (the prebucketed
     # production path — cosine_topk_lsh_prebucketed's PartitionFilters form)
-    cand_b = (
-        bucketed.crossJoin(F.broadcast(qdf))
-        .where(F.col("vec_id") != _QUERY_VEC_ID)
-        .where(F.col("__b").isin(ball))
-    )
+    cand_b = cand.where("in_b")
 
     def topk_ids(cand: DataFrame) -> DataFrame:
-        sim = similarity.cosine(F.col("embedding"), F.col("__qvec"))
+        sim = similarity.cosine_query_cols("embedding", qv)
         return (
             cand.select(F.col("vec_id"), sim.alias("cosine_sim"))
             .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
@@ -1850,7 +1874,11 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. The 2M-row 1000×-replica bench corpus (whose copy-level
     pair set is ~10⁹ rows) runs in seconds with byte-identical output.
     """
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # RAW frame: the flags operator's full-corpus passes are a map-side-
+    # combining rep groupBy and a broadcast-join scan — ensure_parallelism's
+    # round-robin exchange would add a 600 MB shuffle to reach the same
+    # aggregates
+    emb = load_table(spark, sf_dir, "embeddings")
     flagged = similarity.semantic_dedup_flags(emb, threshold=EMB_NEAR_DUP_T)
     return (
         flagged.groupBy("label")

@@ -39,6 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -93,41 +94,102 @@ def run_rung(spark, label: str, sf_dir: str) -> dict:
     all_qids = qids + high_qids
 
     # --- one corpus pass: cosine + hamming + cell for all queries -------
+    # r12 rewrite for the 2M+ rungs: the old shape crossJoined the
+    # broadcast query set against the corpus (96 queries × 2M rows of
+    # interpreted HOF cosine ≈ 192M lambda-tree evals) under a
+    # planes×dim literal bucket expression that janino/JIT refuse at 15
+    # planes. Now: Arrow bucket (lsh_bucket_pandas), ONE mapInPandas
+    # scoring pass (BLAS matmul cosines for all queries, per-PARTITION
+    # top-slices emitted), hamming counts derived driver-side from the
+    # bucket HISTOGRAM (≤2^planes buckets — no pair-level hamming at
+    # all), and a final window trim over the per-partition slices.
+    # Cosines here are pairwise-summed (matmul), not the left-assoc
+    # chain — fine for a measurement study (band windows are ±0.02,
+    # ulp-scale reorderings don't move recall), noted for honesty.
     t0 = time.time()
-    wb = emb.withColumn(
-        "b", similarity.lsh_bucket("embedding", EMB_DIM, planes)
-    )
-    assigned = similarity.assign_ivf_cells(wb, n_cells)
-    qdf = (
-        assigned.where(F.col("vec_id").isin(all_qids))
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qvec"),
-            F.col("b").alias("qb"),
-        )
-    )
-    sim = similarity.cosine(F.col("embedding"), F.col("qvec"))
-    joined = (
-        assigned.crossJoin(F.broadcast(qdf))
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            sim.alias("cos"),
-            F.bit_count(F.col("b").bitwiseXOR(F.col("qb")).cast("long")).alias("ham"),
-            F.col("__cell").alias("cell"),
-        )
+    assigned = similarity.assign_ivf_cells(
+        emb.withColumn("b", similarity.lsh_bucket_pandas(EMB_DIM, planes)), n_cells
     ).persist()
+    qrows = assigned.where(F.col("vec_id").isin(all_qids)).collect()
+    qvecs = {
+        int(r["vec_id"]): np.asarray([float(x) for x in r["embedding"]])
+        for r in qrows
+    }
+    qid_arr = np.asarray(sorted(qvecs), dtype=np.int64)
+    qmat = np.stack([qvecs[int(q)] for q in qid_arr])
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qb_by_qid = {int(r["vec_id"]): int(r["b"]) for r in qrows}
+    slice_n = K + max(0, n_vecs // 2000) + TOP_SLICE_SLACK
+
+    def score_part(batches):
+        vids, bs, cells, coss = [], [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].values).astype(np.float64, copy=False)
+            nv = np.sqrt((m * m).sum(axis=1))
+            c = (qmat @ m.T) / (qnorm[:, None] * nv[None, :])
+            vids.append(pdf["vec_id"].to_numpy())
+            bs.append(pdf["b"].to_numpy())
+            cells.append(pdf["__cell"].to_numpy())
+            coss.append(c)
+        if not vids:
+            return
+        vid = np.concatenate(vids)
+        b = np.concatenate(bs)
+        cell = np.concatenate(cells)
+        cos = np.concatenate(coss, axis=1)  # (n_queries, n_part_rows)
+        out = []
+        for i, q in enumerate(qid_arr):
+            row = cos[i]
+            # +1: the query's own row may occupy a slot in this
+            # partition's slice and is dropped after the union
+            keep = min(slice_n + 1, row.shape[0])
+            idx = np.argpartition(-row, keep - 1)[:keep]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": int(q),
+                        "vec_id": vid[idx],
+                        "cos": row[idx],
+                        "b": b[idx],
+                        "cell": cell[idx],
+                    }
+                )
+            )
+        yield pd.concat(out, ignore_index=True)
+
+    sliced = assigned.select("vec_id", "embedding", "b", "__cell").mapInPandas(
+        score_part, "qid long, vec_id long, cos double, b int, cell int"
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    top = (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= K + max(0, n_vecs // 2000) + TOP_SLICE_SLACK)
+    top_rows = (
+        sliced.where(F.col("vec_id") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= slice_n)
         .collect()
     )
-    ham_counts = {
-        (int(r["qid"]), int(r["ham"])): int(r["n"])
-        for r in joined.groupBy("qid", "ham").agg(F.count(F.lit(1)).alias("n")).collect()
+    top = [
+        {
+            "qid": int(r["qid"]),
+            "vec_id": int(r["vec_id"]),
+            "cos": float(r["cos"]),
+            "ham": int(bin(int(r["b"]) ^ qb_by_qid[int(r["qid"])]).count("1")),
+            "cell": int(r["cell"]),
+        }
+        for r in top_rows
+    ]
+    bucket_hist = {
+        int(r["b"]): int(r["n"])
+        for r in assigned.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    ham_counts: dict[tuple[int, int], int] = {}
+    for q, qb in qb_by_qid.items():
+        for b_val, n in bucket_hist.items():
+            key = (q, bin(b_val ^ qb).count("1"))
+            ham_counts[key] = ham_counts.get(key, 0) + n
+        # the old pair pass excluded the query row itself (hamming 0)
+        ham_counts[(q, 0)] -= 1
     cell_sizes = {
         int(r["__cell"]): int(r["n"])
         for r in assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -136,12 +198,8 @@ def run_rung(spark, label: str, sf_dir: str) -> dict:
         int(r["vec_id"]): np.asarray([float(x) for x in r["embedding"]])
         for r in emb.where(F.col("vec_id") < n_cells).collect()
     }
-    qvecs = {
-        int(r["qid"]): np.asarray([float(x) for x in r["qvec"]])
-        for r in qdf.collect()
-    }
     t_pass = time.time() - t0
-    joined.unpersist()
+    assigned.unpersist()
     emb.unpersist()
 
     # per-query centroid-similarity probe order (the driver-side half of
