@@ -678,9 +678,12 @@ def cosine_topk_rerank(
     qv = np.asarray([float(x) for x in q_row[0]], dtype=np.float64)
 
     # literal query bucket + literal-chain coarse cosine (r12): the
-    # candidate pass is one map-only codegen scan, no broadcast join
+    # candidate pass is one map-only scan, no broadcast join; the corpus
+    # bucket uses the Arrow path (bit-identical — see cosine_topk_lsh)
     qb = lsh_bucket_py([float(x) for x in q_row[0]], dim, n_planes)
-    with_bucket = embeddings.withColumn("__bucket", lsh_bucket(vec_col, dim, n_planes))
+    with_bucket = embeddings.withColumn(
+        "__bucket", lsh_bucket_pandas(dim, n_planes, vec_col)
+    )
     coarse = (
         with_bucket.where(F.col(id_col) != query_vec_id)
         .where(
@@ -1071,7 +1074,14 @@ def cosine_topk_lsh(
     # map-only WholeStageCodegen scan, no broadcast join (r12 — the join
     # form left the chain interpreted; see cosine_query_cols)
     qb = lsh_bucket_py(qv, dim, n_planes)
-    with_bucket = embeddings.withColumn("__bucket", lsh_bucket(vec_col, dim, n_planes))
+    # Arrow bucket (bit-identical to the SQL chain — see lsh_bucket_pandas):
+    # the chain form put planes×dim + sim terms into one generated method,
+    # which sat exactly on the janino/JIT size boundary — it compiled
+    # standalone but failed (and fell back to interpreted eval) inside a
+    # long-lived bench session
+    with_bucket = embeddings.withColumn(
+        "__bucket", lsh_bucket_pandas(dim, n_planes, vec_col)
+    )
     cand = (
         with_bucket.where(F.col(id_col) != query_vec_id)
         .where(
