@@ -43,9 +43,12 @@ COMMENT = {
         "instead of one collect_list state."
     ),
     "cosine_topk_bruteforce": (
-        "Brute-force ANN baseline. What to check: the single-row query side is a "
-        "BroadcastNestedLoopJoin (cross of 1 row), and the top-k is TakeOrderedAndProject — "
-        "Spark's distributed heap top-k, no global sort."
+        "Brute-force ANN baseline (r12: literal-chain scoring). What to check: NO join at "
+        "all — the driver-fetched query vector is inlined as a literal multiply-add chain, "
+        "so the corpus pass is one map-only WholeStageCodegen scan (the old "
+        "crossJoin(broadcast(q)) planned a BroadcastNestedLoopJoin, which breaks codegen "
+        "and left the chain interpreted); the top-k is TakeOrderedAndProject — Spark's "
+        "distributed heap top-k, no global sort."
     ),
     "sessionize_events": (
         "Gap-based sessionization. What to check: ONE hashpartitioning(user_id) exchange "
@@ -137,16 +140,20 @@ COMMENT = {
         "BroadcastHashJoin; all ratio math is integer-quantized projection work."
     ),
     "embedding_centroid_outliers": (
-        "Label-centroid outlier scan (round 4). What to check: posexplode x64, "
-        "partial-agg (label, dim) centroid sums, and the centroid's re-join as a "
-        "BroadcastHashJoin — the big exploded side never reshuffles for the join; "
-        "one label window for the mean cut."
+        "Label-centroid outlier scan (r12 rep-collapse). What to check: NO posexplode and "
+        "NO label window — one map-side-combining groupBy(embedding, label) collapses "
+        "copies, the centroid sums are 64 copy-count-weighted BIGINT lanes in one "
+        "aggregate, the distance chain joins the broadcast centroid row, and the mean/"
+        "outlier pass is a second tiny broadcast agg (a label window would shuffle the "
+        "whole corpus onto n_labels reducers — the skew trap)."
     ),
     "semantic_dedup_stats": (
-        "SemDeDup decision (round 9). What to check: the IVF cell assignment is "
-        "checkpointed once (no per-consumer re-run of the argmax), the pair predicate "
-        "is a self-join ON THE CELL KEY (never all-pairs), the drop-set is ids-only "
-        "before the label join, and the final rollup is one exchange."
+        "SemDeDup decision (r12 rep-collapse). What to check: the rep frame (groupBy the "
+        "embedding column, checkpointed once) is what gets cell-assigned and self-joined "
+        "ON THE CELL KEY — pair work is per DISTINCT vector, never per copy and never "
+        "all-pairs; per-copy flags come back through ONE BroadcastHashJoin on the "
+        "embedding key; the final rollup is one exchange. Bit-exact to the copy-level "
+        "rule (two-leg proof in semantic_dedup_flags)."
     ),
     "user_ewma_profile": (
         "Grouped-map recurrence (round 9). What to check: ONE FlatMapGroupsInPandas "
@@ -165,9 +172,12 @@ COMMENT = {
         "frame is a Scan ExistingRDD (the eager localCheckpoint — the production shape is "
         "a PERSISTED bucket column via write_lsh_bucketed_corpus, so per-job recompute of "
         "the planes x dim literal expression is gone and each downstream job plans over a "
-        "small tree); both candidate paths read that checkpoint with the one-row query "
-        "side BROADCAST, and the final assembly is crossJoins of one-row aggregates "
-        "(BroadcastNestedLoopJoin over single rows — constant data movement)."
+        "small tree). r12: only the CANDIDATES are checkpointed (not the 600 MB bucketed "
+        "corpus), the bucket is the Arrow path (ArrowEvalPython — the planes x dim chain "
+        "exceeds the JIT method ceiling), the query bucket/vector enter as LITERALS (no "
+        "broadcast join), and ball membership is a BroadcastHashJoin (a 4,944-id IN list "
+        "evaluates linearly per row); the final assembly is crossJoins of one-row "
+        "aggregates (constant data movement)."
     ),
     "simhash_wide_near_dup": (
         "120-bit SimHash banding (round 11). What to check: ONE corpus scan into the "
