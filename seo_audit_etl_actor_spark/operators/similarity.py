@@ -746,40 +746,61 @@ def cosine_topk_rerank(
 # target 0.9): 2k vecs -> 8 planes, h=2, scan 14.4%; 200k -> 12 planes,
 # h=3, scan 7.3%; 20M -> 19 planes, h=5, scan 3.2%.
 #
-# IVF leg (r12 — REPLACED the r11 binomial-ball bound): nprobe is sized
-# from the RANKED-probing model, because that is what cosine_topk_ivf
-# actually does — probe the nprobe cells whose centroids are most similar
-# to the query, not a hamming ball over the cell code. The r11 study
-# measured the ball bound ~8-16x conservative (nprobe=4/512 already gave
-# 0.88 recall at 0.84% scan vs the ball's 130/512 = 25%;
-# SCALE_STUDY_r11.json:ann_recall) — at 100 TB that bound was the
-# engine's largest standing cost error (VERDICT r11 gap #1).
+# IVF leg (r12, recalibrated on DECONTAMINATED measurements — v2): nprobe
+# is sized from the RANKED-probing model, because that is what
+# cosine_topk_ivf actually does — probe the nprobe cells whose centroids
+# are most similar to the query, not a hamming ball over the cell code
+# (the r11 ball bound was measured ~8-16x conservative and replaced
+# early in r12).
 #
-# Model: recall(k) = P(rank of the neighbor's cell in the query's
-# centroid-cosine ordering <= k). With the codebook data-sampled and
-# choose_ivf_cells holding cells near IVF_TARGET_CELL_SIZE members, the
-# measured rank curves are nearly scale-free in n_cells (m10 vs m100
-# rungs agree point-for-point at equal ABSOLUTE k), so rank is modeled
-# log-normal with spread driven by the same Charikar separation
-# probability p = arccos(c)/pi as the LSH leg:
-#   P(rank <= k) = Phi((ln k - RANKED_MU) / sigma),
-#   sigma = RANKED_SIGMA0 + RANKED_SIGMA_SLOPE * p
-# Constants calibrated on the r11 graded corpus's m100 rung (512 cells,
-# 200k vecs, 128 trials/band — the rung whose cells sit at the target
-# size): fitted curves reproduce every measured point within ~3pp across
-# all three cosine bands. nprobe = ceil(RANKED_SAFETY * smallest k
-# meeting the target), the safety margin absorbing band-to-band fit
-# error; capped at n_cells (cap reached -> exhaustive, recall exactly 1).
+# Why v2: the first ranked calibration fitted the r11 m100 curves, but
+# those were CONTAMINATED — the graded corpus's base query seeds are
+# also IVF centroids (at 4,096 cells ALL 64 seeds are), and an
+# in-codebook query's planted neighbors quantize to its own cell at
+# probe rank 1, inflating measured recall (the r11 m1000 ivf_curve read
+# a meaningless uniform 1.0). SCALE_STUDY_r12's out-of-codebook query
+# plants (gen_scale.high_query_ids) measured the true curves: the v1
+# picks (8/23/53 at bands 0.9/0.8/0.7) reach only 0.84/0.73/0.69
+# decontaminated recall at 4,096 cells.
+#
+# v2 model, fitted to the decontaminated ≥0.9-recall crossings at BOTH
+# measured codebook sizes (512 cells / 200k vecs and 4,096 cells / 2M
+# vecs, 128 trials per band):
+#   ln n*(c, C) = A(c) + B(c) · max(0, ln(C / 512))
+#   A knots (the 512-cell crossings):  c=0.9 -> ln 16, 0.8 -> ln 32,
+#                                      0.7 -> ln 128
+#   B knots (the 4,096-cell lift):     c=0.9 -> ln(23/16)/ln 8,
+#                                      0.8 -> ln(53/32)/ln 8,
+#                                      0.7 -> 0.35 (deliberately above
+#       the measured crossing: the extended r12 sweep then measured the
+#       0.7-band 4,096-cell crossing at nprobe≈192 — decontaminated
+#       0.9062, a 0.6pp margin — so the 0.35 constant's pick of 266
+#       (measured 0.9375) keeps ~1.4x headroom over a knife-edge
+#       crossing; it does not feed the audit, which pins band 0.8)
+# with A, B linear in c between knots and CLAMPED outside [0.7, 0.9]
+# (above 0.9 the clamp is conservative; below 0.7 recalibrate first).
+# Miss decay past the crossing follows the measured halve-per-doubling
+# law: recall(n) = 1 - (1 - 0.9) · (n*/n) (validated conservative at
+# every swept point past n* on both rungs), so a target above 0.9 costs
+# n = n* · 0.1/(1-target); targets below 0.9 keep n* (conservative).
+# nprobe is capped at n_cells (cap reached -> exhaustive, recall
+# exactly 1 — the driver-SF tier-0 pin, 16 cells, is always capped).
 # Expected scan fraction stays nprobe/n_cells under the equal-mass-cell
 # assumption (honest caveat: real cells are unequal; measured fractions
 # live in the SCALE_STUDY files). Second caveat: above
 # IVF_MAX_CELLS * IVF_TARGET_CELL_SIZE (~42M) vectors the codebook cap
-# grows cells past the calibrated size, so the model drifts conservative
-# territory unknown — recalibrate before quoting it there.
-RANKED_MU = -1.25
-RANKED_SIGMA0 = 0.2
-RANKED_SIGMA_SLOPE = 14.0
-RANKED_SAFETY = 1.5
+# grows cells past the calibrated size, so the model drifts —
+# recalibrate before quoting it there.
+from math import log as _ln
+
+RANKED_KNOTS = {
+    # c: (A = ln n* at 512 cells, B = per-ln(8) cell-count lift)
+    0.9: (_ln(16.0), _ln(23.0 / 16.0) / _ln(8.0)),
+    0.8: (_ln(32.0), _ln(53.0 / 32.0) / _ln(8.0)),
+    0.7: (_ln(128.0), 0.35),  # B extrapolated — see block comment
+}
+RANKED_BASE_CELLS = 512
+RANKED_BASE_MISS = 0.1  # 1 - the 0.9 calibration recall at n*
 LSH_TARGET_BUCKET_SIZE = 64
 LSH_MIN_PLANES = 8
 LSH_MAX_PLANES = 20
@@ -799,41 +820,61 @@ def lsh_separation_prob(neighbor_cosine: float) -> float:
     return acos(max(-1.0, min(1.0, neighbor_cosine))) / pi
 
 
-def ranked_probe_recall(nprobe: int, neighbor_cosine: float) -> float:
-    """Modeled probability that ranked centroid probing of `nprobe` cells
-    reaches a neighbor at the given cosine: the log-normal rank law above
-    (calibrated on SCALE_STUDY_r11's m100 graded rung)."""
-    from math import erf, log, sqrt
+def _ranked_knot(neighbor_cosine: float) -> tuple[float, float]:
+    """(A, B) for the v2 rank law — linear in cosine between the
+    calibration knots, clamped outside [0.7, 0.9]."""
+    cs = sorted(RANKED_KNOTS)  # [0.7, 0.8, 0.9]
+    c = max(cs[0], min(cs[-1], neighbor_cosine))
+    for lo, hi in zip(cs, cs[1:]):
+        if c <= hi:
+            t = (c - lo) / (hi - lo)
+            a0, b0 = RANKED_KNOTS[lo]
+            a1, b1 = RANKED_KNOTS[hi]
+            return a0 + t * (a1 - a0), b0 + t * (b1 - b0)
+    return RANKED_KNOTS[cs[-1]]
 
+
+def ranked_nprobe_crossing(n_cells: int, neighbor_cosine: float) -> int:
+    """n* — the modeled nprobe where decontaminated ranked-probing recall
+    crosses 0.9 for neighbors at the given cosine (v2 rank law above)."""
+    from math import ceil, exp, log
+
+    a, b = _ranked_knot(neighbor_cosine)
+    ln_n = a + b * max(0.0, log(n_cells / RANKED_BASE_CELLS))
+    # the 1e-9 slack absorbs exp(ln k) landing one ulp above the integer
+    return max(1, ceil(exp(ln_n) - 1e-9))
+
+
+def ranked_probe_recall(
+    nprobe: int, n_cells: int, neighbor_cosine: float
+) -> float:
+    """Modeled DECONTAMINATED probability that ranked centroid probing of
+    `nprobe` cells reaches a neighbor at the given cosine: miss decays by
+    the measured halve-per-doubling law past the 0.9 crossing n*
+    (conservative below it). Probing every cell is brute force — recall
+    exactly 1."""
     if nprobe < 1:
         return 0.0
-    p = lsh_separation_prob(neighbor_cosine)
-    sigma = RANKED_SIGMA0 + RANKED_SIGMA_SLOPE * p
-    z = (log(nprobe) - RANKED_MU) / sigma
-    return 0.5 * (1.0 + erf(z / sqrt(2.0)))
+    if nprobe >= n_cells:
+        return 1.0
+    n_star = ranked_nprobe_crossing(n_cells, neighbor_cosine)
+    return max(0.0, 1.0 - RANKED_BASE_MISS * (n_star / nprobe))
 
 
 def choose_ranked_nprobe(
     n_cells: int, target_recall: float, neighbor_cosine: float
 ) -> int:
-    """Smallest nprobe whose modeled ranked-probing recall meets the
-    target, times RANKED_SAFETY, capped at n_cells. Deterministic in its
-    arguments (monotone model -> exponential + binary search)."""
+    """nprobe meeting the target under the v2 law: the 0.9 crossing n*
+    scaled by the miss-decay law for higher targets (targets below 0.9
+    keep n* — conservative), capped at n_cells. Deterministic in its
+    arguments."""
     from math import ceil
 
-    if ranked_probe_recall(n_cells, neighbor_cosine) < target_recall:
-        return n_cells  # even exhaustive modeled short: probe everything
-    hi = 1
-    while hi < n_cells and ranked_probe_recall(hi, neighbor_cosine) < target_recall:
-        hi *= 2
-    lo = max(1, hi // 2)
-    while lo < hi:
-        mid = (lo + hi) // 2
-        if ranked_probe_recall(mid, neighbor_cosine) >= target_recall:
-            hi = mid
-        else:
-            lo = mid + 1
-    return min(n_cells, ceil(RANKED_SAFETY * hi))
+    n_star = ranked_nprobe_crossing(n_cells, neighbor_cosine)
+    if target_recall > 0.9:
+        miss = max(1e-9, 1.0 - target_recall)
+        n_star = ceil(n_star * RANKED_BASE_MISS / miss - 1e-9)
+    return min(n_cells, n_star)
 
 
 def choose_lsh_planes(n_vecs: int, target_bucket: int = LSH_TARGET_BUCKET_SIZE) -> int:
@@ -877,15 +918,12 @@ def choose_probes(
 
     if n_cells is None:
         n_cells = choose_ivf_cells(n_vecs)
-    # r12: ranked-probing model (see the calibration block above) — the
-    # r11 binomial-ball bound here over-provisioned nprobe ~8-16x vs the
-    # measured ranked curves because cosine_topk_ivf probes cells in
-    # centroid-similarity order, not a hamming ball over the cell code.
+    # r12 v2: decontaminated ranked-probing model (see the calibration
+    # block above) — the r11 binomial-ball bound over-provisioned ~8-16x;
+    # the first ranked fit under-provisioned ~2-3x because its
+    # calibration curves were inflated by in-codebook queries.
     nprobe = choose_ranked_nprobe(n_cells, target_recall, neighbor_cosine)
-    # probing every cell IS brute force — recall exactly 1 by definition
-    ivf_recall = (
-        1.0 if nprobe >= n_cells else ranked_probe_recall(nprobe, neighbor_cosine)
-    )
+    ivf_recall = ranked_probe_recall(nprobe, n_cells, neighbor_cosine)
     ivf_scan = nprobe / n_cells
 
     return {

@@ -1181,19 +1181,21 @@ def q_ann_probe_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At every driver SF (20 / 200 / 2000 vectors) the policy floors at
     8 planes, and target 0.9 at neighbor cosine 0.8 gives max_hamming=3
-    and — under the r12 RANKED-probing IVF model (ranked_probe_recall,
-    replacing the r11 binomial-ball bound the study measured ~8-16x
-    conservative) — 16 cells probed exhaustively (nprobe=16, recall
-    exactly 1: the ranked k with safety exceeds the tiny tier-0 codebook,
+    and — under the r12 v2 DECONTAMINATED ranked-probing IVF model
+    (ranked_probe_recall; v1's calibration curves were inflated by
+    in-codebook queries, and the r11 binomial-ball bound before it was
+    ~8-16x conservative) — 16 cells probed exhaustively (nprobe=16,
+    recall exactly 1: the v2 crossing exceeds the tiny tier-0 codebook,
     and probing every cell is brute force). Static, so the oracle
     hard-codes them (the banding-ladder tier-0 idiom). Because the
     driver-SF knob is the degenerate case, the row ALSO pins the model at
     the two measured production rungs — choose_probes(200k) and
     choose_probes(2M) evaluated in-query, so the MODEL code (not just
-    this row's constants) hash-fails if it drifts: nprobe 23/512 cells =
-    4.49% modeled scan at 200k and 23/4096 = 0.56% at 2M (vs the r11
-    ball's 130/512 = 25.4%), modeled recall 0.9236 at the 0.8 band.
-    Measured validation lives in SCALE_STUDY_r12 (tools/ann_recall)."""
+    this row's constants) hash-fails if it drifts: nprobe 32/512 cells =
+    6.25% modeled scan at 200k and 53/4096 = 1.29% at 2M (vs the r11
+    ball's 130/512 = 25.4%), modeled recall exactly the 0.9 target at
+    both (the v2 law sits ON its decontaminated calibration crossings,
+    measured 0.9309 and 0.9141 — SCALE_STUDY_r12 ann_recall)."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     # count the RAW table: Spark serves it from parquet row-group counts;
     # counting the repartitioned frame would pay the exchange for nothing
@@ -1332,11 +1334,12 @@ def _sql_ann_probe_policy_audit(
     dim: int = EMB_DIM, qid: int = _QUERY_VEC_ID, max_hamming: int = 3
 ) -> str:
     # policy constants for every driver SF (choose_probes floors at 8
-    # planes; target 0.9 @ cosine 0.8 -> h=3; the r12 ranked-probing IVF
-    # leg caps at the 16-cell tier-0 codebook -> nprobe 16, recall 1) and
-    # the production-rung model pins (200k -> 23/512, 2M -> 23/4096,
-    # modeled recall 923583 x1e6): pinned as literals, like the banding
-    # ladder's tier-0 oracle
+    # planes; target 0.9 @ cosine 0.8 -> h=3; the r12 v2 decontaminated
+    # ranked-probing IVF leg caps at the 16-cell tier-0 codebook ->
+    # nprobe 16, recall 1) and the production-rung model pins
+    # (200k -> 32/512, 2M -> 53/4096, modeled recall 900000 x1e6 — the
+    # v2 law sits on its calibration crossings): pinned as literals,
+    # like the banding ladder's tier-0 oracle
     def chain(a: str, b: str) -> str:
         return " + ".join(
             f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
@@ -1367,12 +1370,12 @@ SELECT CAST(n.n_vecs AS BIGINT) AS n_vecs,
        16 AS nprobe,
        CAST(1000000 AS BIGINT) AS ivf_recall_x1e6,
        512 AS n_cells_200k,
-       23 AS nprobe_200k,
-       CAST(923583 AS BIGINT) AS ivf_recall_x1e6_200k,
-       CAST(44922 AS BIGINT) AS ivf_scan_frac_x1e6_200k,
+       32 AS nprobe_200k,
+       CAST(900000 AS BIGINT) AS ivf_recall_x1e6_200k,
+       CAST(62500 AS BIGINT) AS ivf_scan_frac_x1e6_200k,
        4096 AS n_cells_2m,
-       23 AS nprobe_2m,
-       CAST(5615 AS BIGINT) AS ivf_scan_frac_x1e6_2m,
+       53 AS nprobe_2m,
+       CAST(12939 AS BIGINT) AS ivf_scan_frac_x1e6_2m,
        CAST(939177 AS BIGINT) AS expected_recall_x1e6,
        CAST(363281 AS BIGINT) AS expected_scan_frac_x1e6,
        CAST(s.scanned_rows AS BIGINT) AS scanned_rows,

@@ -109,51 +109,66 @@ def test_choose_probes_driver_sf_pin():
 
 
 def test_ranked_probe_model_production_pins():
-    """The audit's production-rung literals: nprobe is rank-model-sized
-    (ABSOLUTE k ~ scale-free in n_cells), so the modeled scan FRACTION
-    falls 8x from 200k to 2M while nprobe stays 23 — and is 5.7x below
-    the r11 binomial-ball bound (130/512) the measurements refuted."""
+    """The audit's production-rung literals (v2 decontaminated law):
+    nprobe grows only ~ln(n_cells) past the 512-cell calibration base,
+    so the modeled scan FRACTION still falls ~5x from 200k to 2M
+    (6.25% -> 1.29%) — and stays 4-20x below the r11 binomial-ball
+    bound (130/512 = 25.4%) the measurements refuted, while the v1
+    ranked picks (23 at both rungs) measured BELOW target once the
+    in-codebook query contamination was removed."""
     p200k = similarity.choose_probes(200_000, 0.9, 0.8)
-    assert (p200k["n_cells"], p200k["nprobe"]) == (512, 23)
-    assert p200k["ivf_expected_recall_x1e6"] == 923583
-    assert p200k["ivf_expected_scan_frac_x1e6"] == 44922
+    assert (p200k["n_cells"], p200k["nprobe"]) == (512, 32)
+    assert p200k["ivf_expected_recall_x1e6"] == 900000
+    assert p200k["ivf_expected_scan_frac_x1e6"] == 62500
     p2m = similarity.choose_probes(2_000_000, 0.9, 0.8)
-    assert (p2m["n_cells"], p2m["nprobe"]) == (4096, 23)
-    assert p2m["ivf_expected_scan_frac_x1e6"] == 5615
+    assert (p2m["n_cells"], p2m["nprobe"]) == (4096, 53)
+    assert p2m["ivf_expected_recall_x1e6"] == 900000
+    assert p2m["ivf_expected_scan_frac_x1e6"] == 12939
 
 
 def test_ranked_probe_model_monotone_and_calibrated():
-    """Model sanity: recall is monotone in nprobe and in neighbor cosine;
-    the calibration reproduces the r11 m100 measured curve (512 cells,
-    128 trials/band) within 3.5pp at every measured point."""
+    """v2 model sanity (r12 — recalibrated on DECONTAMINATED curves, the
+    out-of-codebook query plants of SCALE_STUDY_r12): recall is monotone
+    in nprobe and in neighbor cosine; the chosen nprobe at every
+    calibration knot equals the swept point that measured ≥0.9
+    decontaminated recall, and the model never promises more recall than
+    those measurements delivered."""
     for c in (0.9, 0.8, 0.7):
-        rs = [similarity.ranked_probe_recall(k, c) for k in (1, 2, 4, 8, 16, 32)]
+        rs = [similarity.ranked_probe_recall(k, 512, c) for k in (1, 2, 4, 8, 16, 32)]
         assert all(a <= b for a, b in zip(rs, rs[1:])), (c, rs)
-    for k in (1, 4, 16):
-        assert similarity.ranked_probe_recall(k, 0.9) > similarity.ranked_probe_recall(k, 0.7)
-    measured = {  # SCALE_STUDY_r11.json ann_recall.rungs.m100.ivf_curve
-        0.9: {1: 0.7109, 2: 0.8047, 4: 0.8828, 8: 0.9141, 16: 0.9766},
-        0.8: {1: 0.6797, 2: 0.7422, 4: 0.8281, 8: 0.875, 16: 0.9141, 32: 0.9531, 64: 0.9844},
-        0.7: {1: 0.6094, 2: 0.6328, 4: 0.6641, 8: 0.7031, 16: 0.75, 32: 0.8672, 64: 0.9219},
+    # cosine monotonicity where the law is off its floor (the miss law
+    # saturates at 0 far below the crossing)
+    for k in (8, 16, 64):
+        assert similarity.ranked_probe_recall(k, 512, 0.9) > similarity.ranked_probe_recall(
+            k, 512, 0.7
+        )
+    # calibration knots == the measured decontaminated ≥0.9 crossings
+    # (SCALE_STUDY_r12 ann_recall: m100 = 512 cells, m1000 = 4096 cells)
+    assert similarity.choose_ranked_nprobe(512, 0.9, 0.9) == 16  # meas 0.9415
+    assert similarity.choose_ranked_nprobe(512, 0.9, 0.8) == 32  # meas 0.9309
+    assert similarity.choose_ranked_nprobe(512, 0.9, 0.7) == 128  # meas 0.9734
+    assert similarity.choose_ranked_nprobe(4096, 0.9, 0.9) == 23  # meas 0.9531
+    assert similarity.choose_ranked_nprobe(4096, 0.9, 0.8) == 53  # meas 0.9141
+    # the v1 picks these replace measured BELOW target decontaminated
+    # (8 -> 0.8359, 23 -> 0.7344 at 4096 cells) — v2 must exceed them
+    assert similarity.choose_ranked_nprobe(4096, 0.9, 0.9) > 8
+    assert similarity.choose_ranked_nprobe(4096, 0.9, 0.8) > 23
+    # miss-decay law conservative vs the measured points past each
+    # crossing (m100 512 cells, decontam): model miss >= measured miss
+    measured_past = {
+        (0.9, 23): 0.9681, (0.9, 32): 0.9734, (0.9, 53): 0.9947,
+        (0.8, 53): 0.9734, (0.8, 64): 0.9894,
     }
-    worst = 0.0
-    for c, pts in measured.items():
-        for k, m in pts.items():
-            worst = max(worst, abs(similarity.ranked_probe_recall(k, c) - m))
-    # the 0.7 band's MID-curve (k=4..16) is the loosest fit (~11pp
-    # optimistic) — harmless, because nprobe selection happens where the
-    # model crosses the 0.9 target, far to the right of that region
-    assert worst <= 0.12, worst
-    tight = max(
-        abs(similarity.ranked_probe_recall(k, c) - m)
-        for c in (0.9, 0.8)
-        for k, m in measured[c].items()
-    )
-    assert tight <= 0.035, tight
-    # fit AT each band's operating point (smallest measured k at or past
-    # the raw model crossing: 8 / 16 / 32) is what sizes nprobe — tight
-    for c, k_op in ((0.9, 8), (0.8, 16), (0.7, 32)):
-        assert abs(similarity.ranked_probe_recall(k_op, c) - measured[c][k_op]) <= 0.035, c
+    for (c, k), m in measured_past.items():
+        assert similarity.ranked_probe_recall(k, 512, c) <= m + 1e-9, (c, k)
+    # tier 0 always exhausts the 16-cell codebook -> recall exactly 1
+    # (the audit's static driver-SF pin)
+    for c in (0.9, 0.8, 0.7):
+        assert similarity.choose_ranked_nprobe(16, 0.9, c) == 16
+        assert similarity.ranked_probe_recall(16, 16, c) == 1.0
+    # higher targets scale by the miss-decay law
+    assert similarity.choose_ranked_nprobe(512, 0.95, 0.8) == 64
+    assert similarity.ranked_probe_recall(64, 512, 0.8) == 0.95
 
 
 def test_multiprobe_lsh_beats_default_recall(emb):

@@ -321,7 +321,7 @@ def run_rung(spark, label: str, sf_dir: str) -> dict:
 
     lsh_curve = [sweep_point_lsh(h) for h in range(0, min(planes, 8) + 1)]
     nprobes = sorted(
-        {1, 2, 4, 8, 16, 32, 64}
+        {1, 2, 4, 8, 16, 32, 64, 96, 128, 192, 256, 320}
         | {pols[c]["nprobe"] for c in PLANT_BANDS}
         | {n_cells // 4}
     )
