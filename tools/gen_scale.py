@@ -213,10 +213,19 @@ def gen_embeddings(out_dir: str, m: float, base_dir: str, seed: int = 11) -> int
             plant_neighbors(qhat, at + 1)
 
     emb_type = t.schema.field("embedding").type
+    # zero-copy list assembly: offsets + the flat value buffer (the
+    # row.tolist() form boxed n_out x dim floats — ~20 min and ~37 GB at
+    # the 20M rung)
+    dim_out = out_vecs.shape[1]
+    offsets = pa.array(
+        np.arange(0, (len(out_vecs) + 1) * dim_out, dim_out, dtype=np.int32)
+    )
+    values = pa.array(out_vecs.ravel(), type=emb_type.value_type)
+    emb_arr = pa.ListArray.from_arrays(offsets, values)
     out = pa.table(
         {
             "vec_id": pa.array(out_ids, pa.int64()),
-            "embedding": pa.array([row.tolist() for row in out_vecs], emb_type),
+            "embedding": emb_arr.cast(emb_type),
             "label": pa.array(out_labels, t.schema.field("label").type),
         }
     )
