@@ -55,59 +55,7 @@ class QuerySpec:
 # Never append below position 50 — that silently exempts the entry from the
 # driver's rows+schema+hash check forever.
 QUERIES: list[QuerySpec] = [
-    # --- NEW: no driver evidence yet ---
-    QuerySpec("simhash_auto_near_dup", ext.q_simhash_auto_near_dup, ext.SQL_SIMHASH_AUTO_NEAR_DUP),
-    # --- latest green: r8 ---
-    QuerySpec("tpch_q3_shipping_priority", rel.q_tpch_q3_shipping_priority, rel.SQL_TPCH_Q3_SHIPPING_PRIORITY),
-    QuerySpec("weekly_retention_cohorts", ev.q_weekly_retention_cohorts, ev.SQL_WEEKLY_RETENTION_COHORTS),
-    QuerySpec("lossless_decode_audit", ax.q_lossless_decode_audit, ax.SQL_LOSSLESS_DECODE_AUDIT),
     # --- latest green: r9 ---
-    QuerySpec("accumulate_union", r.q_accumulate_union, r.SQL_ACCUMULATE_UNION),
-    QuerySpec("avg_domain_rating", r.q_avg_domain_rating, r.SQL_AVG_DOMAIN_RATING),
-    QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),
-    QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
-    QuerySpec("dsir_importance_weights", cx.q_dsir_importance_weights, cx.SQL_DSIR_IMPORTANCE_WEIGHTS),
-    QuerySpec("dup_ngram_span_ratio", cx.q_dup_ngram_span_ratio, cx.SQL_DUP_NGRAM_SPAN_RATIO),
-    QuerySpec("embedding_centroid_outliers", cx.q_embedding_centroid_outliers, cx.SQL_EMBEDDING_CENTROID_OUTLIERS),
-    QuerySpec("embedding_quantization_error", cx.q_embedding_quantization_error, cx.SQL_EMBEDDING_QUANTIZATION_ERROR),
-    QuerySpec("gopher_quality_rules", cx.q_gopher_quality_rules, cx.SQL_GOPHER_QUALITY_RULES),
-    QuerySpec("hash_split_stats", ext.q_hash_split_stats, ext.SQL_HASH_SPLIT_STATS),
-    QuerySpec("packing_stats", ext.q_packing_stats, ext.SQL_PACKING_STATS),
-    QuerySpec("sparse_retrieval_topk", cx.q_sparse_retrieval_topk, cx.SQL_SPARSE_RETRIEVAL_TOPK),
-    QuerySpec("stratified_sample_stats", ext.q_stratified_sample_stats, ext.SQL_STRATIFIED_SAMPLE_STATS),
-    QuerySpec("tfidf_top_terms", ext.q_tfidf_top_terms, ext.SQL_TFIDF_TOP_TERMS),
-    QuerySpec("tpch_q10_returned_items", tq.q_tpch_q10_returned_items, tq.SQL_TPCH_Q10_RETURNED_ITEMS),
-    QuerySpec("tpch_q11_important_stock", tq.q_tpch_q11_important_stock, tq.SQL_TPCH_Q11_IMPORTANT_STOCK),
-    QuerySpec("tpch_q12_ship_priority_classes", tq.q_tpch_q12_ship_priority_classes, tq.SQL_TPCH_Q12_SHIP_PRIORITY_CLASSES),
-    QuerySpec("tpch_q13_customer_distribution", tq.q_tpch_q13_customer_distribution, tq.SQL_TPCH_Q13_CUSTOMER_DISTRIBUTION),
-    QuerySpec("tpch_q14_promo_effect", tq.q_tpch_q14_promo_effect, tq.SQL_TPCH_Q14_PROMO_EFFECT),
-    QuerySpec("tpch_q15_top_supplier", tq.q_tpch_q15_top_supplier, tq.SQL_TPCH_Q15_TOP_SUPPLIER),
-    QuerySpec("tpch_q16_parts_supplier_relationship", tq.q_tpch_q16_parts_supplier_relationship, tq.SQL_TPCH_Q16_PARTS_SUPPLIER_RELATIONSHIP),
-    QuerySpec("tpch_q17_small_quantity_revenue", tq.q_tpch_q17_small_quantity_revenue, tq.SQL_TPCH_Q17_SMALL_QUANTITY_REVENUE),
-    QuerySpec("tpch_q2_min_cost_supplier", tq.q_tpch_q2_min_cost_supplier, tq.SQL_TPCH_Q2_MIN_COST_SUPPLIER),
-    QuerySpec("tpch_q4_order_priority", tq.q_tpch_q4_order_priority, tq.SQL_TPCH_Q4_ORDER_PRIORITY),
-    QuerySpec("tpch_q5_local_supplier_volume", tq.q_tpch_q5_local_supplier_volume, tq.SQL_TPCH_Q5_LOCAL_SUPPLIER_VOLUME),
-    QuerySpec("tpch_q6_forecast_revenue", tq.q_tpch_q6_forecast_revenue, tq.SQL_TPCH_Q6_FORECAST_REVENUE),
-    QuerySpec("tpch_q7_volume_shipping", tq.q_tpch_q7_volume_shipping, tq.SQL_TPCH_Q7_VOLUME_SHIPPING),
-    QuerySpec("tpch_q8_market_share", tq.q_tpch_q8_market_share, tq.SQL_TPCH_Q8_MARKET_SHARE),
-    QuerySpec("tpch_q9_product_type_profit", tq.q_tpch_q9_product_type_profit, tq.SQL_TPCH_Q9_PRODUCT_TYPE_PROFIT),
-    QuerySpec("mv_merge_audit", ax.q_mv_merge_audit, ax.SQL_MV_MERGE_AUDIT),
-    QuerySpec("streaming_anomaly_differential", stx.q_streaming_anomaly_differential, stx.SQL_STREAMING_ANOMALY_DIFFERENTIAL),
-    QuerySpec("arith_decode_audit", ax.q_arith_decode_audit, ax.SQL_ARITH_DECODE_AUDIT),
-    QuerySpec("broadcast_join_audit", ax.q_broadcast_join_audit, ax.SQL_BROADCAST_JOIN_AUDIT),
-    QuerySpec("bucketed_join_audit", ax.q_bucketed_join_audit, ax.SQL_BUCKETED_JOIN_AUDIT),
-    QuerySpec("cms_error_audit", ext.q_cms_error_audit, ext.SQL_CMS_ERROR_AUDIT),
-    QuerySpec("extended_decode_audit", ax.q_extended_decode_audit, ax.SQL_EXTENDED_DECODE_AUDIT),
-    QuerySpec("format_roundtrip_audit", ax.q_format_roundtrip_audit, ax.SQL_FORMAT_ROUNDTRIP_AUDIT),
-    QuerySpec("jsonl_roundtrip_audit", ax.q_jsonl_roundtrip_audit, ax.SQL_JSONL_ROUNDTRIP_AUDIT),
-    QuerySpec("lake_maintenance_audit", ax.q_lake_maintenance_audit, ax.SQL_LAKE_MAINTENANCE_AUDIT),
-    QuerySpec("partition_pruning_audit", ax.q_partition_pruning_audit, ax.SQL_PARTITION_PRUNING_AUDIT),
-    QuerySpec("pii_redaction_audit", qx.q_pii_redaction_audit, qx.SQL_PII_REDACTION_AUDIT),
-    QuerySpec("scan_pushdown_audit", ax.q_scan_pushdown_audit, ax.SQL_SCAN_PUSHDOWN_AUDIT),
-    QuerySpec("semantic_dedup_stats", ext.q_semantic_dedup_stats, ext.SQL_SEMANTIC_DEDUP_STATS),
-    QuerySpec("streaming_attribution_differential", stx.q_streaming_attribution_differential, stx.SQL_STREAMING_ATTRIBUTION_DIFFERENTIAL),
-    QuerySpec("streaming_dedup_differential", stx.q_streaming_dedup_differential, stx.SQL_STREAMING_DEDUP_DIFFERENTIAL),
-    QuerySpec("streaming_enrichment_differential", stx.q_streaming_enrichment_differential, stx.SQL_STREAMING_ENRICHMENT_DIFFERENTIAL),
     QuerySpec("streaming_hourly_windows_differential", stx.q_streaming_hourly_windows_differential, stx.SQL_STREAMING_HOURLY_WINDOWS_DIFFERENTIAL),
     QuerySpec("streaming_running_totals_differential", stx.q_streaming_running_totals_differential, stx.SQL_STREAMING_RUNNING_TOTALS_DIFFERENTIAL),
     QuerySpec("streaming_sessions_differential", stx.q_streaming_sessions_differential, stx.SQL_STREAMING_SESSIONS_DIFFERENTIAL),
@@ -214,6 +162,57 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("ann_probe_policy_audit", ext.q_ann_probe_policy_audit, ext.SQL_ANN_PROBE_POLICY_AUDIT),
     QuerySpec("simhash_wide_fingerprints", ext.q_simhash_wide_fingerprints, ext.SQL_SIMHASH_WIDE_FINGERPRINTS),
     QuerySpec("simhash_wide_near_dup", ext.q_simhash_wide_near_dup, ext.SQL_SIMHASH_WIDE_NEAR_DUP),
+    # --- latest green: r12 ---
+    QuerySpec("accumulate_union", r.q_accumulate_union, r.SQL_ACCUMULATE_UNION),
+    QuerySpec("avg_domain_rating", r.q_avg_domain_rating, r.SQL_AVG_DOMAIN_RATING),
+    QuerySpec("cosine_topk_ivf", ext.q_cosine_topk_ivf, ext.SQL_COSINE_TOPK_IVF),
+    QuerySpec("curation_funnel", ext.q_curation_funnel, ext.SQL_CURATION_FUNNEL),
+    QuerySpec("dsir_importance_weights", cx.q_dsir_importance_weights, cx.SQL_DSIR_IMPORTANCE_WEIGHTS),
+    QuerySpec("dup_ngram_span_ratio", cx.q_dup_ngram_span_ratio, cx.SQL_DUP_NGRAM_SPAN_RATIO),
+    QuerySpec("embedding_centroid_outliers", cx.q_embedding_centroid_outliers, cx.SQL_EMBEDDING_CENTROID_OUTLIERS),
+    QuerySpec("embedding_quantization_error", cx.q_embedding_quantization_error, cx.SQL_EMBEDDING_QUANTIZATION_ERROR),
+    QuerySpec("gopher_quality_rules", cx.q_gopher_quality_rules, cx.SQL_GOPHER_QUALITY_RULES),
+    QuerySpec("hash_split_stats", ext.q_hash_split_stats, ext.SQL_HASH_SPLIT_STATS),
+    QuerySpec("packing_stats", ext.q_packing_stats, ext.SQL_PACKING_STATS),
+    QuerySpec("sparse_retrieval_topk", cx.q_sparse_retrieval_topk, cx.SQL_SPARSE_RETRIEVAL_TOPK),
+    QuerySpec("stratified_sample_stats", ext.q_stratified_sample_stats, ext.SQL_STRATIFIED_SAMPLE_STATS),
+    QuerySpec("tfidf_top_terms", ext.q_tfidf_top_terms, ext.SQL_TFIDF_TOP_TERMS),
+    QuerySpec("tpch_q10_returned_items", tq.q_tpch_q10_returned_items, tq.SQL_TPCH_Q10_RETURNED_ITEMS),
+    QuerySpec("tpch_q11_important_stock", tq.q_tpch_q11_important_stock, tq.SQL_TPCH_Q11_IMPORTANT_STOCK),
+    QuerySpec("tpch_q12_ship_priority_classes", tq.q_tpch_q12_ship_priority_classes, tq.SQL_TPCH_Q12_SHIP_PRIORITY_CLASSES),
+    QuerySpec("tpch_q13_customer_distribution", tq.q_tpch_q13_customer_distribution, tq.SQL_TPCH_Q13_CUSTOMER_DISTRIBUTION),
+    QuerySpec("tpch_q14_promo_effect", tq.q_tpch_q14_promo_effect, tq.SQL_TPCH_Q14_PROMO_EFFECT),
+    QuerySpec("tpch_q15_top_supplier", tq.q_tpch_q15_top_supplier, tq.SQL_TPCH_Q15_TOP_SUPPLIER),
+    QuerySpec("tpch_q16_parts_supplier_relationship", tq.q_tpch_q16_parts_supplier_relationship, tq.SQL_TPCH_Q16_PARTS_SUPPLIER_RELATIONSHIP),
+    QuerySpec("tpch_q17_small_quantity_revenue", tq.q_tpch_q17_small_quantity_revenue, tq.SQL_TPCH_Q17_SMALL_QUANTITY_REVENUE),
+    QuerySpec("tpch_q2_min_cost_supplier", tq.q_tpch_q2_min_cost_supplier, tq.SQL_TPCH_Q2_MIN_COST_SUPPLIER),
+    QuerySpec("tpch_q3_shipping_priority", rel.q_tpch_q3_shipping_priority, rel.SQL_TPCH_Q3_SHIPPING_PRIORITY),
+    QuerySpec("tpch_q4_order_priority", tq.q_tpch_q4_order_priority, tq.SQL_TPCH_Q4_ORDER_PRIORITY),
+    QuerySpec("tpch_q5_local_supplier_volume", tq.q_tpch_q5_local_supplier_volume, tq.SQL_TPCH_Q5_LOCAL_SUPPLIER_VOLUME),
+    QuerySpec("tpch_q6_forecast_revenue", tq.q_tpch_q6_forecast_revenue, tq.SQL_TPCH_Q6_FORECAST_REVENUE),
+    QuerySpec("tpch_q7_volume_shipping", tq.q_tpch_q7_volume_shipping, tq.SQL_TPCH_Q7_VOLUME_SHIPPING),
+    QuerySpec("tpch_q8_market_share", tq.q_tpch_q8_market_share, tq.SQL_TPCH_Q8_MARKET_SHARE),
+    QuerySpec("tpch_q9_product_type_profit", tq.q_tpch_q9_product_type_profit, tq.SQL_TPCH_Q9_PRODUCT_TYPE_PROFIT),
+    QuerySpec("weekly_retention_cohorts", ev.q_weekly_retention_cohorts, ev.SQL_WEEKLY_RETENTION_COHORTS),
+    QuerySpec("mv_merge_audit", ax.q_mv_merge_audit, ax.SQL_MV_MERGE_AUDIT),
+    QuerySpec("streaming_anomaly_differential", stx.q_streaming_anomaly_differential, stx.SQL_STREAMING_ANOMALY_DIFFERENTIAL),
+    QuerySpec("arith_decode_audit", ax.q_arith_decode_audit, ax.SQL_ARITH_DECODE_AUDIT),
+    QuerySpec("broadcast_join_audit", ax.q_broadcast_join_audit, ax.SQL_BROADCAST_JOIN_AUDIT),
+    QuerySpec("bucketed_join_audit", ax.q_bucketed_join_audit, ax.SQL_BUCKETED_JOIN_AUDIT),
+    QuerySpec("cms_error_audit", ext.q_cms_error_audit, ext.SQL_CMS_ERROR_AUDIT),
+    QuerySpec("extended_decode_audit", ax.q_extended_decode_audit, ax.SQL_EXTENDED_DECODE_AUDIT),
+    QuerySpec("format_roundtrip_audit", ax.q_format_roundtrip_audit, ax.SQL_FORMAT_ROUNDTRIP_AUDIT),
+    QuerySpec("jsonl_roundtrip_audit", ax.q_jsonl_roundtrip_audit, ax.SQL_JSONL_ROUNDTRIP_AUDIT),
+    QuerySpec("lake_maintenance_audit", ax.q_lake_maintenance_audit, ax.SQL_LAKE_MAINTENANCE_AUDIT),
+    QuerySpec("lossless_decode_audit", ax.q_lossless_decode_audit, ax.SQL_LOSSLESS_DECODE_AUDIT),
+    QuerySpec("partition_pruning_audit", ax.q_partition_pruning_audit, ax.SQL_PARTITION_PRUNING_AUDIT),
+    QuerySpec("pii_redaction_audit", qx.q_pii_redaction_audit, qx.SQL_PII_REDACTION_AUDIT),
+    QuerySpec("scan_pushdown_audit", ax.q_scan_pushdown_audit, ax.SQL_SCAN_PUSHDOWN_AUDIT),
+    QuerySpec("semantic_dedup_stats", ext.q_semantic_dedup_stats, ext.SQL_SEMANTIC_DEDUP_STATS),
+    QuerySpec("streaming_attribution_differential", stx.q_streaming_attribution_differential, stx.SQL_STREAMING_ATTRIBUTION_DIFFERENTIAL),
+    QuerySpec("streaming_dedup_differential", stx.q_streaming_dedup_differential, stx.SQL_STREAMING_DEDUP_DIFFERENTIAL),
+    QuerySpec("streaming_enrichment_differential", stx.q_streaming_enrichment_differential, stx.SQL_STREAMING_ENRICHMENT_DIFFERENTIAL),
+    QuerySpec("simhash_auto_near_dup", ext.q_simhash_auto_near_dup, ext.SQL_SIMHASH_AUTO_NEAR_DUP),
 ]
 
 
