@@ -279,8 +279,13 @@ def _signatures_from_shingles(
     n_docs × n_hashes longs, not the exploded stream). Same pattern as
     simhash_fingerprints' vote sums."""
     exploded = base.select(F.col(id_col), F.explode("shingles").alias("h"))
+    # SQL-string assembly (r13, same rationale as simhash_fingerprints):
+    # one F.expr parse per signature instead of ~6 py4j round-trips per
+    # signature — identical tree ((a*h + b) % 2^32, all BIGINT), identical
+    # results; only driver-side build time drops (matters at the deep
+    # tiers where n_hashes reaches 72+).
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD32)).alias(f"mh{i}")
+        F.expr(f"MIN(({a} * h + {b}) % {MOD32})").alias(f"mh{i}")
         for i, (a, b) in enumerate(_affine_constants(n_hashes))
     ]
     return exploded.groupBy(id_col).agg(*aggs)
@@ -656,17 +661,27 @@ def simhash_fingerprints(
     th = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
     ).select(F.col(id_col), _hash64(F.col("t"), hash_fn).alias("h"))
+    # Expressions assembled as SQL strings (r13): the per-bit Python
+    # Column-operator loops cost one py4j round-trip per operator
+    # (~6 calls × bits for the votes plus ~4 × bits for the fingerprint
+    # chain), which bench_one measured as ~1.4 s of pure DataFrame BUILD
+    # per invocation — more than the query's execution. One F.expr parse
+    # per column yields the IDENTICAL expression tree (same operators,
+    # same integer types, left-assoc +), so plan and results are
+    # unchanged; only driver-side construction time drops.
     vote_cols = [
-        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+        F.expr(f"SUM((SHIFTRIGHT(h, {i}) & 1) * 2 - 1)").alias(f"v{i}")
         for i in range(bits)
     ]
     g = th.groupBy(id_col).agg(*vote_cols)
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return g.select(F.col(id_col), fp.alias("simhash"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return g.select(
+        F.col(id_col), F.expr(f"CAST(0 AS BIGINT) + {fp_sql}").alias("simhash")
+    )
 
 
 def simhash_near_dup_pairs(
@@ -852,43 +867,48 @@ def simhash_fingerprints_wide(
     # sf0.1). Lane capacity 65,535 tokens per doc — far above any real
     # document; the 60-bit single-word operator keeps its original
     # unpacked form (byte-frozen alongside its driver evidence).
+    # Expression trees assembled as SQL strings (r13): the packed-lane
+    # aggregate and the two 60-CASE fingerprint chains previously went
+    # through one py4j round-trip per Python Column operator (~hundreds
+    # per build), which bench_one measured at ~2.8-3.3 s of DataFrame
+    # BUILD per invocation — twice the query's execution time. One
+    # F.expr parse per output column yields the IDENTICAL tree (same
+    # operators, same integer types, Python sum()'s leading 0 and the
+    # left-assoc + preserved), so plan and results are unchanged.
     LANES, LANE_W = 4, 16
-    packed = [
-        F.sum(
-            sum(
-                (
-                    F.shiftright(
-                        f"h{(g * LANES + l) // _SIMHASH_WORD_BITS}",
-                        (g * LANES + l) % _SIMHASH_WORD_BITS,
-                    ).bitwiseAND(F.lit(1))
-                    * F.lit(1 << (LANE_W * l)).cast("long")
-                )
-                for l in range(LANES)
-                if g * LANES + l < bits
-            )
-        ).alias(f"p{g}")
-        for g in range((bits + LANES - 1) // LANES)
-    ]
+    packed = []
+    for g_idx in range((bits + LANES - 1) // LANES):
+        terms = " + ".join(
+            f"(SHIFTRIGHT(h{(g_idx * LANES + l) // _SIMHASH_WORD_BITS},"
+            f" {(g_idx * LANES + l) % _SIMHASH_WORD_BITS}) & 1)"
+            f" * CAST({1 << (LANE_W * l)} AS BIGINT)"
+            for l in range(LANES)
+            if g_idx * LANES + l < bits
+        )
+        packed.append(F.expr(f"SUM(0 + {terms})").alias(f"p{g_idx}"))
     g = th.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *packed)
     lane_mask = (1 << LANE_W) - 1
 
-    def cnt(i: int):
-        return F.shiftright(f"p{i // LANES}", LANE_W * (i % LANES)).bitwiseAND(
-            F.lit(lane_mask)
+    def cnt_sql(i: int) -> str:
+        return (
+            f"(SHIFTRIGHT(p{i // LANES}, {LANE_W * (i % LANES)}) & {lane_mask})"
         )
 
     words = []
     for w in range(n_words):
-        fp = F.lit(0).cast("long")
+        cases = []
         for j in range(_SIMHASH_WORD_BITS):
             i = w * _SIMHASH_WORD_BITS + j
             if i >= bits:
                 break
             # vote > 0  <=>  2*cnt_i > n_tokens (ties -> bit unset)
-            fp = fp + F.when(
-                cnt(i) * 2 > F.col("__n"), F.lit(1 << j).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        words.append(fp.alias(f"fp_w{w}"))
+            cases.append(
+                f"(CASE WHEN {cnt_sql(i)} * 2 > __n THEN"
+                f" CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        words.append(
+            F.expr("CAST(0 AS BIGINT) + " + " + ".join(cases)).alias(f"fp_w{w}")
+        )
     return g.select(F.col(id_col), *words)
 
 
@@ -1090,22 +1110,45 @@ def ngram_jaccard_sample_pairs(
     (id % modulus == 0) — the verification baseline for the LSH pipelines.
     Quadratic by design; the sample bound keeps it tractable at any SF.
     Defaults chosen so the pair set is NON-EMPTY at the driver's sf0.01
-    (an empty result would make the oracle check vacuous)."""
+    (an empty result would make the oracle check vacuous).
+
+    Pair generation is an EQUI-join on the exploded shingle (inverted
+    index), not the naive `a.id < b.id` theta join: min_jaccard > 0 means
+    every emitted pair shares >= 1 shingle, so joining occurrences of the
+    same shingle enumerates a SUPERSET of the output pairs while the
+    planner gets a hash-partitionable key instead of a
+    BroadcastNestedLoopJoin over the full sample cross product. The
+    per-pair shared-shingle count IS |intersection| (shingle sets are
+    distinct), and |union| = |a| + |b| - |intersection|, so the jaccard
+    value is the same integer ratio (exact small ints -> bit-identical
+    doubles) without ever shipping the shingle arrays into the join."""
     # cheap-equivalent drop predicate (size(tokens) >= k), not a filter on
     # the derived array — see shingle_projection's inlining note
     sample = docs.where(
         (F.col(id_col) % modulus == 0)
         & (F.size(tokens(F.col(text_col))) >= SHINGLE_K)
     ).select(F.col(id_col), shingle_set(F.col(text_col)).alias("sh"))
-    a, b = sample.alias("a"), sample.alias("b")
-    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
+    ex = sample.select(
+        F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            jac.alias("jaccard"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= min_jaccard)
         .orderBy("id_a", "id_b")
     )
