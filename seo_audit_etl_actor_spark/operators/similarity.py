@@ -260,6 +260,151 @@ def choose_sample_modulus(n_reps: int) -> int:
     return m
 
 
+# r13 negative result, recorded so it is not retried: replacing the
+# HOF-fold pair cosine with the unrolled element_at codegen chains
+# (dot_cols_sql) in the three rep-pair operators was A/B-measured
+# 1.7-2.6x SLOWER at sf0.1 (embedding_near_dup run 2.1-3.9 s HOF vs
+# 5.2-6.5 s chain; ivf likewise, 6 runs each, one session). The chains
+# win on MAP-ONLY scans (cosine_query_cols: one WholeStageCodegen
+# stage), but the pair stages evaluate the cosine behind a join — BNLJ
+# for the sample all-pairs, post-join filter for the cell join — where
+# the 64-term chain is (a) re-inlined into the filter condition (double
+# eval) and (b) evaluated interpreted, which costs more than the same
+# arithmetic as an interpreted fold. What DID win (below) is taking the
+# whole pair stage to the Arrow/NumPy path (guide §4.2), with the fold's
+# arithmetic preserved bit-for-bit.
+
+
+def _fold_dot_np(A, B):
+    """Per-row dot product with the HOF fold's EXACT arithmetic: float64
+    products per dimension, accumulated in ascending-dimension order from
+    a 0.0 seed — the same left-assoc IEEE sequence as dot()'s
+    zip_with + aggregate fold (and the DuckDB oracle chains), vectorized
+    ACROSS rows instead of interpreted per element. Same discipline as
+    cosine_topk_rerank's rerank UDF (sequential across dims, vectorized
+    across the batch)."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    return acc
+
+
+# Bounds the (pairs × dim) fancy-index copies one group materializes at a
+# time inside the Arrow pair stage: 1M pairs × 64 dims × 8 B × ~3 arrays
+# ≈ 1.5 GB peak per task worst-case, and cell-sized groups (≤ ~640 reps ≈
+# 205k pairs under choose_ivf_cells) never reach it.
+_PAIR_BLOCK = 1_000_000
+
+
+def _rep_pair_frame(pdf, threshold: float, cell_val=None):
+    """Cross + self near-dup rows for ONE group of representatives.
+
+    Replaces the cell self-join + per-pair interpreted HOF cosine with
+    NumPy over the group's Arrow batch (guide §4.2): sort by rep_id, form
+    the a<b upper-triangle pairs, score with _fold_dot_np (bit-identical
+    to the fold), keep sim >= threshold. NaN sims (zero vectors) are
+    KEPT, matching Spark's and DuckDB's NaN-greatest comparison order.
+    Self rows (n_copies > 1) use the same d/(sqrt(d)*sqrt(d)) sequence
+    the column form computed."""
+    import numpy as np
+    import pandas as pd
+
+    order = np.argsort(pdf["rep_id"].to_numpy(), kind="stable")
+    ids = pdf["rep_id"].to_numpy()[order]
+    nc = pdf["n_copies"].to_numpy()[order]
+    M = np.stack(pdf["__vec"].to_numpy()[order]).astype(np.float64, copy=False)
+    d_self = _fold_dot_np(M, M)
+    norms = np.sqrt(d_self)
+    frames = []
+    ia, ib = np.triu_indices(len(ids), 1)
+    for s in range(0, len(ia), _PAIR_BLOCK):
+        sa, sb = ia[s : s + _PAIR_BLOCK], ib[s : s + _PAIR_BLOCK]
+        sim = _fold_dot_np(M[sa], M[sb]) / (norms[sa] * norms[sb])
+        keep = (sim >= threshold) | np.isnan(sim)
+        if keep.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[sa][keep],
+                        "id_b": ids[sb][keep],
+                        "cosine_sim": sim[keep],
+                        "n_pairs": (nc[sa][keep] * nc[sb][keep]).astype(np.int64),
+                    }
+                )
+            )
+    selfsim = d_self / (norms * norms)
+    skeep = (nc > 1) & ((selfsim >= threshold) | np.isnan(selfsim))
+    if skeep.any():
+        frames.append(
+            pd.DataFrame(
+                {
+                    "id_a": ids[skeep],
+                    "id_b": ids[skeep],
+                    "cosine_sim": selfsim[skeep],
+                    "n_pairs": (nc[skeep] * (nc[skeep] - 1) // 2).astype(np.int64),
+                }
+            )
+        )
+    import numpy as _np
+
+    if frames:
+        out = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    else:
+        out = pd.DataFrame(
+            {
+                "id_a": _np.array([], dtype=_np.int64),
+                "id_b": _np.array([], dtype=_np.int64),
+                "cosine_sim": _np.array([], dtype=_np.float64),
+                "n_pairs": _np.array([], dtype=_np.int64),
+            }
+        )
+    if cell_val is not None:
+        out.insert(0, "cell", _np.full(len(out), cell_val, dtype=_np.int32))
+    return out
+
+
+def _rep_flag_frame(pdf, threshold: float, vec_col: str):
+    """Per-rep SemDeDup facts for ONE cell group: (vector passthrough,
+    rep_id, self_sim_ok, m_low) — the Arrow form of the cell self-join +
+    min aggregation in semantic_dedup_flags, with the fold arithmetic and
+    the NaN-greatest comparison order preserved (see _rep_pair_frame).
+    m_low = MIN rep_id over cell-mates with cosine >= threshold (both
+    pair directions, a != b), NULL when no mate qualifies."""
+    import numpy as np
+    import pandas as pd
+
+    order = np.argsort(pdf["rep_id"].to_numpy(), kind="stable")
+    ids = pdf["rep_id"].to_numpy()[order]
+    vec_raw = pdf["__vec"].to_numpy()[order]
+    M = np.stack(vec_raw).astype(np.float64, copy=False)
+    d_self = _fold_dot_np(M, M)
+    norms = np.sqrt(d_self)
+    selfsim = d_self / (norms * norms)
+    self_ok = (selfsim >= threshold) | np.isnan(selfsim)
+    m = len(ids)
+    sent = np.iinfo(np.int64).max
+    mlow = np.full(m, sent, dtype=np.int64)
+    ia, ib = np.triu_indices(m, 1)
+    for s in range(0, len(ia), _PAIR_BLOCK):
+        sa, sb = ia[s : s + _PAIR_BLOCK], ib[s : s + _PAIR_BLOCK]
+        sim = _fold_dot_np(M[sa], M[sb]) / (norms[sa] * norms[sb])
+        keep = (sim >= threshold) | np.isnan(sim)
+        np.minimum.at(mlow, sb[keep], ids[sa][keep])
+        np.minimum.at(mlow, sa[keep], ids[sb][keep])
+    return pd.DataFrame(
+        {
+            vec_col: vec_raw,
+            "rep_id": ids,
+            "self_sim_ok": self_ok,
+            "m_low": pd.array(
+                [None if v == sent else int(v) for v in mlow], dtype="Int64"
+            ),
+        }
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -282,41 +427,33 @@ def embedding_near_dup_pairs(
     baseline (quadratic by design, sample-bounded); the full-corpus scale
     path is the same predicate inside LSH buckets or IVF cells.
     """
+    ensure_package_on_executors(embeddings.sparkSession)
     reps = rep_collapse(embeddings, id_col, vec_col).localCheckpoint(eager=True)
     if modulus is None:
         modulus = choose_sample_modulus(reps.count())
-    # norms precomputed once per vector, not once per pair (same doubles —
-    # a vector's norm is pair-independent; the per-pair work drops to one
-    # dot product)
-    sample = (
-        reps.where(F.col("rep_id") % modulus == 0)
-        .select("rep_id", "n_copies", _as_double(F.col(vec_col)).alias("v"))
-        .withColumn("n", norm(F.col("v")))
+    sample = reps.where(F.col("rep_id") % modulus == 0).select(
+        "rep_id", "n_copies", F.col(vec_col).alias("__vec")
     )
-    a, b = sample.alias("a"), sample.alias("b")
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
-    cross = (
-        a.join(b, F.col("a.rep_id") < F.col("b.rep_id"))
-        .select(
-            F.col("a.rep_id").alias("id_a"),
-            F.col("b.rep_id").alias("id_b"),
-            sim.alias("cosine_sim"),
-            (F.col("a.n_copies") * F.col("b.n_copies")).cast("long").alias("n_pairs"),
+    thr = float(threshold)
+
+    def sample_pairs(pdf):
+        return _rep_pair_frame(pdf, thr)
+
+    # ONE Arrow group (the sample is bounded at ~EMB_SAMPLE_TARGET reps by
+    # the modulus tiers, so the quadratic stays a constant-size task):
+    # replaces the a.id<b.id BroadcastNestedLoopJoin whose per-pair HOF
+    # cosine ran interpreted — guide §4.2's batch-native path, measured
+    # ~2.1-3.9 s -> sub-second at sf0.1 with bit-identical output
+    # (_rep_pair_frame preserves the fold arithmetic and NaN order).
+    out = (
+        sample.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            sample_pairs,
+            "id_a long, id_b long, cosine_sim double, n_pairs long",
         )
-        .where(F.col("cosine_sim") >= threshold)
     )
-    selfsim = dot(F.col("v"), F.col("v")) / (F.col("n") * F.col("n"))
-    selfrows = (
-        sample.where(F.col("n_copies") > 1)
-        .select(
-            F.col("rep_id").alias("id_a"),
-            F.col("rep_id").alias("id_b"),
-            selfsim.alias("cosine_sim"),
-            F.expr("CAST(n_copies * (n_copies - 1) DIV 2 AS BIGINT)").alias("n_pairs"),
-        )
-        .where(F.col("cosine_sim") >= threshold)
-    )
-    return cross.unionByName(selfrows).orderBy("id_a", "id_b")
+    return out.orderBy("id_a", "id_b")
 
 
 # Scale-aware IVF codebook sizing (round 5; same discipline as dedup's
@@ -447,10 +584,17 @@ def embedding_near_dup_ivf_pairs(
     materialized rows — the rep form carries the same information in
     ~10³.
 
-    The localCheckpoint materializes the assignment once — the inner
-    join's per-side projection would otherwise re-run the Arrow argmax UDF
-    per consumer. At production scale this IS the persisted
-    cell-partitioned corpus (write_lsh_bucketed_corpus's IVF analog).
+    r13: the within-cell pair stage is ONE Arrow pass — groupBy(cell)
+    applyInPandas with the fold arithmetic vectorized across the cell's
+    pairs (_rep_pair_frame, bit-identical output) — replacing the cell
+    self-join whose per-pair HOF cosine ran interpreted (~16M lambda
+    evals at sf0.1) plus the localCheckpoint the join needed to avoid
+    re-running the argmax UDF per side. The assignment now has a SINGLE
+    consumer, so no materialization job; one shuffle (on the cell key)
+    carries the rep frame once instead of twice. A pathological hot cell
+    is one Python group (no AQE split) — bounded by choose_ivf_cells'
+    ~IVF_TARGET_CELL_SIZE mean membership, same guarantee the old
+    self-join relied on for its Σ|cell|² bound.
     """
     if n_cells is None:
         # column-pruned count: parquet row-group metadata only, sub-second
@@ -465,46 +609,38 @@ def embedding_near_dup_ivf_pairs(
     ]
     reps = rep_collapse(embeddings, id_col, vec_col)
     assigned = assign_ivf_cells(reps, n_cells, "rep_id", vec_col, centroids)
-    v = (
-        assigned.select(
-            "rep_id",
-            "n_copies",
-            F.col("__cell").alias("cell"),
-            _as_double(F.col(vec_col)).alias("v"),
-        )
-        .withColumn("n", norm(F.col("v")))
-        .localCheckpoint(eager=True)
+    sel = assigned.select(
+        F.col("__cell").alias("cell"),
+        "rep_id",
+        "n_copies",
+        F.col(vec_col).alias("__vec"),
     )
-    a, b = v.alias("a"), v.alias("b")
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
-    cross = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.rep_id") < F.col("b.rep_id")),
-        )
-        .select(
-            F.col("a.cell").alias("cell"),
-            F.col("a.rep_id").alias("id_a"),
-            F.col("b.rep_id").alias("id_b"),
-            sim.alias("cosine_sim"),
-            (F.col("a.n_copies") * F.col("b.n_copies")).cast("long").alias("n_pairs"),
-        )
-        .where(F.col("cosine_sim") >= threshold)
+    thr = float(threshold)
+
+    def cell_pairs(pdf):
+        return _rep_pair_frame(pdf, thr, cell_val=pdf["cell"].iloc[0])
+
+    out = sel.groupBy("cell").applyInPandas(
+        cell_pairs,
+        "cell int, id_a long, id_b long, cosine_sim double, n_pairs long",
     )
-    selfsim = dot(F.col("v"), F.col("v")) / (F.col("n") * F.col("n"))
-    selfrows = (
-        v.where(F.col("n_copies") > 1)
-        .select(
-            F.col("cell"),
-            F.col("rep_id").alias("id_a"),
-            F.col("rep_id").alias("id_b"),
-            selfsim.alias("cosine_sim"),
-            F.expr("CAST(n_copies * (n_copies - 1) DIV 2 AS BIGINT)").alias("n_pairs"),
-        )
-        .where(F.col("cosine_sim") >= threshold)
-    )
-    return cross.unionByName(selfrows).orderBy("id_a", "id_b")
+    return out.orderBy("id_a", "id_b")
+
+
+# Fan-back join tier bound (r13, VERDICT r12 task 2): the per-copy flag
+# join broadcasts the rep frame (including its vectors) only when the rep
+# count is at or below this bound (~100k reps × ~0.5 KB/row ≈ 50 MB built
+# relation — comfortably inside executor memory and far from the 8 GB /
+# 512M-row broadcast cap). Above it — the all-distinct-corpus case where
+# reps ≈ corpus — the join falls back to a shuffled equi-join on the
+# embedding key, which scales instead of OOMing driver+executors. Env
+# knob for cluster sizing; the tier TEST (both branches differential-
+# equal) is tests/test_rep_collapse.py.
+import os as _os
+
+SEMANTIC_BCAST_MAX_REPS = int(
+    _os.environ.get("SPARK_GRAFT_SEMANTIC_BCAST_MAX_REPS", "100000")
+)
 
 
 def semantic_dedup_flags(
@@ -513,6 +649,7 @@ def semantic_dedup_flags(
     n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_reps: int | None = None,
 ) -> DataFrame:
     """SemDeDup drop decision, rep-collapsed but BIT-EXACT to the copy-level
     rule: vector b is dropped ⟺ ∃a in the same IVF cell with a.id < b.id
@@ -529,13 +666,18 @@ def semantic_dedup_flags(
           cell has cosine(S,R) ≥ threshold and min_id(S) < c.id — i.e.
           c.id exceeds m_low = MIN(min_id over similar cell-mates).
     On an all-distinct corpus both legs degenerate to the original rule
-    verbatim. The quadratic pair work runs over representatives only; the
-    per-copy flags come from one broadcast join on the embedding key.
+    verbatim. The quadratic pair work runs over representatives only —
+    one Arrow pass per cell (r13, _rep_flag_frame: the fold arithmetic
+    vectorized across the cell's pairs, replacing the cell self-join +
+    interpreted per-pair HOF cosine AND the groupBy it fed); the per-copy
+    flags come back through one tier-gated join on the embedding key.
 
     Returns `embeddings` plus an is_dropped 0/1 column.
     """
+    n_total = None
     if n_cells is None:
-        n_cells = choose_ivf_cells(embeddings.count())
+        n_total = embeddings.count()
+        n_cells = choose_ivf_cells(n_total)
     centroids = [
         (int(r[0]), [float(x) for x in r[1]])
         for r in embeddings.where(F.col(id_col) < n_cells)
@@ -545,35 +687,38 @@ def semantic_dedup_flags(
     ]
     reps = rep_collapse(embeddings, id_col, vec_col)
     assigned = assign_ivf_cells(reps, n_cells, "rep_id", vec_col, centroids)
-    r = (
-        assigned.select(
-            F.col(vec_col),
-            "rep_id",
-            "n_copies",
-            F.col("__cell").alias("cell"),
-            _as_double(F.col(vec_col)).alias("v"),
-        )
-        .withColumn("n", norm(F.col("v")))
-        .localCheckpoint(eager=True)
+    sel = assigned.select(
+        F.col("__cell").alias("cell"),
+        "rep_id",
+        "n_copies",
+        F.col(vec_col).alias("__vec"),
     )
-    a, b = r.alias("a"), r.alias("b")
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
-    lows = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.rep_id") != F.col("b.rep_id")),
-        )
-        .where(sim >= threshold)
-        .groupBy(F.col("b.rep_id").alias("rep_id"))
-        .agg(F.min(F.col("a.rep_id")).alias("m_low"))
+    # Broadcast only below the rep-count tier: the per-rep frame carries
+    # the full embedding vectors, so on an all-distinct corpus it IS the
+    # corpus and a forced broadcast would OOM at scale. n_total (when the
+    # corpus was counted for the codebook) upper-bounds the rep count for
+    # free — the common tiers decide WITHOUT an extra job; only above the
+    # cap (or with a pinned codebook) is the rep frame checkpointed and
+    # counted, which also keeps the argmax UDF single-run for the two
+    # consumers that case creates.
+    cap = SEMANTIC_BCAST_MAX_REPS if max_broadcast_reps is None else max_broadcast_reps
+    if n_total is not None and n_total <= cap:
+        n_reps = n_total
+    else:
+        sel = sel.localCheckpoint(eager=True)
+        n_reps = sel.count()
+    thr = float(threshold)
+    vec_type = dict(embeddings.dtypes)[vec_col]
+
+    def cell_flags(pdf):
+        return _rep_flag_frame(pdf, thr, vec_col)
+
+    per_rep = sel.groupBy("cell").applyInPandas(
+        cell_flags,
+        f"{vec_col} {vec_type}, rep_id long, self_sim_ok boolean, m_low long",
     )
-    selfsim = dot(F.col("v"), F.col("v")) / (F.col("n") * F.col("n"))
-    rep_info = (
-        r.select(F.col(vec_col), "rep_id", (selfsim >= threshold).alias("self_sim_ok"))
-        .join(lows, "rep_id", "left")
-    )
-    flagged = embeddings.join(F.broadcast(rep_info), vec_col)
+    fan_back = F.broadcast(per_rep) if n_reps <= cap else per_rep
+    flagged = embeddings.join(fan_back, vec_col)
     return flagged.withColumn(
         "is_dropped",
         F.when(

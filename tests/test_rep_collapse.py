@@ -270,3 +270,21 @@ def test_choose_sample_modulus_tiers():
     m = similarity.choose_sample_modulus(2_000_000)
     assert 2_000_000 / m <= similarity.EMB_SAMPLE_TARGET
     assert m % 5 == 0 and (m // 5) & (m // 5 - 1) == 0  # 5 × power of two
+
+
+def test_semantic_dedup_flags_fanback_tiers_equal(spark):
+    """r13 broadcast gate (VERDICT r12 task 2): the per-copy fan-back join
+    must produce identical flags whether the rep frame is broadcast
+    (below the rep-count tier) or shuffled (above it — forced here with
+    max_broadcast_reps=0)."""
+    emb = _replica_corpus(spark)
+
+    def flags(**kw):
+        return {
+            (int(r["vec_id"]), int(r["is_dropped"]))
+            for r in similarity.semantic_dedup_flags(
+                emb, threshold=T, n_cells=N_CELLS, **kw
+            ).collect()
+        }
+
+    assert flags() == flags(max_broadcast_reps=0)
