@@ -49,39 +49,58 @@ def connected_components(
     release = getattr(edges, "_spark_graft_release", None)
     if release is not None:
         release()
-    labels = (
-        sym.select(F.col("s").alias("v"))
-        .distinct()
-        .withColumn("label", F.col("v"))
-        .localCheckpoint(eager=True)
-    )
     import gc
 
+    # r13 job-count trim (guide §2.4/§5): two jobs per round were pure
+    # bookkeeping and are gone.
+    # - Round 1 is FUSED: with label(v) = v initially, the first
+    #   propagation is min(v, min incoming s) = one map-side-combining
+    #   groupBy over sym with least(s, t) — no separate distinct-vertices
+    #   checkpoint and no join against an all-identity label frame.
+    # - Convergence is a DECIMAL(38,0) label-sum instead of an
+    #   old⋈new join+count: each round's label is min(old label, …), so
+    #   labels are pointwise non-increasing and the sum is strictly
+    #   decreasing unless ALL labels are unchanged — sum-equal ⟺
+    #   fixpoint. The sum is one cheap scan of the just-checkpointed
+    #   frame (decimal: ~1e10 vertices × max-long ids ≈ 1e29 ≪ 1e38, no
+    #   ANSI overflow); the join it replaces shuffled both label
+    #   generations every round.
+    labels = None
+    label_sum: object = None
     for _ in range(max_iter):
-        prop = (
-            sym.join(labels, sym["s"] == labels["v"])
-            .select(F.col("t").alias("v"), F.col("label"))
-        )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("v")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "v")
-            .where(F.col("o.label") != F.col("n.label"))
-            .count()
-        )
+        if labels is None:
+            new_labels = (
+                sym.select(F.col("t").alias("v"), F.least("s", "t").alias("label"))
+                .groupBy("v")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            prop = (
+                sym.join(labels, sym["s"] == labels["v"])
+                .select(F.col("t").alias("v"), F.col("label"))
+            )
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("v")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        converged = labels is not None and new_sum == label_sum
+        if labels is None and new_sum is None:
+            converged = True  # empty edge set: fixpoint is the empty labeling
         # drop the superseded generation's references and collect so
         # Spark's ContextCleaner can free its localCheckpoint blocks —
         # otherwise a long-diameter graph pins every iteration's
         # (vertex, label) snapshot in executor storage until session end
         labels = new_labels
-        del prop, new_labels
+        label_sum = new_sum
+        del new_labels
         gc.collect()
-        if changed == 0:
+        if converged:
             return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
