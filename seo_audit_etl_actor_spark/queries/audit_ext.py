@@ -271,7 +271,17 @@ def q_mv_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seo_audit_etl_actor_spark.operators import lake_maintenance as lm
     from seo_audit_etl_actor_spark.operators.mv import apply_cdc_to_view, grouped_sum_view
 
-    orders = load_table(spark, sf_dir, "orders")
+    # Publish only the columns the audit consumes (guide §2.3/§6 — the
+    # oracle's v2 CTE projects exactly this set): the snapshot writes, the
+    # time-travel reads, and the CDC full-outer's value structs all shrink
+    # by the 5 unused columns (o_comment alone is ~half the row bytes).
+    # Every declared value is unchanged — between versions only
+    # o_orderpriority ever differs for a surviving key, so 'changed' vs
+    # 'unchanged' classification over the 4-column struct is identical to
+    # the full-row struct, and the view reads nothing else.
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey", "o_orderstatus"
+    )
     lake_dir = tempfile.mkdtemp(prefix="spark_graft_mv_audit_")
     try:
         lm.publish_version(orders, lake_dir)
