@@ -109,13 +109,19 @@ def get_spark(app_name: str = "seo-audit-etl-actor-spark") -> SparkSession:
         # WholeStageCodegen/ordering/predicate classes — so a multi-query
         # application recompiles EVERY query's codegen on EVERY pass
         # (janino compile is driver-side, serial, ~0.1-1 s per query) and
-        # each pass executes freshly-loaded classes the JIT has never seen
-        # (measured r12: warm full-catalog pass 290 s → 195 s with the
-        # cache sized above the suite's working set; per-query floors drop
-        # 2-4×, e.g. ngram_jaccard_sample 3.5 → 1.2-1.9 s). Not a local-
-        # mode tune: any long-lived Spark app serving a query library
-        # larger than 100 shapes pays the same recompile tax; the entry
-        # count is shape-count-, not scale- or core-count-dependent.
+        # each pass executes freshly-loaded classes the JIT has never seen.
+        # Measured effect (r13 controlled A/B, SCALE_STUDY_r13
+        # codegen_cache_ab: one calibration-clean full-catalog warm pass
+        # per setting): 178.5 s at 100 vs 160.7 s at 4096 (~10%, part of
+        # which is run-to-run CPU skew — bracketing calibrations differed
+        # ~8%), spread as ~0.3-1 s across most codegen-heavy queries, no
+        # 2-4x per-query floors. An earlier r12 comment claimed
+        # "290 → 195 s"; that number was measured against the since-
+        # reverted 2M-row embeddings corpus and is NOT reproducible on
+        # current testdata — retracted. Not a local-mode tune: any
+        # long-lived Spark app serving a query library larger than 100
+        # shapes pays the same recompile tax; the entry count is
+        # shape-count-, not scale- or core-count-dependent.
         .config(
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
