@@ -84,7 +84,15 @@ def gen_documents(out_dir: str, m: float, base_dir: str, seed: int = 7) -> int:
             "n_chars": pa.array([len(d) for d in docs], pa.int64()),
         }
     )
-    pq.write_table(out, f"{out_dir}/documents.parquet")
+    # Cap row groups at ~16k rows (r13): pyarrow's 1M-row default makes a
+    # 500k-doc rung ONE row group, and Spark's vectorized reader assigns a
+    # row group to a single split — the scan stage then runs on one core
+    # at ANY core count, poisoning core-scaling measurements (the r13
+    # 8-vs-32 study measured curation_funnel at ratio 1.27 on the 1-group
+    # layout vs 4.74 after a 32-group rewrite of the SAME bytes). Real
+    # 100 TB corpora have thousands of files; small groups make the rung
+    # faithful to that shape.
+    pq.write_table(out, f"{out_dir}/documents.parquet", row_group_size=16384)
     return n_out
 
 
