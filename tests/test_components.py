@@ -91,3 +91,21 @@ def test_cluster_assignments_shape(spark):
     out = near_dup_cluster_assignments(spark.createDataFrame(edges, "id_a: long, id_b: long"))
     rows = [(r["doc_id"], r["cluster_id"], r["cluster_size"]) for r in out.collect()]
     assert rows == [(1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)]
+
+
+def test_empty_edge_set_converges_immediately(spark):
+    """r13: convergence is a label-sum comparison (monotone non-increasing
+    labels), and the fused first round detects the empty graph via a NULL
+    sum — the loop must return an empty labeling in ONE round instead of
+    raising or spinning."""
+    df = spark.createDataFrame([], "id_a: long, id_b: long")
+    assert connected_components(df, max_iter=1).collect() == []
+
+
+def test_single_edge_converges_with_two_rounds_budget(spark):
+    """A 1-edge graph is a fixpoint after round 1; the sum check detects
+    it in round 2 — max_iter=2 IS the round-count assertion (the function
+    raises at max_iter)."""
+    df = spark.createDataFrame([(7, 3)], "id_a: long, id_b: long")
+    got = {r["vertex"]: r["component"] for r in connected_components(df, max_iter=2).collect()}
+    assert got == {3: 3, 7: 3}
